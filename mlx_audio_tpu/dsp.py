@@ -1,0 +1,526 @@
+"""Pure audio DSP front-end — no TTS/STT imports (contract matches the
+reference `mlx_audio/dsp.py`: window fns, STFT/ISTFT, mel filterbanks, and
+Kaldi-compatible fbank features; see /root/reference/mlx_audio/dsp.py for the
+behavioral spec).
+
+Implementation is JAX-first: everything here is jit-compatible with static
+shapes; overlap-add uses XLA scatter-add; framing uses a vectorized gather.
+The batched ISTFT path (`BatchISTFT`) is the hot op behind every
+vocoder/ISTFT-head model; under `jax.jit`, the window-normalization buffer is
+constant-folded by XLA, which plays the role of the reference's host-side
+`ISTFTCache`.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "hanning",
+    "hamming",
+    "blackman",
+    "bartlett",
+    "STR_TO_WINDOW_FN",
+    "stft",
+    "istft",
+    "ISTFTCache",
+    "BatchISTFT",
+    "mel_filters",
+    "log_mel_spectrogram",
+    "compute_deltas_kaldi",
+    "mel_scale_kaldi",
+    "inverse_mel_scale_kaldi",
+    "get_mel_banks_kaldi",
+    "compute_fbank_kaldi",
+]
+
+
+# ---------------------------------------------------------------------------
+# Window functions (numpy-computed, cached; tiny host-side constants)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def hanning(size: int, periodic: bool = False) -> jax.Array:
+    denom = size if periodic else size - 1
+    n = np.arange(size)
+    return jnp.asarray(0.5 * (1 - np.cos(2 * np.pi * n / denom)), dtype=jnp.float32)
+
+
+@lru_cache(maxsize=None)
+def hamming(size: int, periodic: bool = False) -> jax.Array:
+    denom = size if periodic else size - 1
+    n = np.arange(size)
+    return jnp.asarray(0.54 - 0.46 * np.cos(2 * np.pi * n / denom), dtype=jnp.float32)
+
+
+@lru_cache(maxsize=None)
+def blackman(size: int, periodic: bool = False) -> jax.Array:
+    denom = size if periodic else size - 1
+    n = np.arange(size)
+    return jnp.asarray(
+        0.42
+        - 0.5 * np.cos(2 * np.pi * n / denom)
+        + 0.08 * np.cos(4 * np.pi * n / denom),
+        dtype=jnp.float32,
+    )
+
+
+@lru_cache(maxsize=None)
+def bartlett(size: int, periodic: bool = False) -> jax.Array:
+    denom = size if periodic else size - 1
+    n = np.arange(size)
+    return jnp.asarray(1 - 2 * np.abs(n - denom / 2) / denom, dtype=jnp.float32)
+
+
+STR_TO_WINDOW_FN = {
+    "hann": hanning,
+    "hanning": hanning,
+    "hamming": hamming,
+    "blackman": blackman,
+    "bartlett": bartlett,
+}
+
+
+def _resolve_window(window, win_length: int, n_fft: int) -> jax.Array:
+    if isinstance(window, str):
+        fn = STR_TO_WINDOW_FN.get(window.lower())
+        if fn is None:
+            raise ValueError(f"Unknown window function: {window}")
+        w = fn(win_length)
+    else:
+        w = jnp.asarray(window)
+    if w.shape[0] < n_fft:
+        w = jnp.concatenate([w, jnp.zeros((n_fft - w.shape[0],), dtype=w.dtype)])
+    return w
+
+
+# ---------------------------------------------------------------------------
+# STFT / ISTFT
+# ---------------------------------------------------------------------------
+
+
+def _frame(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
+    """Frame the last axis into (..., num_frames, frame_length) via gather."""
+    num_frames = 1 + (x.shape[-1] - frame_length) // hop
+    if num_frames <= 0:
+        raise ValueError(
+            f"Input too short (length={x.shape[-1]}) for frame_length="
+            f"{frame_length} with hop={hop}."
+        )
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(frame_length)[None, :]
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
+
+
+def stft(
+    x: jax.Array,
+    n_fft: int = 800,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    window: Union[jax.Array, str] = "hann",
+    center: bool = True,
+    pad_mode: str = "reflect",
+) -> jax.Array:
+    """STFT of the last axis → complex (..., num_frames, n_fft//2 + 1)."""
+    if hop_length is None:
+        hop_length = n_fft // 4
+    if win_length is None:
+        win_length = n_fft
+    w = _resolve_window(window, win_length, n_fft)
+
+    if center:
+        pad = n_fft // 2
+        pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        if pad_mode == "constant":
+            x = jnp.pad(x, pad_widths)
+        elif pad_mode == "reflect":
+            x = jnp.pad(x, pad_widths, mode="reflect")
+        else:
+            raise ValueError(f"Invalid pad_mode {pad_mode}")
+
+    frames = _frame(x, n_fft, hop_length)
+    return jnp.fft.rfft((frames * w).astype(jnp.float32))
+
+
+def _ola(
+    frames: jax.Array,  # (..., num_frames, frame_length)
+    hop: int,
+) -> jax.Array:
+    """Overlap-add the last two axes → (..., (F-1)*hop + frame_length)."""
+    *batch, num_frames, frame_length = frames.shape
+    t = (num_frames - 1) * hop + frame_length
+    idx = (
+        np.arange(num_frames)[:, None] * hop + np.arange(frame_length)[None, :]
+    ).reshape(-1)
+    flat = frames.reshape(*batch, num_frames * frame_length)
+    out = jnp.zeros((*batch, t), dtype=frames.dtype)
+    return out.at[..., jnp.asarray(idx)].add(flat)
+
+
+def istft(
+    x: jax.Array,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    window: Union[jax.Array, str] = "hann",
+    center: bool = True,
+    length: Optional[int] = None,
+    normalized: bool = False,
+) -> jax.Array:
+    """Inverse STFT. `x` is complex (freq, num_frames) — the reference's
+    layout (dsp.py:144) — or batched (..., freq, num_frames)."""
+    if win_length is None:
+        win_length = (x.shape[-2] - 1) * 2
+    if hop_length is None:
+        hop_length = win_length // 4
+
+    if isinstance(window, str):
+        fn = STR_TO_WINDOW_FN.get(window.lower())
+        if fn is None:
+            raise ValueError(f"Unknown window function: {window}")
+        w = fn(win_length + 1)[:-1]
+    else:
+        w = jnp.asarray(window)
+    if w.shape[0] < win_length:
+        w = jnp.concatenate([w, jnp.zeros((win_length - w.shape[0],), dtype=w.dtype)])
+
+    frames_time = jnp.fft.irfft(jnp.moveaxis(x, -2, -1), axis=-1)  # (..., F, win)
+    num_frames = frames_time.shape[-2]
+
+    reconstructed = _ola((frames_time * w).astype(jnp.float32), hop_length)
+    window_norm = (w * w) if normalized else w
+    wsum = _ola(
+        jnp.broadcast_to(window_norm, (num_frames, win_length)).astype(jnp.float32),
+        hop_length,
+    )
+    reconstructed = jnp.where(wsum > 1e-10, reconstructed / wsum, reconstructed)
+
+    if center:
+        # torch semantics: strip the center pad, then cut to `length`. (The
+        # reference skips the strip when `length` is set — dsp.py:211-215 —
+        # which shifts the output; no caller relies on that.)
+        end = None if length is None else win_length // 2 + length
+        reconstructed = reconstructed[..., win_length // 2 : end]
+        if length is None:
+            reconstructed = reconstructed[..., : -(win_length // 2)]
+    elif length is not None:
+        reconstructed = reconstructed[..., :length]
+    return reconstructed
+
+
+class BatchISTFT:
+    """Vectorized batched ISTFT from real/imag parts (the ISTFT-head hot op).
+
+    API-parity object for the reference's `ISTFTCache` (dsp.py:299): the same
+    `istft(real, imag, ...)` call signature, shapes (batch, freq, frames) →
+    (batch, samples). Caching of the COLA normalization buffer is done by XLA
+    constant folding under jit; this class keeps a jit cache per config.
+    """
+
+    def __init__(self):
+        self._jitted = {}
+
+    @staticmethod
+    def _run(real, imag, window, n_fft: int, hop_length: int, center: bool):
+        spec = jax.lax.complex(real.astype(jnp.float32), imag.astype(jnp.float32))
+        frames_time = jnp.fft.irfft(jnp.swapaxes(spec, -2, -1), n=n_fft, axis=-1)
+        windowed = frames_time * window
+        num_frames = windowed.shape[-2]
+        out = _ola(windowed.astype(jnp.float32), hop_length)
+        wsum = _ola(
+            jnp.broadcast_to(window * window, (num_frames, n_fft)).astype(jnp.float32),
+            hop_length,
+        )
+        out = out / jnp.maximum(wsum, 1e-10)
+        if center:
+            out = out[..., n_fft // 2 :]
+        return out
+
+    def istft(
+        self,
+        real_part: jax.Array,
+        imag_part: jax.Array,
+        n_fft: int,
+        hop_length: int,
+        win_length: int,
+        window: jax.Array,
+        center: bool = True,
+        audio_length: Optional[int] = None,
+    ) -> jax.Array:
+        window = jnp.asarray(window)
+        if window.shape[0] < n_fft:
+            window = jnp.concatenate(
+                [window, jnp.zeros((n_fft - window.shape[0],), dtype=window.dtype)]
+            )
+        key = (n_fft, hop_length, center)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                self._run, static_argnames=("n_fft", "hop_length", "center")
+            )
+        out = self._jitted[key](real_part, imag_part, window, n_fft, hop_length, center)
+        if audio_length is not None:
+            out = out[..., :audio_length]
+        return out
+
+    def clear_cache(self):
+        self._jitted.clear()
+
+    def cache_info(self):
+        return {"jitted_configs": len(self._jitted)}
+
+
+ISTFTCache = BatchISTFT  # name parity with the reference
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbanks
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def mel_filters(
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    f_min: float = 0,
+    f_max: Optional[float] = None,
+    norm: Optional[str] = None,
+    mel_scale: str = "htk",
+) -> jax.Array:
+    """Triangular mel filterbank, shape (n_mels, n_fft//2 + 1).
+
+    Matches torchaudio/reference semantics for both "htk" and "slaney"
+    scales, optional slaney area-normalization.
+    """
+
+    def hz_to_mel(freq: float) -> float:
+        if mel_scale == "htk":
+            return 2595.0 * math.log10(1.0 + freq / 700.0)
+        f_sp = 200.0 / 3
+        mels = freq / f_sp
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / f_sp
+        logstep = math.log(6.4) / 27.0
+        if freq >= min_log_hz:
+            mels = min_log_mel + math.log(freq / min_log_hz) / logstep
+        return mels
+
+    def mel_to_hz(mels: np.ndarray) -> np.ndarray:
+        if mel_scale == "htk":
+            return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+        f_sp = 200.0 / 3
+        freqs = f_sp * mels
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / f_sp
+        logstep = math.log(6.4) / 27.0
+        return np.where(
+            mels >= min_log_mel,
+            min_log_hz * np.exp(logstep * (mels - min_log_mel)),
+            freqs,
+        )
+
+    f_max = f_max or sample_rate / 2
+    n_freqs = n_fft // 2 + 1
+    all_freqs = np.linspace(0, sample_rate // 2, n_freqs)
+
+    m_pts = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    f_pts = mel_to_hz(m_pts)
+
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    down_slopes = (-slopes[:, :-2]) / f_diff[:-1]
+    up_slopes = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down_slopes, up_slopes))
+
+    if norm == "slaney":
+        enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+        fb = fb * enorm[None, :]
+
+    return jnp.asarray(fb.T, dtype=jnp.float32)
+
+
+def log_mel_spectrogram(
+    audio: jax.Array,
+    n_mels: int = 80,
+    n_fft: int = 400,
+    hop_length: int = 160,
+    sample_rate: int = 16000,
+    padding: int = 0,
+) -> jax.Array:
+    """Whisper-style log-mel: log10(clip(mel @ |stft|^2)), normalized.
+
+    Shared helper for Whisper-family front-ends
+    (reference: stt/models/whisper/audio.py:44-85).
+    """
+    if padding > 0:
+        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, padding)])
+    window = hanning(n_fft + 1, periodic=False)[:-1]
+    spec = stft(audio, n_fft, hop_length, window=window, center=True)
+    magnitudes = jnp.abs(spec[..., :-1, :]) ** 2  # drop last frame like whisper
+    fb = mel_filters(sample_rate, n_fft, n_mels, norm="slaney", mel_scale="slaney")
+    mel_spec = jnp.matmul(magnitudes, fb.T, preferred_element_type=jnp.float32)
+    log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
+    log_spec = jnp.maximum(log_spec, log_spec.max() - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+# ---------------------------------------------------------------------------
+# Kaldi-compatible features
+# ---------------------------------------------------------------------------
+
+
+def compute_deltas_kaldi(
+    specgram: jax.Array, win_length: int = 5, mode: str = "edge"
+) -> jax.Array:
+    """Delta coefficients d_t = Σ n (c_{t+n} − c_{t−n}) / (2 Σ n²), over the
+    last (time) axis. Vectorized (the reference loops over time)."""
+    if win_length < 3:
+        raise ValueError(f"win_length should be >= 3, got {win_length}")
+    n = (win_length - 1) // 2
+    denom = float(n * (n + 1) * (2 * n + 1)) / 3.0
+
+    pad_widths = [(0, 0)] * (specgram.ndim - 1) + [(n, n)]
+    padded = jnp.pad(specgram, pad_widths, mode="edge" if mode == "edge" else "constant")
+    T = specgram.shape[-1]
+    out = jnp.zeros_like(specgram)
+    for k in range(-n, n + 1):
+        if k == 0:
+            continue
+        out = out + k * jax.lax.dynamic_slice_in_dim(padded, k + n, T, axis=-1)
+    return out / denom
+
+
+def mel_scale_kaldi(freq):
+    return 1127.0 * jnp.log(1.0 + freq / 700.0)
+
+
+def inverse_mel_scale_kaldi(mel_freq):
+    return 700.0 * (jnp.exp(mel_freq / 1127.0) - 1.0)
+
+
+def _next_power_of_2(x: int) -> int:
+    return 1 if x == 0 else 2 ** (x - 1).bit_length()
+
+
+@lru_cache(maxsize=None)
+def get_mel_banks_kaldi(
+    num_bins: int,
+    window_length_padded: int,
+    sample_freq: float,
+    low_freq: float,
+    high_freq: float,
+):
+    """Kaldi mel filterbank → (bins (num_bins, n_fft/2), center_freqs)."""
+    assert num_bins > 3, "Must have at least 3 mel bins"
+    assert window_length_padded % 2 == 0
+    num_fft_bins = window_length_padded // 2
+    nyquist = 0.5 * sample_freq
+    if high_freq <= 0.0:
+        high_freq += nyquist
+    assert (0.0 <= low_freq < nyquist) and (0.0 < high_freq <= nyquist)
+
+    fft_bin_width = sample_freq / window_length_padded
+    mel_low = 1127.0 * math.log(1.0 + low_freq / 700.0)
+    mel_high = 1127.0 * math.log(1.0 + high_freq / 700.0)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+
+    bin_idx = np.arange(num_bins)[:, None]
+    left_mel = mel_low + bin_idx * mel_delta
+    center_mel = mel_low + (bin_idx + 1.0) * mel_delta
+    right_mel = mel_low + (bin_idx + 2.0) * mel_delta
+
+    center_freqs = 700.0 * (np.exp(center_mel / 1127.0) - 1.0)
+    mel = (1127.0 * np.log(1.0 + fft_bin_width * np.arange(num_fft_bins) / 700.0))[
+        None, :
+    ]
+    up_slope = (mel - left_mel) / (center_mel - left_mel)
+    down_slope = (right_mel - mel) / (right_mel - center_mel)
+    bins = np.maximum(0.0, np.minimum(up_slope, down_slope))
+    return jnp.asarray(bins, dtype=jnp.float32), jnp.asarray(
+        center_freqs.squeeze(), dtype=jnp.float32
+    )
+
+
+def compute_fbank_kaldi(
+    waveform: jax.Array,
+    sample_rate: int = 48000,
+    win_len: int = 1920,
+    win_inc: int = 384,
+    num_mels: int = 60,
+    win_type: str = "hamming",
+    preemphasis: float = 0.97,
+    dither: float = 1.0,
+    snip_edges: bool = True,
+    low_freq: float = 20.0,
+    high_freq: float = 0.0,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Kaldi-compatible log mel-filterbank features → (time, num_mels).
+
+    `key` seeds the dither noise; pass None for deterministic (seed-0) dither
+    or set dither=0 to disable.
+    """
+    if waveform.ndim == 2:
+        waveform = waveform[0]
+
+    window_shift = win_inc
+    window_size = win_len
+    padded_window_size = _next_power_of_2(window_size)
+
+    num_samples = waveform.shape[0]
+    if snip_edges:
+        if num_samples < window_size:
+            return jnp.zeros((0, num_mels))
+        m = 1 + (num_samples - window_size) // window_shift
+        frames = _frame(waveform, window_size, window_shift)
+    else:
+        m = (num_samples + (window_shift // 2)) // window_shift
+        pad = window_size // 2 - window_shift // 2
+        if pad > 0:
+            left = waveform[1 : pad + 1][::-1]
+            right = waveform[-1 : -pad - 1 : -1] if pad > 1 else waveform[-1:0:-1]
+            waveform = jnp.concatenate([left, waveform, right])
+        else:
+            waveform = jnp.concatenate([waveform[-pad:], waveform[::-1]])
+        frames = _frame(waveform, window_size, window_shift)[:m]
+
+    frames = frames.astype(jnp.float32)
+
+    if dither != 0.0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        frames = frames + dither * jax.random.normal(key, frames.shape)
+
+    frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+
+    if preemphasis != 0.0:
+        first = frames[:, 0:1]
+        rest = frames[:, 1:] - preemphasis * frames[:, :-1]
+        frames = jnp.concatenate([first, rest], axis=1)
+
+    n = np.arange(window_size)
+    if win_type == "hamming":
+        window = 0.54 - 0.46 * np.cos(2 * np.pi * n / (window_size - 1))
+    elif win_type == "hanning":
+        window = 0.5 - 0.5 * np.cos(2 * np.pi * n / (window_size - 1))
+    elif win_type == "povey":
+        window = (0.5 - 0.5 * np.cos(2 * np.pi * n / (window_size - 1))) ** 0.85
+    else:
+        window = np.ones(window_size)
+    frames = frames * jnp.asarray(window, dtype=jnp.float32)
+
+    if padded_window_size != window_size:
+        frames = jnp.pad(frames, [(0, 0), (0, padded_window_size - window_size)])
+
+    spectrum = jnp.abs(jnp.fft.rfft(frames, n=padded_window_size, axis=1)) ** 2.0
+    mel_banks, _ = get_mel_banks_kaldi(
+        num_mels, padded_window_size, float(sample_rate), low_freq, high_freq
+    )
+    mel_banks = jnp.pad(mel_banks, [(0, 0), (0, 1)])
+    feats = jnp.matmul(spectrum, mel_banks.T, preferred_element_type=jnp.float32)
+    return jnp.log(jnp.maximum(feats, 1e-8))

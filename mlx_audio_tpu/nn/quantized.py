@@ -1,0 +1,218 @@
+"""Affine-quantized layers compatible with MLX's quantization scheme.
+
+MLX quantizes weights per `group_size` elements along the input dimension:
+``w = scales * q + biases`` with ``q`` in [0, 2^bits), packed little-endian
+into uint32 words. Converted community checkpoints (3/4/6/8-bit, group 32/64)
+store `weight` (packed uint32), `scales`, `biases` — we keep the identical
+on-disk contract (reference: /root/reference/mlx_audio/utils.py:207-251).
+
+Dequantization happens on the fly in the matmul input dtype; XLA fuses the
+unpack+affine into the surrounding computation. A Pallas fused
+dequant-matmul kernel can be swapped in via `mlx_audio_tpu.ops.quant`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .module import Module
+from .layers import Linear, Embedding
+
+__all__ = [
+    "QuantizedLinear",
+    "QuantizedEmbedding",
+    "quantize_arrays",
+    "dequantize_arrays",
+    "quantize_module",
+]
+
+
+def _pack_rows(q: np.ndarray, bits: int) -> np.ndarray:
+    """Pack int values (..., in) little-endian into uint32 (..., in*bits/32)."""
+    per = 32 // bits
+    q = q.astype(np.uint32).reshape(*q.shape[:-1], -1, per)
+    shifts = (np.arange(per, dtype=np.uint32) * bits)[None, :]
+    return (q << shifts).sum(axis=-1, dtype=np.uint32)
+
+
+def unpack_rows(w: jax.Array, bits: int) -> jax.Array:
+    """Unpack uint32 (..., P) into (..., P * 32/bits) integer values."""
+    per = 32 // bits
+    shifts = jnp.arange(per, dtype=jnp.uint32) * jnp.uint32(bits)
+    q = (w[..., None] >> shifts) & jnp.uint32((1 << bits) - 1)
+    return q.reshape(*w.shape[:-1], -1)
+
+
+def quantize_arrays(w, group_size: int = 64, bits: int = 4):
+    """Quantize a float matrix (out, in) → (packed uint32, scales, biases).
+
+    Matches MLX's affine scheme: per-group min/max mapped onto [0, 2^bits-1].
+    """
+    if 32 % bits != 0:
+        raise ValueError(f"bits={bits} must divide 32 (supported: 2, 4, 8, 16)")
+    w = np.asarray(w, dtype=np.float32)
+    out_shape = w.shape
+    wg = w.reshape(*out_shape[:-1], -1, group_size)
+    w_min = wg.min(axis=-1)
+    w_max = wg.max(axis=-1)
+    n = 2**bits - 1
+    scales = np.maximum((w_max - w_min) / n, 1e-10)
+    biases = w_min
+    q = np.clip(np.round((wg - biases[..., None]) / scales[..., None]), 0, n)
+    packed = _pack_rows(q.reshape(out_shape), bits)
+    return packed, scales.astype(np.float32), biases.astype(np.float32)
+
+
+def dequantize_arrays(
+    w: jax.Array, scales: jax.Array, biases: jax.Array, group_size: int, bits: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    q = unpack_rows(w, bits).astype(dtype)
+    in_dim = q.shape[-1]
+    s = jnp.repeat(scales.astype(dtype), group_size, axis=-1)[..., :in_dim]
+    b = jnp.repeat(biases.astype(dtype), group_size, axis=-1)[..., :in_dim]
+    return q * s + b
+
+
+class QuantizedLinear(Module):
+    def __init__(
+        self,
+        input_dims: int,
+        output_dims: int,
+        bias: bool = True,
+        group_size: int = 64,
+        bits: int = 4,
+    ):
+        per = 32 // bits
+        self.weight = jnp.zeros((output_dims, input_dims // per), dtype=jnp.uint32)
+        self.scales = jnp.ones((output_dims, input_dims // group_size))
+        self.biases = jnp.zeros((output_dims, input_dims // group_size))
+        if bias:
+            self.bias = jnp.zeros((output_dims,))
+        self.group_size = group_size
+        self.bits = bits
+
+    @classmethod
+    def from_linear(cls, lin: Linear, group_size: int = 64, bits: int = 4):
+        out_d, in_d = lin.weight.shape
+        obj = cls(in_d, out_d, bias=hasattr(lin, "bias"), group_size=group_size, bits=bits)
+        packed, scales, biases = quantize_arrays(lin.weight, group_size, bits)
+        obj.weight = jnp.asarray(packed)
+        obj.scales = jnp.asarray(scales)
+        obj.biases = jnp.asarray(biases)
+        if hasattr(lin, "bias"):
+            obj.bias = lin.bias
+        return obj
+
+    def dequantized_weight(self, dtype=jnp.bfloat16) -> jax.Array:
+        return dequantize_arrays(
+            self.weight, self.scales, self.biases, self.group_size, self.bits, dtype
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.dequantized_weight(x.dtype)
+        y = jnp.matmul(x, w.T, preferred_element_type=x.dtype)
+        if hasattr(self, "bias"):
+            y = y + self.bias.astype(y.dtype)
+        return y
+
+
+class QuantizedEmbedding(Module):
+    def __init__(
+        self, num_embeddings: int, dims: int, group_size: int = 64, bits: int = 4
+    ):
+        per = 32 // bits
+        self.weight = jnp.zeros((num_embeddings, dims // per), dtype=jnp.uint32)
+        self.scales = jnp.ones((num_embeddings, dims // group_size))
+        self.biases = jnp.zeros((num_embeddings, dims // group_size))
+        self.group_size = group_size
+        self.bits = bits
+
+    @classmethod
+    def from_embedding(cls, emb: Embedding, group_size: int = 64, bits: int = 4):
+        n, d = emb.weight.shape
+        obj = cls(n, d, group_size=group_size, bits=bits)
+        packed, scales, biases = quantize_arrays(emb.weight, group_size, bits)
+        obj.weight = jnp.asarray(packed)
+        obj.scales = jnp.asarray(scales)
+        obj.biases = jnp.asarray(biases)
+        return obj
+
+    def dequantized_weight(self, dtype=jnp.bfloat16) -> jax.Array:
+        return dequantize_arrays(
+            self.weight, self.scales, self.biases, self.group_size, self.bits, dtype
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # Gather packed rows first, then dequantize only what's needed.
+        rows = self.weight[x]
+        s = self.scales[x]
+        b = self.biases[x]
+        return dequantize_arrays(rows, s, b, self.group_size, self.bits, jnp.float32)
+
+    def as_linear(self, x: jax.Array) -> jax.Array:
+        w = self.dequantized_weight(x.dtype)
+        return jnp.matmul(x, w.T, preferred_element_type=x.dtype)
+
+
+def quantize_module(
+    model: Module,
+    group_size: int = 64,
+    bits: int = 4,
+    predicate=None,
+) -> Module:
+    """Replace Linear/Embedding submodules with quantized versions in-place.
+
+    `predicate(path, module)` may veto/override per layer (return False to
+    skip, True to quantize with defaults, or a dict {"group_size", "bits"}).
+    Mirrors the reference's config-driven `apply_quantization`.
+    """
+
+    def visit(obj, path):
+        if isinstance(obj, Module):
+            for k, v in list(obj.__dict__.items()):
+                child_path = f"{path}.{k}" if path else k
+                new = maybe_swap(v, child_path)
+                if new is not None:
+                    setattr(obj, k, new)
+                else:
+                    visit(v, child_path)
+        elif isinstance(obj, (list, tuple)):
+            for i, v in enumerate(obj):
+                child_path = f"{path}.{i}"
+                new = maybe_swap(v, child_path)
+                if new is not None:
+                    obj[i] = new
+                else:
+                    visit(v, child_path)
+        elif isinstance(obj, dict):
+            for k, v in obj.items():
+                child_path = f"{path}.{k}"
+                new = maybe_swap(v, child_path)
+                if new is not None:
+                    obj[k] = new
+                else:
+                    visit(v, child_path)
+
+    def maybe_swap(v, path):
+        if not isinstance(v, (Linear, Embedding)):
+            return None
+        gs, b = group_size, bits
+        if predicate is not None:
+            r = predicate(path, v)
+            if r is False or r is None:
+                return None
+            if isinstance(r, dict):
+                gs = r.get("group_size", gs)
+                b = r.get("bits", b)
+        in_dim = v.weight.shape[-1]
+        if in_dim % gs != 0 or 32 % b != 0:
+            return None
+        if isinstance(v, Linear):
+            return QuantizedLinear.from_linear(v, gs, b)
+        return QuantizedEmbedding.from_embedding(v, gs, b)
+
+    visit(model, "")
+    return model

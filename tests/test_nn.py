@@ -1,0 +1,241 @@
+"""Unit tests for the pytree module system and core layers.
+
+Golden values come from torch (CPU) — the same source of truth the reference
+models were converted from.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import mlx_audio_tpu.nn as nn
+from mlx_audio_tpu.nn.module import flatten_params, load_weights
+
+
+class Tiny(nn.Module):
+    def __init__(self):
+        self.lin = nn.Linear(4, 8)
+        self.layers = [nn.Linear(8, 8), nn.Linear(8, 2)]
+        self.name = "tiny"
+
+    def __call__(self, x):
+        x = self.lin(x)
+        for l in self.layers:
+            x = jax.nn.relu(l(x))
+        return x
+
+
+def test_module_is_pytree_and_jits():
+    m = Tiny()
+    leaves = jax.tree_util.tree_leaves(m)
+    assert all(hasattr(l, "shape") for l in leaves)
+
+    @jax.jit
+    def fwd(model, x):
+        return model(x)
+
+    x = jnp.ones((2, 4))
+    y = fwd(m, x)
+    assert y.shape == (2, 2)
+    # second call hits the jit cache (same treedef)
+    y2 = fwd(m, x + 1)
+    assert y2.shape == (2, 2)
+
+
+def test_param_paths_match_safetensors_convention():
+    m = Tiny()
+    params = flatten_params(m)
+    assert "lin.weight" in params
+    assert "lin.bias" in params
+    assert "layers.0.weight" in params
+    assert "layers.1.bias" in params
+
+
+def test_load_weights_strict_roundtrip():
+    m = Tiny()
+    params = flatten_params(m)
+    new = {k: np.full(v.shape, 0.5, np.float32) for k, v in params.items()}
+    m2 = load_weights(m, new, strict=True)
+    assert np.allclose(np.asarray(m2.lin.weight), 0.5)
+    with pytest.raises(ValueError):
+        load_weights(m, {"nope.weight": np.zeros(3)}, strict=False)
+    bad = dict(new)
+    bad["lin.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(ValueError):
+        load_weights(m, bad)
+
+
+def test_buffers_excluded_from_params():
+    class WithBuf(nn.Module):
+        def __init__(self):
+            self.w = jnp.ones((3,))
+            self._mel = jnp.ones((5, 5))
+
+        def __call__(self, x):
+            return x
+
+    m = WithBuf()
+    params = flatten_params(m)
+    assert "w" in params and "_mel" not in params
+    # buffer still traced by jit (is a leaf)
+    assert len(jax.tree_util.tree_leaves(m)) == 2
+    load_weights(m, {"w": np.zeros(3, np.float32)}, strict=True)  # no error
+
+
+def _t2j(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+def test_conv1d_matches_torch():
+    torch.manual_seed(0)
+    tc = torch.nn.Conv1d(6, 10, 5, stride=2, padding=3, dilation=2)
+    x = torch.randn(2, 6, 37)
+    ref = tc(x).detach().numpy()
+
+    c = nn.Conv1d(6, 10, 5, stride=2, padding=3, dilation=2)
+    c.weight = _t2j(tc.weight.permute(0, 2, 1))  # (out,in,k)->(out,k,in)
+    c.bias = _t2j(tc.bias)
+    y = c(jnp.swapaxes(_t2j(x), 1, 2))  # NCL -> NLC
+    np.testing.assert_allclose(np.swapaxes(np.asarray(y), 1, 2), ref, atol=1e-4)
+
+
+def test_depthwise_conv1d_matches_torch():
+    torch.manual_seed(1)
+    tc = torch.nn.Conv1d(8, 8, 3, padding=1, groups=8)
+    x = torch.randn(1, 8, 20)
+    ref = tc(x).detach().numpy()
+    c = nn.Conv1d(8, 8, 3, padding=1, groups=8)
+    c.weight = _t2j(tc.weight.permute(0, 2, 1))
+    c.bias = _t2j(tc.bias)
+    y = c(jnp.swapaxes(_t2j(x), 1, 2))
+    np.testing.assert_allclose(np.swapaxes(np.asarray(y), 1, 2), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride,padding,output_padding,k", [(2, 1, 0, 4), (4, 2, 0, 8), (3, 1, 1, 5), (1, 0, 0, 3)])
+def test_conv_transpose1d_matches_torch(stride, padding, output_padding, k):
+    torch.manual_seed(2)
+    tc = torch.nn.ConvTranspose1d(6, 4, k, stride=stride, padding=padding,
+                                  output_padding=output_padding)
+    x = torch.randn(2, 6, 19)
+    ref = tc(x).detach().numpy()
+    c = nn.ConvTranspose1d(6, 4, k, stride=stride, padding=padding,
+                           output_padding=output_padding)
+    # torch convT weight: (in, out, k) -> ours (out, k, in)
+    c.weight = _t2j(tc.weight.permute(1, 2, 0))
+    c.bias = _t2j(tc.bias)
+    y = c(jnp.swapaxes(_t2j(x), 1, 2))
+    np.testing.assert_allclose(np.swapaxes(np.asarray(y), 1, 2), ref, atol=1e-4)
+
+
+def test_grouped_conv_transpose1d_matches_torch():
+    torch.manual_seed(7)
+    tc = torch.nn.ConvTranspose1d(8, 8, 4, stride=2, padding=1, groups=2)
+    x = torch.randn(1, 8, 16)
+    ref = tc(x).detach().numpy()
+    c = nn.ConvTranspose1d(8, 8, 4, stride=2, padding=1, groups=2)
+    # torch: (in, out/g, k) -> ours (out, k, in/g)
+    w = tc.weight  # (8, 4, 4)
+    g, cin, cog, kk = 2, 8, 4, 4
+    w = w.reshape(g, cin // g, cog, kk).permute(0, 2, 3, 1).reshape(g * cog, kk, cin // g)
+    c.weight = _t2j(w)
+    c.bias = _t2j(tc.bias)
+    y = c(jnp.swapaxes(_t2j(x), 1, 2))
+    np.testing.assert_allclose(np.swapaxes(np.asarray(y), 1, 2), ref, atol=1e-4)
+
+
+def test_norms_match_torch():
+    torch.manual_seed(3)
+    x = torch.randn(2, 7, 16)
+
+    ln = torch.nn.LayerNorm(16)
+    ours = nn.LayerNorm(16)
+    np.testing.assert_allclose(
+        np.asarray(ours(_t2j(x))), ln(x).detach().numpy(), atol=1e-5
+    )
+
+    gn = torch.nn.GroupNorm(4, 16)
+    og = nn.GroupNorm(4, 16)
+    # torch GroupNorm is NCL; ours is NLC
+    ref = gn(x.permute(0, 2, 1)).permute(0, 2, 1).detach().numpy()
+    np.testing.assert_allclose(np.asarray(og(_t2j(x))), ref, atol=1e-5)
+
+    inorm = torch.nn.InstanceNorm1d(16)
+    oi = nn.InstanceNorm(16, affine=False)
+    ref = inorm(x.permute(0, 2, 1)).permute(0, 2, 1).detach().numpy()
+    np.testing.assert_allclose(np.asarray(oi(_t2j(x))), ref, atol=1e-5)
+
+
+def test_lstm_matches_torch():
+    torch.manual_seed(4)
+    tl = torch.nn.LSTM(5, 9, batch_first=True)
+    x = torch.randn(3, 11, 5)
+    ref, (h, c) = tl(x)
+
+    ours = nn.LSTM(5, 9)
+    ours.Wx = _t2j(tl.weight_ih_l0)
+    ours.Wh = _t2j(tl.weight_hh_l0)
+    ours.bias_ih = _t2j(tl.bias_ih_l0)
+    ours.bias_hh = _t2j(tl.bias_hh_l0)
+    y, (hT, cT) = ours(_t2j(x))
+    np.testing.assert_allclose(np.asarray(y), ref.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), h[0].detach().numpy(), atol=1e-5)
+
+
+def test_bilstm_matches_torch():
+    torch.manual_seed(5)
+    tl = torch.nn.LSTM(5, 6, batch_first=True, bidirectional=True)
+    x = torch.randn(2, 8, 5)
+    ref, _ = tl(x)
+    ours = nn.BiLSTM(5, 6)
+    ours.forward.Wx = _t2j(tl.weight_ih_l0)
+    ours.forward.Wh = _t2j(tl.weight_hh_l0)
+    ours.forward.bias_ih = _t2j(tl.bias_ih_l0)
+    ours.forward.bias_hh = _t2j(tl.bias_hh_l0)
+    ours.backward.Wx = _t2j(tl.weight_ih_l0_reverse)
+    ours.backward.Wh = _t2j(tl.weight_hh_l0_reverse)
+    ours.backward.bias_ih = _t2j(tl.bias_ih_l0_reverse)
+    ours.backward.bias_hh = _t2j(tl.bias_hh_l0_reverse)
+    y = ours(_t2j(x))
+    np.testing.assert_allclose(np.asarray(y), ref.detach().numpy(), atol=1e-5)
+
+
+def test_gru_matches_torch():
+    torch.manual_seed(6)
+    tg = torch.nn.GRU(4, 7, batch_first=True)
+    x = torch.randn(2, 10, 4)
+    ref, _ = tg(x)
+    ours = nn.GRU(4, 7)
+    ours.Wx = _t2j(tg.weight_ih_l0)
+    ours.Wh = _t2j(tg.weight_hh_l0)
+    ours.bias_ih = _t2j(tg.bias_ih_l0)
+    ours.bias_hh = _t2j(tg.bias_hh_l0)
+    y, _ = ours(_t2j(x))
+    np.testing.assert_allclose(np.asarray(y), ref.detach().numpy(), atol=1e-5)
+
+
+def test_quantized_linear_roundtrip():
+    lin = nn.Linear(64, 32)
+    for bits in (4, 8):
+        q = nn.QuantizedLinear.from_linear(lin, group_size=32, bits=bits)
+        w = np.asarray(q.dequantized_weight(jnp.float32))
+        err = np.abs(w - np.asarray(lin.weight)).max()
+        # max quantization error is half a step
+        step = np.asarray(q.scales).max()
+        assert err <= step * 0.51 + 1e-6
+        x = jnp.ones((2, 64))
+        y_ref = lin(x)
+        y_q = q(x)
+        assert np.allclose(np.asarray(y_q), np.asarray(y_ref), atol=32 * step)
+
+
+def test_quantize_module_swaps_layers():
+    m = Tiny()
+    m.lin = nn.Linear(64, 64)
+    m.layers = [nn.Linear(64, 64), nn.Linear(64, 2)]
+    nn.quantize_module(m, group_size=32, bits=4)
+    assert isinstance(m.lin, nn.QuantizedLinear)
+    assert isinstance(m.layers[0], nn.QuantizedLinear)
+    params = flatten_params(m)
+    assert "lin.scales" in params and "lin.biases" in params
