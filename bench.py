@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: Kokoro-82M (real architecture config, random weights) TTS
+real-time factor on the available accelerator. BASELINE.json north-star
+target: RTF < 0.05 on 1 TPU v5e chip. `vs_baseline` = target_rtf /
+measured_rtf (>1 ⇒ beats target).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import numpy as np
+
+
+KOKORO_82M_CONFIG = dict(
+    istftnet=dict(
+        resblock_kernel_sizes=[3, 7, 11],
+        upsample_rates=[10, 6],
+        upsample_initial_channel=512,
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        upsample_kernel_sizes=[20, 12],
+        gen_istft_n_fft=20,
+        gen_istft_hop_size=5,
+    ),
+    dim_in=64,
+    dropout=0.2,
+    hidden_dim=512,
+    max_conv_dim=512,
+    max_dur=50,
+    multispeaker=True,
+    n_layer=3,
+    n_mels=80,
+    n_token=178,
+    style_dim=128,
+    text_encoder_kernel_size=5,
+    plbert=dict(
+        hidden_size=768,
+        num_attention_heads=12,
+        intermediate_size=2048,
+        max_position_embeddings=512,
+        num_hidden_layers=12,
+        embedding_size=128,
+        dropout=0.1,
+    ),
+)
+
+# ~35 s of speech worth of phonemes (repeated pangram-ish sentence)
+PHONEMES = (
+    "ðə kwˈɪk bɹˈWn fˈɑks ʤˈʌmps ˈOvəɹ ðə lˈAzi dˈɔɡ, "
+    "ænd ðə sˈɪnθəsɪs mˈɑdəl tˈɜɹnz tˈɛkst ˈɪntu spˈiʧ. "
+) * 5
+
+
+def main():
+    from mlx_audio_tpu.tts.models.kokoro import Model, ModelConfig
+
+    vocab_chars = (
+        "abcdefghijklmnopqrstuvwxyzæɑɔɛɪʊʌəɹŋθðʃʒʧʤˈˌAIOWY ɡɜɾ.,!?;:\"'()…—"
+    )
+    vocab = {c: i + 1 for i, c in enumerate(dict.fromkeys(vocab_chars))}
+    cfg = ModelConfig.from_dict({**KOKORO_82M_CONFIG, "vocab": vocab})
+    model = Model(cfg)
+
+    n_params = sum(
+        int(np.prod(v.shape)) for v in jax.tree_util.tree_leaves(model)
+        if hasattr(v, "shape")
+    )
+
+    ref_s = np.random.default_rng(0).standard_normal((1, 256)).astype(np.float32) * 0.1
+    ps = PHONEMES[:508]
+
+    # Warmup / compile both stages
+    t0 = time.perf_counter()
+    audio = model(ps, ref_s)
+    compile_time = time.perf_counter() - t0
+
+    # Timed runs
+    runs = 5
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        audio = model(ps, ref_s)
+    wall = (time.perf_counter() - t0) / runs
+
+    audio_seconds = audio.shape[-1] / cfg.sample_rate
+    rtf = wall / audio_seconds
+    target = 0.05
+    print(
+        json.dumps(
+            {
+                "metric": "kokoro82m_tts_rtf",
+                "value": round(rtf, 5),
+                "unit": "rtf",
+                "vs_baseline": round(target / rtf, 3),
+                "detail": {
+                    "params": n_params,
+                    "audio_seconds": round(audio_seconds, 2),
+                    "wall_seconds_per_run": round(wall, 4),
+                    "compile_seconds": round(compile_time, 1),
+                    "device": str(jax.devices()[0]),
+                    "phoneme_len": len(ps),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""TTS CLI — text → audio files (contract of reference tts/generate.py:112-451).
+
+`python -m mlx_audio_tpu.tts.generate --model <path> --text "..." `
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .. import audio_io
+from .utils import load_model
+
+
+def generate_audio(
+    text: str,
+    model_path: str = "prince-canuma/Kokoro-82M",
+    model=None,
+    voice: Optional[str] = None,
+    speed: float = 1.0,
+    lang_code: str = "a",
+    file_prefix: str = "audio",
+    audio_format: str = "wav",
+    sample_rate: Optional[int] = None,
+    join_audio: bool = False,
+    verbose: bool = True,
+    ref_audio: Optional[str] = None,
+    ref_text: Optional[str] = None,
+    stream: bool = False,
+    output_path: str = ".",
+    **kwargs,
+):
+    """Generate speech, write wav/other files, return the results list."""
+    if model is None:
+        model = load_model(model_path)
+
+    # Adapt kwargs to the model's generate signature (reference :175-179)
+    sig = inspect.signature(model.generate)
+    accepted = set(sig.parameters)
+    call_kwargs = dict(text=text, **kwargs)
+    for k, v in [
+        ("voice", voice), ("speed", speed), ("lang_code", lang_code),
+        ("ref_audio", ref_audio), ("ref_text", ref_text), ("stream", stream),
+        ("verbose", verbose),
+    ]:
+        if k in accepted and v is not None:
+            call_kwargs[k] = v
+    call_kwargs = {
+        k: v for k, v in call_kwargs.items()
+        if k in accepted or "kwargs" in str(sig)
+    }
+
+    results = []
+    segments = []
+    out_dir = Path(output_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for result in model.generate(**call_kwargs):
+        results.append(result)
+        audio = np.asarray(result.audio).reshape(-1)
+        sr = sample_rate or result.sample_rate
+        if join_audio:
+            segments.append(audio)
+        else:
+            fname = out_dir / f"{file_prefix}_{result.segment_idx:03d}.{audio_format}"
+            audio_io.write(fname, audio, sr)
+            if verbose:
+                print(f"✓ wrote {fname}")
+        if verbose:
+            print(
+                f"segment {result.segment_idx}: {result.audio_duration} "
+                f"rtf={result.real_time_factor:.3f} "
+                f"({result.processing_time_seconds:.2f}s)"
+            )
+    if join_audio and segments:
+        sr = sample_rate or results[0].sample_rate
+        fname = out_dir / f"{file_prefix}.{audio_format}"
+        audio_io.write(fname, np.concatenate(segments), sr)
+        if verbose:
+            print(f"✓ wrote {fname}")
+    return results
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Generate speech from text")
+    p.add_argument("--model", default="prince-canuma/Kokoro-82M")
+    p.add_argument("--text", default=None)
+    p.add_argument("--voice", default=None)
+    p.add_argument("--speed", type=float, default=1.0)
+    p.add_argument("--lang_code", default="a")
+    p.add_argument("--file_prefix", default="audio")
+    p.add_argument("--audio_format", default="wav")
+    p.add_argument("--sample_rate", type=int, default=None)
+    p.add_argument("--join_audio", action="store_true")
+    p.add_argument("--output_path", default=".")
+    p.add_argument("--ref_audio", default=None)
+    p.add_argument("--ref_text", default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--verbose", action="store_true", default=True)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    text = args.text
+    if text is None:
+        text = sys.stdin.read()
+    kwargs = {}
+    if args.temperature is not None:
+        kwargs["temperature"] = args.temperature
+    generate_audio(
+        text=text,
+        model_path=args.model,
+        voice=args.voice,
+        speed=args.speed,
+        lang_code=args.lang_code,
+        file_prefix=args.file_prefix,
+        audio_format=args.audio_format,
+        sample_rate=args.sample_rate,
+        join_audio=args.join_audio,
+        output_path=args.output_path,
+        ref_audio=args.ref_audio,
+        ref_text=args.ref_text,
+        **kwargs,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Shared TTS result types (contract of reference tts/models/base.py:72-88)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from ...base import BaseModelArgs  # re-export for model configs
+
+__all__ = ["GenerationResult", "BaseModelArgs", "check_array_shape", "adjust_speed", "format_duration"]
+
+
+@dataclass
+class GenerationResult:
+    audio: Any  # np.ndarray (samples,) float32
+    samples: int
+    sample_rate: int
+    segment_idx: int = 0
+    token_count: int = 0
+    audio_duration: str = ""
+    real_time_factor: float = 0.0
+    prompt: dict = field(default_factory=dict)
+    audio_samples: dict = field(default_factory=dict)
+    processing_time_seconds: float = 0.0
+    peak_memory_usage: float = 0.0
+
+
+def format_duration(seconds: float) -> str:
+    hours = int(seconds // 3600)
+    mins = int((seconds % 3600) // 60)
+    secs = int(seconds % 60)
+    ms = int((seconds % 1) * 1000)
+    return f"{hours:02d}:{mins:02d}:{secs:02d}.{ms:03d}"
+
+
+def check_array_shape(arr) -> bool:
+    """Heuristic: is a conv weight already in (out, k, in) layout?
+    (Same check the reference uses for idempotent sanitize.)"""
+    shape = arr.shape
+    if len(shape) != 3:
+        return False
+    out_channels, kH, kW = shape
+    return (out_channels >= kH) and (out_channels >= kW) and (kH == kW)
+
+
+def orient_to(w: np.ndarray, expected: tuple) -> np.ndarray:
+    """Permute a conv weight into the model's expected layout.
+
+    Tries identity, torch-conv (O,I,K)→(O,K,I), torch-convT (I,O,K)→(O,K,I),
+    and MLX-convT (I,K,O)→(O,K,I). Makes `sanitize` idempotent and layout-
+    agnostic (the reference's `check_array_shape` heuristic misfires on
+    small channel counts)."""
+    w = np.asarray(w)
+    if tuple(w.shape) == tuple(expected):
+        return w
+    if w.ndim != len(expected):
+        return w
+    for perm in ((0, 2, 1), (1, 2, 0), (2, 1, 0)):
+        if w.ndim == 3 and tuple(np.transpose(w, perm).shape) == tuple(expected):
+            return np.ascontiguousarray(np.transpose(w, perm))
+    if w.ndim == 4:
+        for perm in ((0, 2, 3, 1), (1, 2, 3, 0)):
+            if tuple(np.transpose(w, perm).shape) == tuple(expected):
+                return np.ascontiguousarray(np.transpose(w, perm))
+    return w
+
+
+def adjust_speed(audio: np.ndarray, speed: float) -> np.ndarray:
+    """Linear-interpolation resample to change playback speed
+    (reference tts/models/base.py:37)."""
+    if speed == 1.0:
+        return audio
+    n_out = int(len(audio) / speed)
+    idx = np.linspace(0, len(audio) - 1, n_out)
+    return np.interp(idx, np.arange(len(audio)), audio).astype(audio.dtype)

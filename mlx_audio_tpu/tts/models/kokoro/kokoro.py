@@ -1,0 +1,319 @@
+"""Kokoro-82M TTS — TPU-native implementation.
+
+Behavioral spec: reference tts/models/kokoro/kokoro.py (Model :57, forward
+:111, generate :260). TPU-first design decisions:
+
+- The forward pass is split into TWO jitted programs with shape bucketing:
+  stage A (ALBERT → duration predictor) returns per-phoneme durations; the
+  host fetches only that tiny int vector; stage B (alignment → F0/N → text
+  encoder → iSTFTNet decoder → waveform) runs with a bucketed frame count.
+  One dispatch each, so a segment costs 2 compiles amortized + 2 dispatches.
+- The duration→alignment matrix is a vectorized interval comparison
+  (`frame_idx ∈ [start_i, end_i)`), replacing the reference's host-side
+  python repeat loop (kokoro.py:142-148) — it runs on device inside jit.
+- Weight-norm is folded at load time in `sanitize` (ConvWeighted →
+  plain convs); everything runs channels-last.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....base import BaseModelArgs
+from ....nn import Linear, Module
+from ..base import GenerationResult, check_array_shape, format_duration
+from .albert import AlbertModelArgs, CustomAlbert
+from .istftnet import Decoder
+from .modules import ProsodyPredictor, TextEncoder
+
+__all__ = ["Model", "ModelConfig"]
+
+
+@dataclass
+class ModelConfig(BaseModelArgs):
+    istftnet: dict = None
+    dim_in: int = 64
+    dropout: float = 0.2
+    hidden_dim: int = 512
+    max_conv_dim: int = 512
+    max_dur: int = 50
+    multispeaker: bool = True
+    n_layer: int = 3
+    n_mels: int = 80
+    n_token: int = 178
+    style_dim: int = 128
+    text_encoder_kernel_size: int = 5
+    plbert: dict = None
+    vocab: Dict[str, int] = None
+    sample_rate: int = 24000
+    model_path: str = ""
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+_PIPELINE_CACHE: dict = {}
+
+TEXT_BUCKETS = (64, 128, 256, 512)
+FRAME_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 3072)
+
+
+class Model(Module):
+    REPO_ID = "prince-canuma/Kokoro-82M"
+
+    def __init__(self, config: ModelConfig, repo_id: Optional[str] = None):
+        if isinstance(config, dict):
+            config = ModelConfig.from_dict(config)
+        self.config = config
+        self.vocab = config.vocab or {}
+        plbert = dict(config.plbert or {})
+        plbert.pop("vocab_size", None)
+        self.bert = CustomAlbert(
+            AlbertModelArgs.from_dict({"vocab_size": config.n_token, **plbert})
+        )
+        self.bert_encoder = Linear(self.bert.config.hidden_size, config.hidden_dim)
+        self.context_length = self.bert.config.max_position_embeddings
+        self.predictor = ProsodyPredictor(
+            style_dim=config.style_dim,
+            d_hid=config.hidden_dim,
+            nlayers=config.n_layer,
+            max_dur=config.max_dur,
+            dropout=config.dropout,
+        )
+        self.text_encoder = TextEncoder(
+            channels=config.hidden_dim,
+            kernel_size=config.text_encoder_kernel_size,
+            depth=config.n_layer,
+            n_symbols=config.n_token,
+        )
+        self.decoder = Decoder(
+            dim_in=config.hidden_dim,
+            style_dim=config.style_dim,
+            dim_out=config.n_mels,
+            sample_rate=config.sample_rate,
+            **(config.istftnet or {}),
+        )
+        self.repo_id = repo_id
+
+    # ------------------------------------------------------------------
+    # Jitted stages
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("speed",))
+    def _frontend(model: "Model", input_ids, text_mask, ref_s, speed: float):
+        """input_ids (1,T) padded, text_mask (1,T) True=pad, ref_s (1,256)
+        → pred_dur (1,T) int32, d (1,T,C+sty), t_en (1,T,C)."""
+        sd = model.config.style_dim
+        lengths = jnp.sum(~text_mask, axis=-1)
+        bert_out, _ = model.bert(
+            input_ids, attention_mask=(~text_mask).astype(jnp.int32)
+        )
+        d_en = model.bert_encoder(bert_out)
+        s = ref_s[:, sd:]
+        d = model.predictor.text_encoder(d_en, s, lengths, text_mask)
+        x = model.predictor.lstm(d)
+        duration = model.predictor.duration_proj(x)
+        duration = jax.nn.sigmoid(duration).sum(axis=-1) / speed
+        pred_dur = jnp.clip(jnp.round(duration), 1, None).astype(jnp.int32)
+        pred_dur = jnp.where(text_mask, 0, pred_dur)
+        t_en = model.text_encoder(input_ids, lengths, text_mask)
+        return pred_dur, d, t_en
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("num_frames",))
+    def _synthesize(model: "Model", d, t_en, pred_dur, ref_s, key, num_frames: int):
+        """Alignment + prosody + decoder → waveform (1, num_frames*samples/frame)."""
+        dur = pred_dur[0]
+        ends = jnp.cumsum(dur)
+        starts = ends - dur
+        frame_idx = jnp.arange(num_frames)
+        # (T_text, num_frames) one-hot interval alignment
+        aln = (
+            (frame_idx[None, :] >= starts[:, None])
+            & (frame_idx[None, :] < ends[:, None])
+        ).astype(d.dtype)
+        en = jnp.einsum("btc,tf->bfc", d, aln)
+        s = ref_s[:, model.config.style_dim:]
+        F0_pred, N_pred = model.predictor.F0Ntrain(en, s)
+        asr = jnp.einsum("btc,tf->bfc", t_en, aln)
+        audio = model.decoder(asr, F0_pred, N_pred, ref_s[:, : model.config.style_dim], key)
+        return audio
+
+    # ------------------------------------------------------------------
+    # Public forward (phonemes → audio), reference `Model.__call__` parity
+    # ------------------------------------------------------------------
+
+    @dataclass
+    class Output:
+        audio: np.ndarray
+        pred_dur: Optional[np.ndarray] = None
+
+    def __call__(self, phonemes: str, ref_s, speed: float = 1.0,
+                 return_output: bool = False, key: Optional[jax.Array] = None):
+        input_ids = [self.vocab.get(p) for p in phonemes]
+        input_ids = [i for i in input_ids if i is not None]
+        assert len(input_ids) + 2 <= self.context_length
+        ids = [0, *input_ids, 0]
+        T = len(ids)
+        Tpad = _bucket(T, TEXT_BUCKETS)
+        ids_arr = jnp.asarray([ids + [0] * (Tpad - T)], jnp.int32)
+        mask = jnp.asarray([[False] * T + [True] * (Tpad - T)])
+        ref_s = jnp.asarray(ref_s, jnp.float32)
+        if ref_s.ndim == 1:
+            ref_s = ref_s[None]
+
+        pred_dur, d, t_en = self._frontend(self, ids_arr, mask, ref_s, float(speed))
+        pred_dur_np = np.asarray(jax.device_get(pred_dur))  # single tiny sync
+        total_frames = int(pred_dur_np.sum())
+        num_frames = _bucket(total_frames, FRAME_BUCKETS)
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        audio = self._synthesize(self, d, t_en, pred_dur, ref_s, key, num_frames)
+        samples_per_frame = self.decoder.generator.total_upsample * 2
+        audio_np = np.asarray(jax.device_get(audio))[0][: total_frames * samples_per_frame]
+        if return_output:
+            return self.Output(audio=audio_np, pred_dur=pred_dur_np[0][:T])
+        return audio_np
+
+    # ------------------------------------------------------------------
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.sample_rate
+
+    def _get_pipeline(self, lang_code: str):
+        # Pipelines hold a back-reference to the model, so they are cached in
+        # a module-level registry instead of on the pytree (avoids a flatten
+        # cycle and keeps the jit treedef clean).
+        cache = _PIPELINE_CACHE.setdefault(id(self), {})
+        if lang_code not in cache:
+            from .pipeline import KokoroPipeline
+
+            cache[lang_code] = KokoroPipeline(
+                model=self,
+                repo_id=self.repo_id or self.config.model_path or self.REPO_ID,
+                lang_code=lang_code,
+            )
+        return cache[lang_code]
+
+    def generate(self, text: str, voice: Optional[str] = None, speed: float = 1.0,
+                 lang_code: str = "a", split_pattern: str = r"\n+", **kwargs):
+        pipeline = self._get_pipeline(lang_code)
+        if voice is None:
+            voice = "af_heart"
+        start_time = time.time()
+        for segment_idx, (graphemes, phonemes, audio) in enumerate(
+            pipeline(text, voice=voice, speed=speed, split_pattern=split_pattern)
+        ):
+            now = time.time()
+            segment_time = now - start_time
+            start_time = now
+            samples = int(audio.shape[-1]) if audio is not None else 0
+            assert samples > 0, "No audio generated"
+            token_count = len(phonemes) if phonemes else 0
+            sr = self.config.sample_rate
+            audio_duration = samples / sr
+            rtf = segment_time / audio_duration if audio_duration > 0 else 0
+            yield GenerationResult(
+                audio=np.asarray(audio).reshape(-1),
+                samples=samples,
+                sample_rate=sr,
+                segment_idx=segment_idx,
+                token_count=token_count,
+                audio_duration=format_duration(audio_duration),
+                real_time_factor=round(rtf, 2),
+                prompt={
+                    "tokens": token_count,
+                    "tokens-per-sec": (
+                        round(token_count / segment_time, 2) if segment_time > 0 else 0
+                    ),
+                },
+                audio_samples={
+                    "samples": samples,
+                    "samples-per-sec": (
+                        round(samples / segment_time, 2) if segment_time > 0 else 0
+                    ),
+                },
+                processing_time_seconds=segment_time,
+                peak_memory_usage=0.0,
+            )
+
+    # ------------------------------------------------------------------
+    # Checkpoint sanitize: torch layouts → ours, weight-norm folded
+    # ------------------------------------------------------------------
+
+    def sanitize(self, weights: dict) -> dict:
+        from ....nn.module import flatten_params
+        from ..base import orient_to
+
+        expected = {
+            k: tuple(v.shape) for k, v in flatten_params(self).items()
+        }
+        out = {}
+        # 1) fold weight-norm pairs
+        gs = {k: v for k, v in weights.items() if k.endswith("weight_g")}
+        for gkey, g in gs.items():
+            vkey = gkey[:-1] + "v"  # weight_g -> weight_v
+            v = np.asarray(weights[vkey], np.float32)
+            gv = np.asarray(g, np.float32)
+            norm = np.sqrt((v**2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+            weights[gkey.rsplit(".", 1)[0] + ".weight"] = gv * v / np.maximum(norm, 1e-12)
+        weights = {
+            k: v for k, v in weights.items()
+            if not (k.endswith("weight_g") or k.endswith("weight_v"))
+        }
+
+        transposed_convT = set()
+        for key, w in weights.items():
+            if "position_ids" in key:
+                continue
+            w = np.asarray(w)
+            nk = key
+            # LSTM key remapping (torch → forward/backward submodules)
+            lstm_map = {
+                "weight_ih_l0_reverse": "backward.Wx",
+                "weight_hh_l0_reverse": "backward.Wh",
+                "bias_ih_l0_reverse": "backward.bias_ih",
+                "bias_hh_l0_reverse": "backward.bias_hh",
+                "weight_ih_l0": "forward.Wx",
+                "weight_hh_l0": "forward.Wh",
+                "bias_ih_l0": "forward.bias_ih",
+                "bias_hh_l0": "forward.bias_hh",
+            }
+            matched = False
+            for suffix, repl in lstm_map.items():
+                if key.endswith(suffix):
+                    nk = key[: -len(suffix)] + repl
+                    matched = True
+                    break
+            if matched:
+                out[nk] = w
+                continue
+            # gamma/beta → weight/bias (old layer-norm naming)
+            if key.endswith(".gamma"):
+                out[key[: -len(".gamma")] + ".weight"] = w
+                continue
+            if key.endswith(".beta"):
+                out[key[: -len(".beta")] + ".bias"] = w
+                continue
+            # conv weights: orient against the model's expected layout
+            # (handles torch conv (O,I,K), torch convT (I,O,K), and
+            # already-ours layouts idempotently)
+            if key.endswith(".weight") and w.ndim == 3 and nk in expected:
+                w = orient_to(w, expected[nk])
+            # snake alphas keep their (1, C, 1) shape
+            out[nk] = w
+        return out
