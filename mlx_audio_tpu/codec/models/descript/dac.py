@@ -1,0 +1,301 @@
+"""DAC (Descript Audio Codec) — conv encoder + residual VQ + conv decoder.
+
+Behavioral spec: reference codec/models/descript/ (dac.py, nn/quantize.py,
+nn/layers.py). TPU-native: channels-last conv stacks, weight-norm folded at
+load (plain convs at runtime), encode/decode wrapped in jit with the RVQ
+nearest-codebook search as one batched MXU matmul per codebook.
+
+Public surface parity: `DAC.from_pretrained`, `encode(audio) → (z, codes,
+latents, ...)`, `decode(z)`, `quantizer.from_codes(codes)`; audio shapes are
+(B, 1, T) like the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....nn import Conv1d, ConvTranspose1d, Embedding, Module
+from ....nn.activations import snake
+from ..base import fold_weight_norm_pairs
+
+__all__ = ["DAC"]
+
+
+class Snake1d(Module):
+    def __init__(self, channels: int):
+        self.alpha = jnp.ones((1, 1, channels))  # channels-last
+
+    def __call__(self, x):
+        return snake(x, self.alpha)
+
+
+class ResidualUnit(Module):
+    def __init__(self, dim: int = 16, dilation: int = 1):
+        pad = ((7 - 1) * dilation) // 2
+        self.block = [
+            Snake1d(dim),
+            Conv1d(dim, dim, 7, dilation=dilation, padding=pad),
+            Snake1d(dim),
+            Conv1d(dim, dim, 1),
+        ]
+
+    def __call__(self, x):
+        y = x
+        for layer in self.block:
+            y = layer(y)
+        pad = (x.shape[1] - y.shape[1]) // 2
+        if pad > 0:
+            x = x[:, pad:-pad]
+        return x + y
+
+
+class EncoderBlock(Module):
+    def __init__(self, dim: int = 16, stride: int = 1):
+        self.block = [
+            ResidualUnit(dim // 2, dilation=1),
+            ResidualUnit(dim // 2, dilation=3),
+            ResidualUnit(dim // 2, dilation=9),
+            Snake1d(dim // 2),
+            Conv1d(dim // 2, dim, 2 * stride, stride=stride,
+                   padding=math.ceil(stride / 2)),
+        ]
+
+    def __call__(self, x):
+        for layer in self.block:
+            x = layer(x)
+        return x
+
+
+class Encoder(Module):
+    def __init__(self, d_model: int = 64, strides: List[int] = [2, 4, 8, 8],
+                 d_latent: int = 64):
+        block = [Conv1d(1, d_model, 7, padding=3)]
+        for stride in strides:
+            d_model *= 2
+            block.append(EncoderBlock(d_model, stride=stride))
+        block += [Snake1d(d_model), Conv1d(d_model, d_latent, 3, padding=1)]
+        self.block = block
+        self.enc_dim = d_model
+
+    def __call__(self, x):
+        for layer in self.block:
+            x = layer(x)
+        return x
+
+
+class DecoderBlock(Module):
+    def __init__(self, input_dim: int, output_dim: int, stride: int):
+        self.block = [
+            Snake1d(input_dim),
+            ConvTranspose1d(input_dim, output_dim, 2 * stride, stride=stride,
+                            padding=math.ceil(stride / 2)),
+            ResidualUnit(output_dim, dilation=1),
+            ResidualUnit(output_dim, dilation=3),
+            ResidualUnit(output_dim, dilation=9),
+        ]
+
+    def __call__(self, x):
+        for layer in self.block:
+            x = layer(x)
+        return x
+
+
+class Tanh(Module):
+    def __call__(self, x):
+        return jnp.tanh(x)
+
+
+class Decoder(Module):
+    def __init__(self, input_channel, channels, rates, d_out: int = 1):
+        layers = [Conv1d(input_channel, channels, 7, padding=3)]
+        output_dim = channels
+        for i, stride in enumerate(rates):
+            input_dim = channels // 2**i
+            output_dim = channels // 2 ** (i + 1)
+            layers.append(DecoderBlock(input_dim, output_dim, stride))
+        layers += [Snake1d(output_dim), Conv1d(output_dim, d_out, 7, padding=3), Tanh()]
+        self.model = layers
+
+    def __call__(self, x):
+        for layer in self.model:
+            x = layer(x)
+        return x
+
+
+def _l2_normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+class VectorQuantize(Module):
+    def __init__(self, input_dim: int, codebook_size: int, codebook_dim: int):
+        self.in_proj = Conv1d(input_dim, codebook_dim, 1)
+        self.out_proj = Conv1d(codebook_dim, input_dim, 1)
+        self.codebook = Embedding(codebook_size, codebook_dim)
+        self.codebook_size = codebook_size
+        self.codebook_dim = codebook_dim
+
+    def __call__(self, z):
+        # z: (B, T, D) channels-last
+        z_e = self.in_proj(z)
+        z_q, indices = self.decode_latents(z_e)
+        z_q = self.out_proj(z_q)
+        return z_q, indices, z_e
+
+    def decode_code(self, embed_id):
+        return self.codebook.weight[embed_id]  # (B, T, Dc)
+
+    def decode_latents(self, latents):
+        # cosine-normalized nearest neighbor == argmax of dot product (MXU)
+        enc = _l2_normalize(latents)  # (B, T, Dc)
+        cb = _l2_normalize(self.codebook.weight)  # (N, Dc)
+        sim = jnp.einsum("btd,nd->btn", enc, cb, preferred_element_type=jnp.float32)
+        indices = jnp.argmax(sim, axis=-1)
+        return self.decode_code(indices), indices
+
+
+class ResidualVectorQuantize(Module):
+    def __init__(self, input_dim: int = 512, n_codebooks: int = 9,
+                 codebook_size: int = 1024, codebook_dim: Union[int, list] = 8):
+        if isinstance(codebook_dim, int):
+            codebook_dim = [codebook_dim] * n_codebooks
+        self.n_codebooks = n_codebooks
+        self.quantizers = [
+            VectorQuantize(input_dim, codebook_size, codebook_dim[i])
+            for i in range(n_codebooks)
+        ]
+
+    def __call__(self, z, n_quantizers: Optional[int] = None):
+        # z: (B, T, D)
+        if n_quantizers is None:
+            n_quantizers = self.n_codebooks
+        z_q = jnp.zeros_like(z)
+        residual = z
+        codes, latents = [], []
+        for i, q in enumerate(self.quantizers):
+            if i >= n_quantizers:
+                break
+            z_q_i, indices_i, z_e_i = q(residual)
+            z_q = z_q + z_q_i
+            residual = residual - z_q_i
+            codes.append(indices_i)
+            latents.append(z_e_i)
+        return (
+            z_q,
+            jnp.stack(codes, axis=1),  # (B, n_q, T)
+            jnp.concatenate(latents, axis=-1),
+        )
+
+    def from_codes(self, codes):
+        # codes: (B, n_q, T)
+        z_q = None
+        z_p = []
+        for i in range(codes.shape[1]):
+            z_p_i = self.quantizers[i].decode_code(codes[:, i])
+            z_p.append(z_p_i)
+            z_q_i = self.quantizers[i].out_proj(z_p_i)
+            z_q = z_q_i if z_q is None else z_q + z_q_i
+        return z_q, jnp.concatenate(z_p, axis=-1), codes
+
+
+class DAC(Module):
+    def __init__(self, encoder_dim: int = 64, encoder_rates: List[int] = [2, 4, 5, 8],
+                 latent_dim: Optional[int] = None, decoder_dim: int = 1536,
+                 decoder_rates: List[int] = [8, 5, 4, 2], n_codebooks: int = 9,
+                 codebook_size: int = 1024, codebook_dim: Union[int, list] = 8,
+                 sample_rate: int = 44100, **kwargs):
+        if latent_dim is None:
+            latent_dim = encoder_dim * (2 ** len(encoder_rates))
+        self.latent_dim = latent_dim
+        self.hop_length = int(np.prod(encoder_rates))
+        self.encoder = Encoder(encoder_dim, encoder_rates, latent_dim)
+        self.quantizer = ResidualVectorQuantize(
+            input_dim=latent_dim, n_codebooks=n_codebooks,
+            codebook_size=codebook_size, codebook_dim=codebook_dim,
+        )
+        self.decoder = Decoder(latent_dim, decoder_dim, decoder_rates)
+        self.sample_rate = sample_rate
+        self.n_codebooks = n_codebooks
+        self.codebook_size = codebook_size
+
+    # ---- jitted cores ----
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("n_quantizers",))
+    def _encode(model: "DAC", audio, n_quantizers=None):
+        z = model.encoder(audio)
+        return model.quantizer(z, n_quantizers)
+
+    @staticmethod
+    @jax.jit
+    def _decode(model: "DAC", z):
+        return model.decoder(z)
+
+    # ---- reference-parity API (audio (B, 1, T), z (B, D, T)) ----
+
+    def preprocess(self, audio_data, sample_rate=None):
+        if sample_rate is not None:
+            assert sample_rate == self.sample_rate
+        length = audio_data.shape[-1]
+        right_pad = math.ceil(length / self.hop_length) * self.hop_length - length
+        return jnp.pad(jnp.asarray(audio_data), [(0, 0), (0, 0), (0, right_pad)])
+
+    def encode(self, audio_data, n_quantizers: Optional[int] = None):
+        z_q, codes, latents = self._encode(
+            self, jnp.swapaxes(jnp.asarray(audio_data), 1, 2), n_quantizers
+        )
+        return (
+            jnp.swapaxes(z_q, 1, 2),
+            codes,
+            jnp.swapaxes(latents, 1, 2),
+            jnp.zeros(()),
+            jnp.zeros(()),
+        )
+
+    def decode(self, z):
+        return jnp.swapaxes(
+            self._decode(self, jnp.swapaxes(jnp.asarray(z), 1, 2)), 1, 2
+        )
+
+    def decode_codes(self, codes):
+        z_q, _, _ = self.quantizer.from_codes(jnp.asarray(codes))
+        return jnp.swapaxes(self._decode(self, z_q), 1, 2)
+
+    def __call__(self, audio_data, sample_rate=None, n_quantizers=None):
+        length = audio_data.shape[-1]
+        audio_data = self.preprocess(audio_data, sample_rate)
+        z, codes, latents, _, _ = self.encode(audio_data, n_quantizers)
+        x = self.decode(z)
+        return {
+            "audio": x[..., :length],
+            "z": z,
+            "codes": codes,
+            "latents": latents,
+        }
+
+    # ---- loading ----
+
+    def sanitize(self, weights: dict) -> dict:
+        from ....nn.sanitize import orient_weights_to_model
+
+        weights = fold_weight_norm_pairs(weights)
+        return orient_weights_to_model(self, weights)
+
+    @classmethod
+    def from_pretrained(cls, repo_id: str) -> "DAC":
+        from ....utils import get_model_path, load_config, load_weight_files
+        from ....nn.module import load_weights as assign
+
+        path = get_model_path(repo_id)
+        try:
+            config = load_config(path)
+        except FileNotFoundError:
+            config = {}
+        model = cls(**config)
+        weights = model.sanitize(load_weight_files(path))
+        return assign(model, weights, strict=False).eval()

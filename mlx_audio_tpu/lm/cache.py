@@ -52,6 +52,45 @@ class KVCache(Module):
         return jnp.where(ok, 0.0, -jnp.inf).astype(dtype)[None, None]
 
 
+class RingKVCache(Module):
+    """Sliding-window KV cache (ring buffer) for windowed attention
+    (e.g. Mimi's context-250 transformer). Slot positions are tracked in
+    `pos_buf` so rope stays absolute and the mask is position-driven.
+    """
+
+    def __init__(self, batch: int, num_kv_heads: int, window: int, head_dim: int,
+                 dtype=jnp.float32):
+        self.k = jnp.zeros((batch, num_kv_heads, window, head_dim), dtype)
+        self.v = jnp.zeros((batch, num_kv_heads, window, head_dim), dtype)
+        self.pos_buf = jnp.full((window,), -(10**9), jnp.int32)
+        self.pos = jnp.array(0, jnp.int32)
+
+    @property
+    def window(self) -> int:
+        return self.k.shape[2]
+
+    def update(self, k: jax.Array, v: jax.Array):
+        """k/v: (B, H, t, D) with t <= window."""
+        W = self.window
+        t = k.shape[2]
+        slots = (self.pos + jnp.arange(t)) % W
+        nk = self.k.at[:, :, slots].set(k.astype(self.k.dtype))
+        nv = self.v.at[:, :, slots].set(v.astype(self.v.dtype))
+        npos_buf = self.pos_buf.at[slots].set(self.pos + jnp.arange(t))
+        new = self.replace(k=nk, v=nv, pos_buf=npos_buf, pos=self.pos + t)
+        return nk, nv, new
+
+    def attention_mask(self, t: int, context: int, q0: jax.Array,
+                       dtype=jnp.float32) -> jax.Array:
+        """Mask for queries at absolute positions q0..q0+t-1 against the
+        (post-update) ring slots."""
+        q_pos = q0 + jnp.arange(t)[:, None]
+        k_pos = self.pos_buf[None, :]
+        delta = q_pos - k_pos
+        ok = (delta >= 0) & (delta < context) & (k_pos >= 0)
+        return jnp.where(ok, 0.0, -jnp.inf).astype(dtype)[None, None]
+
+
 def make_caches(num_layers: int, batch: int, num_kv_heads: int, max_len: int,
                 head_dim: int, dtype=jnp.bfloat16):
     return [

@@ -1,0 +1,529 @@
+"""Whisper model — TPU-native encoder/decoder + seek-loop transcription.
+
+Behavioral spec: reference stt/models/whisper/whisper.py (AudioEncoder :409,
+TextDecoder :440, Model :489, generate :768 with temperature fallback :904
+and the 30 s seek loop :985). Parameter names follow the mlx-community
+whisper checkpoints (encoder.blocks.N.attn.query...). The decode loop is
+fully on-device (see decoding.py); cross-attention K/V are computed once
+per window.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....base import BaseModelArgs
+from ....nn import Conv1d, Embedding, LayerNorm, Linear, Module
+from ....lm.cache import KVCache
+from ....ops.attention import scaled_dot_product_attention
+from ..base import STTOutput
+from . import audio as A
+from .decoding import DecodingOptions, DecodingResult, decode_window
+
+__all__ = ["Model", "ModelConfig", "ModelDimensions"]
+
+
+@dataclass
+class ModelDimensions(BaseModelArgs):
+    n_mels: int = 80
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 512
+    n_audio_head: int = 8
+    n_audio_layer: int = 6
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 512
+    n_text_head: int = 8
+    n_text_layer: int = 6
+    model_path: str = ""
+
+    @classmethod
+    def from_dict(cls, config: dict):
+        config = dict(config)
+        if "d_model" in config:  # HF transformers naming
+            config.setdefault("n_mels", config.get("num_mel_bins", 80))
+            config.setdefault("n_audio_state", config["d_model"])
+            config.setdefault("n_text_state", config["d_model"])
+            config.setdefault("n_audio_head", config.get("encoder_attention_heads", 8))
+            config.setdefault("n_text_head", config.get("decoder_attention_heads", 8))
+            config.setdefault("n_audio_layer", config.get("encoder_layers", 6))
+            config.setdefault("n_text_layer", config.get("decoder_layers", 6))
+            config.setdefault("n_vocab", config.get("vocab_size", 51865))
+            config.setdefault("n_text_ctx", config.get("max_target_positions", 448))
+            config.setdefault("n_audio_ctx", config.get("max_source_positions", 1500))
+        return super(ModelDimensions, cls).from_dict(config)
+
+
+ModelConfig = ModelDimensions
+
+
+def sinusoids(length: int, channels: int, max_timescale: int = 10000) -> np.ndarray:
+    assert channels % 2 == 0
+    log_ts_inc = math.log(max_timescale) / (channels // 2 - 1)
+    inv = np.exp(-log_ts_inc * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+class MultiHeadAttention(Module):
+    def __init__(self, n_state: int, n_head: int):
+        self.query = Linear(n_state, n_state)
+        self.key = Linear(n_state, n_state, bias=False)
+        self.value = Linear(n_state, n_state)
+        self.out = Linear(n_state, n_state)
+        self.n_head = n_head
+
+    def _split(self, x):
+        B, T, D = x.shape
+        return jnp.swapaxes(x.reshape(B, T, self.n_head, D // self.n_head), 1, 2)
+
+    def __call__(self, x, xa=None, mask=None, cache: Optional[KVCache] = None,
+                 cross_kv: Optional[Tuple] = None):
+        q = self._split(self.query(x))
+        new_cache = None
+        if cross_kv is not None:
+            k, v = cross_kv
+        else:
+            k = self._split(self.key(xa if xa is not None else x))
+            v = self._split(self.value(xa if xa is not None else x))
+            if cache is not None:
+                k, v, new_cache = cache.update(k, v)
+        out = scaled_dot_product_attention(q, k, v, mask=mask)
+        B, H, T, Dh = out.shape
+        return self.out(jnp.swapaxes(out, 1, 2).reshape(B, T, H * Dh)), new_cache
+
+    def cross_kv(self, xa):
+        return self._split(self.key(xa)), self._split(self.value(xa))
+
+
+class ResidualAttentionBlock(Module):
+    def __init__(self, n_state: int, n_head: int, cross_attention: bool = False):
+        self.attn = MultiHeadAttention(n_state, n_head)
+        self.attn_ln = LayerNorm(n_state)
+        if cross_attention:
+            self.cross_attn = MultiHeadAttention(n_state, n_head)
+            self.cross_attn_ln = LayerNorm(n_state)
+        self.mlp1 = Linear(n_state, 4 * n_state)
+        self.mlp2 = Linear(4 * n_state, n_state)
+        self.mlp_ln = LayerNorm(n_state)
+
+    def __call__(self, x, xa=None, mask=None, cache=None, cross_kv=None):
+        a, new_cache = self.attn(self.attn_ln(x), mask=mask, cache=cache)
+        x = x + a
+        if hasattr(self, "cross_attn"):
+            c, _ = self.cross_attn(self.cross_attn_ln(x), xa=xa, cross_kv=cross_kv)
+            x = x + c
+        x = x + self.mlp2(jax.nn.gelu(self.mlp1(self.mlp_ln(x)), approximate=False))
+        return x, new_cache
+
+
+class AudioEncoder(Module):
+    def __init__(self, dims: ModelDimensions):
+        self.conv1 = Conv1d(dims.n_mels, dims.n_audio_state, 3, padding=1)
+        self.conv2 = Conv1d(dims.n_audio_state, dims.n_audio_state, 3, stride=2, padding=1)
+        self.blocks = [
+            ResidualAttentionBlock(dims.n_audio_state, dims.n_audio_head)
+            for _ in range(dims.n_audio_layer)
+        ]
+        self.ln_post = LayerNorm(dims.n_audio_state)
+        self._positional_embedding = jnp.asarray(
+            sinusoids(dims.n_audio_ctx, dims.n_audio_state)
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, T=3000, n_mels)
+        x = jax.nn.gelu(self.conv1(x), approximate=False)
+        x = jax.nn.gelu(self.conv2(x), approximate=False)
+        x = x + self._positional_embedding[: x.shape[1]].astype(x.dtype)
+        for block in self.blocks:
+            x, _ = block(x)
+        return self.ln_post(x)
+
+
+class TextDecoder(Module):
+    def __init__(self, dims: ModelDimensions):
+        self.token_embedding = Embedding(dims.n_vocab, dims.n_text_state)
+        self.positional_embedding = 0.01 * jax.random.normal(
+            jax.random.PRNGKey(0), (dims.n_text_ctx, dims.n_text_state)
+        )
+        self.blocks = [
+            ResidualAttentionBlock(
+                dims.n_text_state, dims.n_text_head, cross_attention=True
+            )
+            for _ in range(dims.n_text_layer)
+        ]
+        self.ln = LayerNorm(dims.n_text_state)
+
+    def cross_kv(self, xa):
+        return [blk.cross_attn.cross_kv(xa) for blk in self.blocks]
+
+    def __call__(self, tokens, pos0, caches, cross_kv):
+        """tokens (B, t); pos0: starting position; caches: per-layer KVCache;
+        cross_kv: list of (k, v). Returns (logits, new_caches)."""
+        B, t = tokens.shape
+        positions = pos0 + jnp.arange(t)
+        x = self.token_embedding(tokens) + self.positional_embedding[positions].astype(
+            jnp.float32
+        )
+        if caches is not None:
+            mask = caches[0].attention_mask(t)
+        elif t > 1:
+            from ....ops.attention import make_causal_mask
+
+            mask = make_causal_mask(t, t)
+        else:
+            mask = None
+        new_caches = []
+        for i, blk in enumerate(self.blocks):
+            x, nc = blk(
+                x, mask=mask,
+                cache=caches[i] if caches is not None else None,
+                cross_kv=cross_kv[i],
+            )
+            new_caches.append(nc)
+        x = self.ln(x)
+        return self.token_embedding.as_linear(x), new_caches
+
+
+def _hf_to_native(weights: dict) -> dict:
+    """Map HF transformers whisper keys → native (openai/mlx) naming."""
+    out = {}
+    rules = [
+        ("model.encoder.", "encoder."), ("model.decoder.", "decoder."),
+        ("encoder.layers.", "encoder.blocks."), ("decoder.layers.", "decoder.blocks."),
+        (".self_attn.q_proj.", ".attn.query."), (".self_attn.k_proj.", ".attn.key."),
+        (".self_attn.v_proj.", ".attn.value."), (".self_attn.out_proj.", ".attn.out."),
+        (".self_attn_layer_norm.", ".attn_ln."),
+        (".encoder_attn.q_proj.", ".cross_attn.query."),
+        (".encoder_attn.k_proj.", ".cross_attn.key."),
+        (".encoder_attn.v_proj.", ".cross_attn.value."),
+        (".encoder_attn.out_proj.", ".cross_attn.out."),
+        (".encoder_attn_layer_norm.", ".cross_attn_ln."),
+        (".fc1.", ".mlp1."), (".fc2.", ".mlp2."),
+        (".final_layer_norm.", ".mlp_ln."),
+        ("encoder.layer_norm.", "encoder.ln_post."),
+        ("decoder.layer_norm.", "decoder.ln."),
+        ("decoder.embed_tokens.", "decoder.token_embedding."),
+        ("decoder.embed_positions.weight", "decoder.positional_embedding"),
+    ]
+    for k, v in weights.items():
+        nk = k
+        for old, new in rules:
+            nk = nk.replace(old, new)
+        out[nk] = v
+    return out
+
+
+class Model(Module):
+    def __init__(self, dims: Union[ModelDimensions, dict], dtype=jnp.float32):
+        if isinstance(dims, dict):
+            dims = ModelDimensions.from_dict(dims)
+        self.dims = dims
+        self.encoder = AudioEncoder(dims)
+        self.decoder = TextDecoder(dims)
+
+    # ---- loading ----
+
+    def sanitize(self, weights: dict) -> dict:
+        if any(k.startswith("model.") for k in weights):
+            weights = _hf_to_native(weights)
+        out = {}
+        for k, v in weights.items():
+            if "positional_embedding" in k and "token" not in k and k.startswith(
+                "encoder"
+            ):
+                continue  # encoder sinusoids are recomputed
+            if k.endswith("conv1.weight") or k.endswith("conv2.weight"):
+                v = np.asarray(v)
+                if v.ndim == 3 and v.shape[1] > v.shape[2]:
+                    v = v.transpose(0, 2, 1)  # torch (O,I,K) -> (O,K,I)
+            if k == "decoder.positional_embedding.weight":
+                k = "decoder.positional_embedding"
+            out[k] = v
+        out.pop("proj_out.weight", None)
+        return out
+
+    # ---- jitted pieces ----
+
+    @staticmethod
+    @jax.jit
+    def _encode(model: "Model", mel: jax.Array):
+        xa = model.encoder(mel)
+        return xa, model.decoder.cross_kv(xa)
+
+    def _make_caches(self, batch: int = 1):
+        d = self.dims
+        return [
+            KVCache(batch, d.n_text_head, d.n_text_ctx, d.n_text_state // d.n_text_head,
+                    dtype=jnp.float32)
+            for _ in range(d.n_text_layer)
+        ]
+
+    @staticmethod
+    def _decoder_step(model: "Model", tokens, pos0, caches, cross_kv):
+        return model.decoder(tokens, pos0, caches, cross_kv)
+
+    # ---- language detection ----
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("n_mels",))
+    def _mel_chunk(audio_chunk, n_mels: int):
+        """Fixed-shape (N_SAMPLES,) chunk → (N_FRAMES, n_mels) log-mel.
+
+        Computing per fixed-size chunk keeps compiles bounded regardless of
+        audio length (whisper normalization needs a global max, so the
+        log-clip is applied per chunk — matching the reference's per-window
+        behavior closely enough at 1e-3 for non-silent audio)."""
+        spec = A.log_mel_spectrogram(audio_chunk, n_mels=n_mels)
+        return spec
+
+    def _mel_windows(self, audio: np.ndarray):
+        """Whole-audio mel with N_SAMPLES zero padding, computed in
+        fixed-shape 30 s chunks (one compile total)."""
+        total = len(audio) + A.N_SAMPLES
+        n_chunks = (total + A.N_SAMPLES - 1) // A.N_SAMPLES
+        padded = np.zeros(n_chunks * A.N_SAMPLES, np.float32)
+        padded[: len(audio)] = audio
+        chunks = [
+            self._mel_chunk(
+                jnp.asarray(padded[i * A.N_SAMPLES : (i + 1) * A.N_SAMPLES]),
+                self.dims.n_mels,
+            )
+            for i in range(n_chunks)
+        ]
+        mel = np.concatenate([np.asarray(jax.device_get(c)) for c in chunks], axis=0)
+        want = (len(audio) + A.N_SAMPLES) // A.HOP_LENGTH
+        return mel[:want]  # host array; fixed-shape windows re-uploaded per seek
+
+    @staticmethod
+    @jax.jit
+    def _lang_logits(model: "Model", cross_kv, tokens):
+        return model.decoder(tokens, 0, None, cross_kv)[0]
+
+    def detect_language(self, cross_kv, tokenizer) -> Tuple[str, dict]:
+        logits = self._lang_logits(
+            self, cross_kv, jnp.asarray([[tokenizer.sot]], jnp.int32)
+        )
+        logits = np.asarray(jax.device_get(logits))[0, -1]
+        lang_tokens = list(tokenizer.all_language_tokens)
+        lang_logits = logits[lang_tokens]
+        probs = np.exp(lang_logits - lang_logits.max())
+        probs = probs / probs.sum()
+        best = int(np.argmax(probs))
+        code = tokenizer.all_language_codes[best]
+        return code, dict(zip(tokenizer.all_language_codes, probs.tolist()))
+
+    # ---- transcription ----
+
+    def generate(
+        self,
+        audio,
+        *,
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        temperature: Union[float, Sequence[float]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        compression_ratio_threshold: float = 2.4,
+        logprob_threshold: float = -1.0,
+        no_speech_threshold: float = 0.6,
+        condition_on_previous_text: bool = True,
+        initial_prompt: Optional[str] = None,
+        word_timestamps: bool = False,
+        verbose: Optional[bool] = None,
+        without_timestamps: bool = False,
+        tokenizer=None,
+        **decode_options,
+    ) -> STTOutput:
+        start_t = time.perf_counter()
+        if isinstance(audio, (str,)) or hasattr(audio, "__fspath__"):
+            from ...utils import load_audio
+
+            audio = load_audio(audio, sample_rate=A.SAMPLE_RATE)
+        audio = np.asarray(audio, np.float32).reshape(-1)
+
+        mel_all = self._mel_windows(audio)
+        content_frames = mel_all.shape[0] - A.N_FRAMES
+        content_duration = content_frames * A.HOP_LENGTH / A.SAMPLE_RATE
+
+        if tokenizer is None:
+            from .tokenizer import WhisperTokenizer
+
+            tokenizer = WhisperTokenizer(
+                self.dims.model_path, multilingual=self.dims.n_vocab >= 51865,
+                language=language or "en", task=task,
+            )
+
+        temps = (
+            [temperature] if isinstance(temperature, (int, float)) else list(temperature)
+        )
+
+        seek = 0
+        all_tokens: List[int] = []
+        all_segments: List[dict] = []
+        prompt_reset_since = 0
+        detected_language = language
+        if initial_prompt:
+            all_tokens.extend(tokenizer.encode(" " + initial_prompt.strip()))
+
+        time_precision = 0.02
+        n_gen_tokens = 0
+
+        while seek < content_frames:
+            window = mel_all[seek : seek + A.N_FRAMES]
+            if window.shape[0] < A.N_FRAMES:
+                window = np.pad(window, ((0, A.N_FRAMES - window.shape[0]), (0, 0)))
+            window = jnp.asarray(window)
+            seg_duration = min(
+                (content_frames - seek) * A.HOP_LENGTH / A.SAMPLE_RATE, 30.0
+            )
+            time_offset = seek * A.HOP_LENGTH / A.SAMPLE_RATE
+
+            xa, cross_kv = self._encode(self, window[None])
+
+            if detected_language is None:
+                detected_language, _ = self.detect_language(cross_kv, tokenizer)
+                tokenizer.language = detected_language
+                if hasattr(tokenizer, "__dict__"):
+                    tokenizer.__dict__.pop("sot_sequence", None)
+
+            # prompt: previous context + sot sequence (bucketed length)
+            prev = (
+                all_tokens[prompt_reset_since:]
+                if condition_on_previous_text
+                else []
+            )
+            sot_seq = (
+                tokenizer.sot_sequence_including_notimestamps
+                if without_timestamps
+                else tokenizer.sot_sequence
+            )
+            prompt = self._build_prompt(prev, sot_seq, tokenizer)
+
+            result = None
+            for t in temps:
+                opts = DecodingOptions(
+                    task=task, language=detected_language, temperature=float(t),
+                    without_timestamps=without_timestamps, **{
+                        k: v for k, v in decode_options.items()
+                        if k in DecodingOptions.__dataclass_fields__
+                    },
+                )
+                result = decode_window(
+                    self, cross_kv, tokenizer, prompt, opts,
+                    n_ctx=self.dims.n_text_ctx, n_vocab=self.dims.n_vocab,
+                    decoder_step=type(self)._decoder_step,
+                    make_caches=lambda: self._make_caches(1),
+                )
+                ok = True
+                if result.compression_ratio > compression_ratio_threshold:
+                    ok = False
+                if result.avg_logprob < logprob_threshold:
+                    ok = False
+                if ok:
+                    break
+
+            # no-speech skip
+            if no_speech_threshold is not None and result.no_speech_prob > no_speech_threshold and result.avg_logprob < logprob_threshold:
+                seek += A.N_FRAMES
+                continue
+
+            tokens = result.tokens
+            n_gen_tokens += len(tokens) + 1
+
+            # timestamp segmentation (host-side, as in reference :1050+)
+            ts = tokenizer.timestamp_begin
+            consecutive = [
+                i + 1
+                for i in range(len(tokens) - 1)
+                if tokens[i] >= ts and tokens[i + 1] >= ts
+            ]
+            segments_here = []
+            if consecutive:
+                last_slice = 0
+                for cut in consecutive:
+                    seg = tokens[last_slice:cut]
+                    start_ts = (seg[0] - ts) * time_precision
+                    end_ts = (seg[-1] - ts) * time_precision
+                    segments_here.append(
+                        self._segment(
+                            time_offset + start_ts, time_offset + end_ts, seg,
+                            tokenizer, result,
+                        )
+                    )
+                    last_slice = cut
+                last_ts_tok = tokens[last_slice - 1] - ts
+                seek += max(1, round(last_ts_tok * time_precision * A.FRAMES_PER_SECOND))
+            else:
+                ts_tokens = [t for t in tokens if t >= ts]
+                end_ts = seg_duration
+                if ts_tokens and ts_tokens[-1] != ts:
+                    end_ts = (ts_tokens[-1] - ts) * time_precision
+                segments_here.append(
+                    self._segment(
+                        time_offset, time_offset + end_ts, tokens, tokenizer, result
+                    )
+                )
+                seek += A.N_FRAMES
+
+            for s in segments_here:
+                s["id"] = len(all_segments)
+                all_segments.append(s)
+                all_tokens.extend(s["tokens"])
+            if not condition_on_previous_text or result.temperature > 0.5:
+                prompt_reset_since = len(all_tokens)
+
+            if verbose:
+                for s in segments_here:
+                    print(f"[{s['start']:.2f} → {s['end']:.2f}] {s['text']}")
+
+        wall = time.perf_counter() - start_t
+        text = "".join(s["text"] for s in all_segments).strip()
+        return STTOutput(
+            text=text,
+            segments=all_segments,
+            language=detected_language,
+            generation_tokens=n_gen_tokens,
+            generation_tps=n_gen_tokens / max(wall, 1e-9),
+            total_tps=n_gen_tokens / max(wall, 1e-9),
+            duration=content_duration,
+            extra={"wall_seconds": wall, "xrt": content_duration / max(wall, 1e-9)},
+        )
+
+    PROMPT_BUCKETS = (8, 16, 32, 64, 128, 227)
+
+    def _build_prompt(self, prev_tokens, sot_seq, tokenizer):
+        """Previous-context prompt with bucketed length (left-trim + left-pad
+        with sot_prev so positions stay exact yet compiles stay bounded)."""
+        sot_seq = list(sot_seq)
+        if not prev_tokens:
+            return sot_seq
+        max_prev = self.dims.n_text_ctx // 2 - 1 - len(sot_seq) - 1
+        prev = list(prev_tokens)[-max_prev:]
+        total = 1 + len(prev) + len(sot_seq)
+        bucket = next((b for b in self.PROMPT_BUCKETS if total <= b), total)
+        pad = bucket - total
+        return (
+            [tokenizer.sot_prev] * (1 + pad) + prev + sot_seq
+        )
+
+    @staticmethod
+    def _segment(start, end, tokens, tokenizer, result: DecodingResult) -> dict:
+        text_tokens = [t for t in tokens if t < tokenizer.timestamp_begin]
+        return {
+            "seek": 0,
+            "start": float(start),
+            "end": float(end),
+            "text": tokenizer.decode(text_tokens),
+            "tokens": list(tokens),
+            "temperature": result.temperature,
+            "avg_logprob": result.avg_logprob,
+            "compression_ratio": result.compression_ratio,
+            "no_speech_prob": result.no_speech_prob,
+        }

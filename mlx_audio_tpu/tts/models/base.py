@@ -45,26 +45,7 @@ def check_array_shape(arr) -> bool:
     return (out_channels >= kH) and (out_channels >= kW) and (kH == kW)
 
 
-def orient_to(w: np.ndarray, expected: tuple) -> np.ndarray:
-    """Permute a conv weight into the model's expected layout.
-
-    Tries identity, torch-conv (O,I,K)→(O,K,I), torch-convT (I,O,K)→(O,K,I),
-    and MLX-convT (I,K,O)→(O,K,I). Makes `sanitize` idempotent and layout-
-    agnostic (the reference's `check_array_shape` heuristic misfires on
-    small channel counts)."""
-    w = np.asarray(w)
-    if tuple(w.shape) == tuple(expected):
-        return w
-    if w.ndim != len(expected):
-        return w
-    for perm in ((0, 2, 1), (1, 2, 0), (2, 1, 0)):
-        if w.ndim == 3 and tuple(np.transpose(w, perm).shape) == tuple(expected):
-            return np.ascontiguousarray(np.transpose(w, perm))
-    if w.ndim == 4:
-        for perm in ((0, 2, 3, 1), (1, 2, 3, 0)):
-            if tuple(np.transpose(w, perm).shape) == tuple(expected):
-                return np.ascontiguousarray(np.transpose(w, perm))
-    return w
+from ...nn.sanitize import orient_to  # noqa: E402  (re-export)
 
 
 def adjust_speed(audio: np.ndarray, speed: float) -> np.ndarray:

@@ -1,0 +1,129 @@
+"""Whisper tests: tiny random-weight model, in-graph decode rules, seek
+loop, writers (reference strategy: stt/tests/test_models.py)."""
+
+import numpy as np
+import pytest
+
+from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
+from mlx_audio_tpu.stt.models.whisper.audio import (
+    N_FRAMES,
+    N_SAMPLES,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+from mlx_audio_tpu.stt.models.whisper.tokenizer import DummyTokenizer
+from mlx_audio_tpu.stt.models.base import STTOutput
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=1, n_vocab=2000, n_text_ctx=448, n_text_state=64,
+        n_text_head=2, n_text_layer=1,
+    )
+    return Model(dims), DummyTokenizer(n_vocab=2000)
+
+
+def test_mel_and_pad():
+    audio = np.zeros(16000, np.float32)
+    mel = log_mel_spectrogram(audio, padding=N_SAMPLES)
+    assert mel.shape[1] == 80
+    x = pad_or_trim(np.zeros(100, np.float32))
+    assert x.shape[0] == N_SAMPLES
+    y = pad_or_trim(np.zeros(N_SAMPLES * 2, np.float32))
+    assert y.shape[0] == N_SAMPLES
+
+
+def test_encoder_shapes(tiny):
+    import jax.numpy as jnp
+
+    model, _ = tiny
+    mel = jnp.zeros((1, N_FRAMES, 80))
+    xa, cross_kv = Model._encode(model, mel)
+    assert xa.shape == (1, 1500, 64)
+    assert len(cross_kv) == 1
+    k, v = cross_kv[0]
+    assert k.shape == (1, 2, 1500, 32)
+
+
+def test_decode_window_terminates_and_respects_rules(tiny):
+    import jax.numpy as jnp
+    from mlx_audio_tpu.stt.models.whisper.decoding import (
+        DecodingOptions,
+        decode_window,
+    )
+
+    model, tok = tiny
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, N_FRAMES, 80)), jnp.float32
+    ) * 0.1
+    _, cross_kv = Model._encode(model, mel)
+    result = decode_window(
+        model, cross_kv, tok, list(tok.sot_sequence),
+        DecodingOptions(temperature=0.0), n_ctx=448, n_vocab=2000,
+        decoder_step=Model._decoder_step,
+        make_caches=lambda: model._make_caches(1), sample_len=24,
+    )
+    assert len(result.tokens) <= 24
+    assert np.isfinite(result.avg_logprob)
+    # rule: with timestamps on, first sampled token must be a timestamp
+    assert result.tokens[0] >= tok.timestamp_begin
+    # rule: suppressed tokens never sampled
+    assert not set(result.tokens) & set(tok.non_speech_tokens)
+    # rule: timestamps are monotonically non-decreasing
+    ts = [t for t in result.tokens if t >= tok.timestamp_begin]
+    assert ts == sorted(ts)
+
+
+def test_generate_seek_loop(tiny):
+    model, tok = tiny
+    audio = (
+        np.random.default_rng(1).standard_normal(int(16000 * 3)).astype(np.float32)
+        * 0.05
+    )
+    out = model.generate(
+        audio, tokenizer=tok, language="en", temperature=0.0,
+        condition_on_previous_text=False, no_speech_threshold=None,
+    )
+    assert isinstance(out, STTOutput)
+    assert out.segments is not None
+    assert out.duration == pytest.approx(3.0, abs=0.1)
+    assert out.extra["xrt"] > 0
+
+
+def test_hf_key_remap():
+    from mlx_audio_tpu.stt.models.whisper.whisper import _hf_to_native
+
+    w = {
+        "model.encoder.layers.0.self_attn.q_proj.weight": np.zeros((4, 4)),
+        "model.decoder.layers.0.encoder_attn.k_proj.weight": np.zeros((4, 4)),
+        "model.decoder.embed_tokens.weight": np.zeros((10, 4)),
+        "model.encoder.layer_norm.weight": np.zeros(4),
+    }
+    out = _hf_to_native(w)
+    assert "encoder.blocks.0.attn.query.weight" in out
+    assert "decoder.blocks.0.cross_attn.key.weight" in out
+    assert "decoder.token_embedding.weight" in out
+    assert "encoder.ln_post.weight" in out
+
+
+def test_writers(tmp_path):
+    from mlx_audio_tpu.stt.models.whisper.writers import format_timestamp, get_writer
+
+    assert format_timestamp(61.5) == "01:01.500"
+    assert format_timestamp(3661.5, True, ",") == "01:01:01,500"
+    result = STTOutput(
+        text="hello world",
+        segments=[
+            {"start": 0.0, "end": 1.5, "text": " hello"},
+            {"start": 1.5, "end": 3.0, "text": " world"},
+        ],
+        language="en",
+    )
+    for fmt in ["txt", "srt", "vtt", "tsv", "json"]:
+        w = get_writer(fmt, str(tmp_path))
+        w(result, "clip.wav")
+        assert (tmp_path / f"clip.{fmt}").exists()
+    srt = (tmp_path / "clip.srt").read_text()
+    assert "00:00:00,000 --> 00:00:01,500" in srt
