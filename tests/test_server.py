@@ -1,0 +1,124 @@
+"""Server endpoint-contract tests with a fake model provider (reference
+strategy: test_server.py patches the provider)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mlx_audio_tpu import server as srv
+from mlx_audio_tpu import audio_io
+from mlx_audio_tpu.stt.models.base import STTOutput
+from mlx_audio_tpu.tts.models.base import GenerationResult
+
+
+class FakeTTS:
+    def generate(self, text, **kwargs):
+        audio = np.zeros(2400, np.float32)
+        yield GenerationResult(audio=audio, samples=2400, sample_rate=24000)
+
+
+class FakeSTT:
+    def generate(self, audio, **kwargs):
+        return STTOutput(text="hello world", segments=[], language="en",
+                         duration=len(audio) / 16000)
+
+
+class FakeProvider(srv.ModelProvider):
+    def load_model(self, name):
+        with self._lock:
+            if name not in self._models:
+                self._models[name] = FakeTTS() if "tts" in name.lower() or "kokoro" in name.lower() else FakeSTT()
+            return self._models[name]
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    provider = FakeProvider()
+    httpd = srv.serve_stdlib("127.0.0.1", 0, provider)
+    host, port = httpd.server_address
+    yield f"http://{host}:{port}"
+    httpd.shutdown()
+
+
+def _post_json(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def test_health(server_url):
+    with urllib.request.urlopen(server_url + "/health") as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_speech_endpoint_returns_wav(server_url):
+    status, body, headers = _post_json(
+        server_url + "/v1/audio/speech",
+        {"model": "kokoro-test", "input": "Hello!", "voice": "af_heart"},
+    )
+    assert status == 200
+    assert body[:4] == b"RIFF"
+    assert "audio/wav" in headers["Content-Type"]
+
+
+def test_transcription_endpoint_multipart(server_url):
+    wav = audio_io.encode_bytes(np.zeros(16000, np.float32), 16000, "wav")
+    boundary = "BOUNDARYXYZ"
+    parts = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="model"\r\n\r\n'
+        "whisper-test\r\n"
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; filename="a.wav"\r\n'
+        "Content-Type: audio/wav\r\n\r\n"
+    ).encode() + wav + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        server_url + "/v1/audio/transcriptions",
+        data=parts,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert out["text"] == "hello world"
+
+
+def test_model_crud(server_url):
+    status, body, _ = _post_json(
+        server_url + "/v1/models", {"model_name": "kokoro-crud"}
+    )
+    assert status == 200
+    with urllib.request.urlopen(server_url + "/v1/models") as r:
+        models = [m["id"] for m in json.loads(r.read())["data"]]
+    assert "kokoro-crud" in models
+
+    req = urllib.request.Request(
+        server_url + "/v1/models/kokoro-crud", method="DELETE"
+    )
+    with urllib.request.urlopen(req) as r:
+        assert json.loads(r.read())["status"] == "unloaded"
+
+
+def test_missing_model_name_400(server_url):
+    req = urllib.request.Request(
+        server_url + "/v1/models", data=b"{}",
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        urllib.request.urlopen(req)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_unknown_route_404(server_url):
+    try:
+        urllib.request.urlopen(server_url + "/nope")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
