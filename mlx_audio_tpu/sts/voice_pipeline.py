@@ -1,0 +1,149 @@
+"""Voice assistant pipeline: audio → VAD gate → STT → LLM → TTS → speaker.
+
+Contract of reference sts/voice_pipeline.py:22-327 (asyncio mic loop with
+queues and a device lock). This implementation is component-pluggable so it
+runs without microphone/sounddevice: feed PCM chunks via `process_chunk` /
+`run_on_audio`, or use `run()` for the live mic loop when sounddevice is
+installed. VAD is energy-gated when webrtcvad is absent.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class PipelineConfig:
+    sample_rate: int = 16000
+    frame_ms: int = 30
+    silence_end_sec: float = 0.6
+    max_utterance_sec: float = 15.0
+    energy_threshold: float = 0.01
+    system_prompt: str = "You are a helpful voice assistant. Keep replies short."
+
+
+class VoicePipeline:
+    """STT → LLM → TTS loop over streamed PCM."""
+
+    def __init__(
+        self,
+        stt_model=None,
+        llm_generate: Optional[Callable[[str, List[dict]], str]] = None,
+        tts_model=None,
+        config: Optional[PipelineConfig] = None,
+        on_user_text: Optional[Callable[[str], None]] = None,
+        on_assistant_text: Optional[Callable[[str], None]] = None,
+        on_audio: Optional[Callable[[np.ndarray, int], None]] = None,
+    ):
+        self.cfg = config or PipelineConfig()
+        self.stt = stt_model
+        self.llm_generate = llm_generate or (lambda text, history: text)
+        self.tts = tts_model
+        self.on_user_text = on_user_text or (lambda t: None)
+        self.on_assistant_text = on_assistant_text or (lambda t: None)
+        self.on_audio = on_audio or (lambda a, sr: None)
+        self.history: List[dict] = [
+            {"role": "system", "content": self.cfg.system_prompt}
+        ]
+        self._buffer = np.zeros(0, np.float32)
+        self._silence = 0.0
+        self._lock = threading.Lock()  # serialize device work (reference :53)
+        self._vad = self._make_vad()
+
+    def _make_vad(self):
+        try:
+            import webrtcvad
+
+            vad = webrtcvad.Vad(2)
+
+            def is_speech(frame: np.ndarray) -> bool:
+                pcm16 = np.clip(frame * 32768, -32768, 32767).astype(np.int16)
+                return vad.is_speech(pcm16.tobytes(), self.cfg.sample_rate)
+
+            return is_speech
+        except ImportError:
+            thr = self.cfg.energy_threshold
+
+            def is_speech(frame: np.ndarray) -> bool:
+                return float(np.sqrt((frame**2).mean() + 1e-12)) > thr
+
+            return is_speech
+
+    # ---- streaming entry points ----
+
+    def process_chunk(self, chunk: np.ndarray) -> Optional[str]:
+        """Feed a PCM chunk; returns the assistant reply when an utterance
+        completes, else None."""
+        chunk = np.asarray(chunk, np.float32).reshape(-1)
+        frame_len = self.cfg.sample_rate * self.cfg.frame_ms // 1000
+        reply = None
+        for start in range(0, len(chunk), frame_len):
+            frame = chunk[start : start + frame_len]
+            if len(frame) < frame_len:
+                frame = np.pad(frame, (0, frame_len - len(frame)))
+            speech = self._vad(frame)
+            if speech or len(self._buffer):
+                self._buffer = np.concatenate([self._buffer, frame])
+            self._silence = 0.0 if speech else self._silence + self.cfg.frame_ms / 1000
+            buffered_sec = len(self._buffer) / self.cfg.sample_rate
+            utterance_done = len(self._buffer) > 0 and (
+                self._silence >= self.cfg.silence_end_sec
+                or buffered_sec >= self.cfg.max_utterance_sec
+            )
+            if utterance_done:
+                reply = self._handle_utterance(self._buffer)
+                self._buffer = np.zeros(0, np.float32)
+                self._silence = 0.0
+        return reply
+
+    def flush(self) -> Optional[str]:
+        if len(self._buffer) < self.cfg.sample_rate * 0.2:
+            return None
+        reply = self._handle_utterance(self._buffer)
+        self._buffer = np.zeros(0, np.float32)
+        return reply
+
+    def run_on_audio(self, audio: np.ndarray) -> List[str]:
+        """Offline convenience: run the full loop over an array."""
+        replies = []
+        r = self.process_chunk(audio)
+        if r:
+            replies.append(r)
+        r = self.flush()
+        if r:
+            replies.append(r)
+        return replies
+
+    # ---- internals ----
+
+    def _handle_utterance(self, audio: np.ndarray) -> Optional[str]:
+        with self._lock:
+            text = self.stt.generate(audio).text.strip() if self.stt else ""
+            if not text:
+                return None
+            self.on_user_text(text)
+            self.history.append({"role": "user", "content": text})
+            reply = self.llm_generate(text, self.history)
+            self.history.append({"role": "assistant", "content": reply})
+            self.on_assistant_text(reply)
+            if self.tts is not None:
+                for result in self.tts.generate(reply):
+                    self.on_audio(np.asarray(result.audio), result.sample_rate)
+            return reply
+
+    def run(self):
+        """Live microphone loop (requires sounddevice)."""
+        import sounddevice as sd
+
+        frame_len = self.cfg.sample_rate * self.cfg.frame_ms // 1000
+        with sd.InputStream(samplerate=self.cfg.sample_rate, channels=1,
+                            dtype="float32", blocksize=frame_len) as stream:
+            print("listening… (ctrl-c to stop)")
+            while True:
+                frame, _ = stream.read(frame_len)
+                self.process_chunk(frame[:, 0])

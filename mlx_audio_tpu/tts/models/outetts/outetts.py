@@ -1,0 +1,192 @@
+"""OuteTTS — Llama/Qwen AR over interleaved c1/c2 DAC tokens.
+
+Behavioral spec: reference tts/models/outetts/outetts.py (Model :34,
+generate :152), prompt_processor.py, dac_interface.py. Backbone is the
+in-repo CausalLM (config `model_type` routes llama/qwen2/qwen3 — the same
+LMConfig covers all three); decode is on-device; the 24 kHz speech DAC
+decodes c1/c2 code pairs.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ....lm import generate_tokens
+from ....lm.transformer import CausalLM, LMConfig
+from ..base import GenerationResult, format_duration
+from .prompt_processor import PromptProcessor
+
+__all__ = ["Model", "ModelConfig"]
+
+DAC_REPO = "mlx-community/dac-speech-24khz-1.5kbps"
+
+
+@dataclass
+class ModelConfig(LMConfig):
+    tokenizer_name: str = "OuteAI/Llama-OuteTTS-1.0-1B"
+    sample_rate: int = 24000
+    model_path: str = ""
+
+
+class Model(CausalLM):
+    _tokenizer = None
+    _codec = None
+    _prompt_processor = None
+
+    def __init__(self, config: ModelConfig, **kwargs):
+        if isinstance(config, dict):
+            config = ModelConfig.from_dict(config)
+        super().__init__(config)
+
+    @property
+    def sample_rate(self):
+        return self.config.sample_rate
+
+    @property
+    def tokenizer(self):
+        if Model._tokenizer is None:
+            from transformers import AutoTokenizer
+
+            Model._tokenizer = AutoTokenizer.from_pretrained(
+                self.config.tokenizer_name or self.config.model_path
+            )
+        return Model._tokenizer
+
+    @property
+    def codec(self):
+        if Model._codec is None:
+            from ....codec.models import DAC
+
+            Model._codec = DAC.from_pretrained(DAC_REPO)
+        return Model._codec
+
+    @property
+    def prompt_processor(self) -> PromptProcessor:
+        if Model._prompt_processor is None:
+            Model._prompt_processor = PromptProcessor(self.tokenizer)
+        return Model._prompt_processor
+
+    def set_runtime(self, tokenizer=None, codec=None):
+        if tokenizer is not None:
+            Model._tokenizer = tokenizer
+            Model._prompt_processor = PromptProcessor(tokenizer)
+        if codec is not None:
+            Model._codec = codec
+
+    # ---- speakers ----
+
+    def load_speaker(self, path: str) -> dict:
+        return json.loads(Path(path).read_text())
+
+    def get_speaker(self, voice: Optional[str], ref_audio=None,
+                    ref_text: Optional[str] = None) -> Optional[dict]:
+        if voice is not None and voice.endswith(".json"):
+            return self.load_speaker(voice)
+        if ref_audio is not None and ref_text is not None:
+            return self.create_speaker(ref_audio, ref_text)
+        return None
+
+    def create_speaker(self, ref_audio, ref_text: str) -> dict:
+        """Build a speaker dict from reference audio: DAC-encode and split
+        codes evenly across the transcript words (the reference uses whisper
+        word timing — even-split is the alignment-free approximation)."""
+        from ....utils import load_audio
+
+        if isinstance(ref_audio, str):
+            ref_audio = load_audio(ref_audio, sample_rate=self.sample_rate)
+        audio = np.asarray(ref_audio, np.float32).reshape(1, 1, -1)
+        _, codes, _, _, _ = self.codec.encode(audio)
+        codes = np.asarray(codes)[0]  # (n_q, T) — c1, c2 rows
+        words = [w for w in ref_text.split() if w]
+        T = codes.shape[1]
+        dur = len(ref_audio) / self.sample_rate / max(len(words), 1)
+        out_words = []
+        for i, w in enumerate(words):
+            lo = i * T // len(words)
+            hi = (i + 1) * T // len(words)
+            out_words.append({
+                "word": w, "duration": round(dur, 2),
+                "features": {"energy": 0, "spectral_centroid": 0, "pitch": 0},
+                "c1": codes[0, lo:hi].tolist(),
+                "c2": codes[1, lo:hi].tolist(),
+            })
+        return {"text": ref_text, "words": out_words,
+                "global_features": {"energy": 0, "spectral_centroid": 0, "pitch": 0}}
+
+    # ---- generation ----
+
+    def chunk_text(self, text: str, max_words: int = 30) -> List[str]:
+        sentences = [s.strip() for s in re.split(r"[.!?。！？︕︖]+", text) if s.strip()]
+        chunks, cur, n = [], [], 0
+        for s in sentences:
+            words = s.split()
+            if n + len(words) > max_words and cur:
+                chunks.append(" ".join(cur))
+                cur, n = [], 0
+            cur.extend(words)
+            n += len(words)
+        if cur:
+            chunks.append(" ".join(cur))
+        return chunks
+
+    def generate(self, text: str, voice: Optional[str] = None,
+                 temperature: float = 0.4, top_p: float = 0.9,
+                 max_tokens: int = 1200, ref_audio=None,
+                 ref_text: Optional[str] = None, **kwargs):
+        speaker = self.get_speaker(voice, ref_audio, ref_text)
+        eos = self.tokenizer.encode(
+            self.prompt_processor.special_tokens.audio_end,
+            add_special_tokens=False,
+        )
+        eos_ids = tuple(eos[:1]) if eos else ()
+
+        for segment_idx, chunk in enumerate(self.chunk_text(text)):
+            t0 = time.perf_counter()
+            prompt = self.prompt_processor.get_completion_prompt(chunk, speaker)
+            ids = self.tokenizer.encode(prompt, add_special_tokens=False)
+            toks, n = generate_tokens(
+                self, jnp.asarray(ids, jnp.int32), max_tokens=max_tokens,
+                temp=temperature, top_p=top_p,
+                repetition_penalty=kwargs.get("repetition_penalty", 1.1),
+                repetition_context_size=kwargs.get("repetition_context_size", 64),
+                eos_token_ids=eos_ids,
+            )
+            cb = self.prompt_processor.extract_audio_from_tokens(
+                [int(t) for t in toks[0]]
+            )
+            if not cb[0]:
+                continue
+            audio = np.asarray(
+                self.codec.decode_codes(jnp.asarray([cb], jnp.int32))
+            ).reshape(-1)
+            elapsed = time.perf_counter() - t0
+            dur = len(audio) / self.sample_rate
+            yield GenerationResult(
+                audio=audio, samples=len(audio), sample_rate=self.sample_rate,
+                segment_idx=segment_idx, token_count=n,
+                audio_duration=format_duration(dur),
+                real_time_factor=round(elapsed / dur, 3) if dur else 0.0,
+                prompt={"tokens": len(ids),
+                        "tokens-per-sec": round(len(ids) / elapsed, 2)},
+                audio_samples={"samples": len(audio),
+                               "samples-per-sec": round(len(audio) / elapsed, 2)},
+                processing_time_seconds=elapsed,
+                peak_memory_usage=0.0,
+            )
+
+    def sanitize(self, weights: dict) -> dict:
+        # checkpoints may or may not carry the `model.` prefix
+        out = {}
+        for k, v in weights.items():
+            if not k.startswith(("model.", "lm_head.")):
+                k = "model." + k
+            out[k] = v
+        return out
