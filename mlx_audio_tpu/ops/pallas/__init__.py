@@ -1,0 +1,27 @@
+"""Pallas TPU kernels — the native layer replacing the reference's
+hand-written Metal kernels (SURVEY §2.3). Each kernel has a lax reference
+implementation in `mlx_audio_tpu.ops`; kernels are opt-in via
+`use_pallas(True)` or the MLX_AUDIO_TPU_PALLAS env var and fall back
+automatically off-TPU.
+"""
+
+import os
+
+_ENABLED = os.environ.get("MLX_AUDIO_TPU_PALLAS", "0") == "1"
+
+
+def use_pallas(enabled: bool = True):
+    global _ENABLED
+    _ENABLED = enabled
+
+
+def pallas_enabled() -> bool:
+    if not _ENABLED:
+        return False
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
+from .flash_attention import flash_attention
+from .quant_matmul import quantized_matmul

@@ -1,0 +1,57 @@
+"""Pallas kernel parity tests (interpreter mode on CPU; real-TPU runs are
+exercised by bench/verify scripts)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from mlx_audio_tpu.ops.attention import scaled_dot_product_attention
+from mlx_audio_tpu.ops.pallas.flash_attention import flash_attention
+from mlx_audio_tpu.ops.pallas.quant_matmul import quantized_matmul
+from mlx_audio_tpu.nn.quantized import dequantize_arrays, quantize_arrays
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_matches_sdpa(causal):
+    rng = np.random.default_rng(0)
+    B, H, T, D = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+    ref = scaled_dot_product_attention(q, k, v,
+                                       mask="causal" if causal else None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_quantized_matmul_matches_dequant():
+    rng = np.random.default_rng(1)
+    N, K = 512, 256
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed, scales, biases = quantize_arrays(w, 64, 4)
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = quantized_matmul(x, jnp.asarray(packed), jnp.asarray(scales),
+                               jnp.asarray(biases), bits=4, group_size=64,
+                               block_n=256)
+    ref = x @ dequantize_arrays(jnp.asarray(packed), jnp.asarray(scales),
+                                jnp.asarray(biases), 64, 4).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_quantized_matmul_int8():
+    rng = np.random.default_rng(2)
+    N, K = 256, 128
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    packed, scales, biases = quantize_arrays(w, 32, 8)
+    x = jnp.asarray(rng.standard_normal((2, K)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = quantized_matmul(x, jnp.asarray(packed), jnp.asarray(scales),
+                               jnp.asarray(biases), bits=8, group_size=32,
+                               block_n=256)
+    ref = x @ dequantize_arrays(jnp.asarray(packed), jnp.asarray(scales),
+                                jnp.asarray(biases), 32, 8).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
