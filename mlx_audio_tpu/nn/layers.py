@@ -381,6 +381,34 @@ class BatchNorm(Module):
         return y.astype(x.dtype)
 
 
+class GELU(Module):
+    """Parameter-free GELU as a layer, for torch-Sequential key parity
+    (torch `mlp.0/mlp.2` → `mlp.layers.0/mlp.layers.2`)."""
+
+    def __init__(self, approximate: str = "none"):
+        self.approximate = approximate
+
+    def __call__(self, x):
+        if self.approximate == "tanh":
+            return jax.nn.gelu(x, approximate=True)
+        return jax.nn.gelu(x, approximate=False)
+
+
+class ReLU(Module):
+    def __call__(self, x):
+        return jax.nn.relu(x)
+
+
+class SiLU(Module):
+    def __call__(self, x):
+        return jax.nn.silu(x)
+
+
+class Tanh(Module):
+    def __call__(self, x):
+        return jnp.tanh(x)
+
+
 class Sequential(Module):
     def __init__(self, *layers):
         self.layers = list(layers)
