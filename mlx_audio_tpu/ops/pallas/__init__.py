@@ -25,3 +25,4 @@ def pallas_enabled() -> bool:
 
 from .flash_attention import flash_attention
 from .quant_matmul import quantized_matmul
+from .relu2_attention import relu2_attention, relu2_attention_reference
