@@ -210,6 +210,12 @@ def istft(
             reconstructed = reconstructed[..., : -(win_length // 2)]
     elif length is not None:
         reconstructed = reconstructed[..., :length]
+    if length is not None and reconstructed.shape[-1] < length:
+        # torch pads with zeros when fewer frames than `length` requires
+        pad = [(0, 0)] * (reconstructed.ndim - 1) + [
+            (0, length - reconstructed.shape[-1])
+        ]
+        reconstructed = jnp.pad(reconstructed, pad)
     return reconstructed
 
 
@@ -441,9 +447,9 @@ def get_mel_banks_kaldi(
     up_slope = (mel - left_mel) / (center_mel - left_mel)
     down_slope = (right_mel - mel) / (right_mel - center_mel)
     bins = np.maximum(0.0, np.minimum(up_slope, down_slope))
-    return jnp.asarray(bins, dtype=jnp.float32), jnp.asarray(
-        center_freqs.squeeze(), dtype=jnp.float32
-    )
+    # return numpy (not jnp) so the lru_cache never captures a tracer-backed
+    # constant when first called inside a jit trace
+    return bins.astype(np.float32), center_freqs.squeeze().astype(np.float32)
 
 
 def compute_fbank_kaldi(

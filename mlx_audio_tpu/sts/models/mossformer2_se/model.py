@@ -1,0 +1,193 @@
+"""MossFormer2 SE 48K processor: fbank+deltas → mask net → masked iSTFT.
+
+TPU-native re-implementation of the reference
+mlx_audio/sts/models/mossformer2_se/model.py:33-427. The per-chunk pipeline
+(Kaldi fbank, deltas, 24-block mask net, STFT mask, iSTFT) is one jitted
+graph per chunk-length bucket; segmented/chunked long-audio modes reassemble
+on the host exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....dsp import compute_deltas_kaldi, compute_fbank_kaldi, istft, stft
+from ....nn.module import Module, load_weights
+from .config import MossFormer2SEConfig
+from .mossformer2 import MossFormer2SE, TestNet
+
+MAX_WAV_VALUE = 32768.0
+
+__all__ = ["MossFormer2SEModel", "Model", "MossFormer2SEConfig"]
+
+
+def _hamming(size: int) -> jnp.ndarray:
+    n = jnp.arange(size)
+    return 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n / (size - 1))
+
+
+@partial(jax.jit, static_argnames=("cfg_static",))
+def _process_chunk_jit(model: TestNet, audio: jnp.ndarray, cfg_static):
+    """audio: (T,) scaled by MAX_WAV_VALUE → enhanced (T,)."""
+    (sample_rate, win_len, win_inc, fft_len, num_mels, win_type,
+     preemphasis) = cfg_static
+    fb = compute_fbank_kaldi(audio, sample_rate=sample_rate, win_len=win_len,
+                             win_inc=win_inc, num_mels=num_mels,
+                             win_type=win_type, preemphasis=preemphasis)
+    d1 = compute_deltas_kaldi(fb.T, win_length=5)
+    d2 = compute_deltas_kaldi(d1, win_length=5)
+    feats = jnp.concatenate([fb, d1.T, d2.T], axis=1)[None]  # (1, T', 180)
+
+    mask = model(feats)[-1][0]  # (T', out_final)
+
+    window = _hamming(win_len)
+    spec = stft(audio, n_fft=fft_len, hop_length=win_inc, win_length=win_len,
+                window=window, center=False)  # (frames, freq)
+    frames = min(spec.shape[0], mask.shape[0])
+    masked = spec[:frames] * mask[:frames].astype(spec.real.dtype)
+    out = istft(masked.T, hop_length=win_inc, win_length=win_len,
+                window=window, center=False, length=audio.shape[0])
+    return out
+
+
+class MossFormer2SEModel:
+    """Enhancement front end (reference model.py:33-427)."""
+
+    def __init__(self, model: TestNet, config: MossFormer2SEConfig):
+        self.model = model
+        self.config = config
+
+    @property
+    def _cfg_static(self):
+        c = self.config
+        return (c.sample_rate, c.win_len, c.win_inc, c.fft_len, c.num_mels,
+                c.win_type, c.preemphasis)
+
+    def _process_chunk(self, audio: np.ndarray) -> np.ndarray:
+        out = _process_chunk_jit(self.model, jnp.asarray(audio, jnp.float32),
+                                 self._cfg_static)
+        return np.asarray(out)
+
+    def enhance(self, audio: Union[np.ndarray, jnp.ndarray],
+                chunked: Optional[bool] = None) -> np.ndarray:
+        """Noisy waveform (T,) at 48 kHz → enhanced waveform (T,)."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        duration = audio.shape[0] / self.config.sample_rate
+        use_chunked = (chunked if chunked is not None
+                       else duration >= self.config.auto_chunk_threshold)
+        if use_chunked:
+            return self._decode_chunked(audio)
+        return self._decode_one_audio(audio)
+
+    # ------------------------------------------------------------------
+    def _decode_one_audio(self, audio: np.ndarray) -> np.ndarray:
+        """Full / segmented processing (reference model.py:199-280)."""
+        cfg = self.config
+        original_len = audio.shape[0]
+        x = audio * MAX_WAV_VALUE
+        limit = cfg.sample_rate * cfg.one_time_decode_length
+        if original_len <= limit:
+            return self._process_chunk(x) / MAX_WAV_VALUE
+
+        window_size = int(cfg.sample_rate * cfg.decode_window)
+        stride = int(window_size * 0.75)
+        t = x.shape[0]
+        if t < window_size:
+            x = np.pad(x, (0, window_size - t))
+        elif t < window_size + stride:
+            x = np.pad(x, (0, window_size + stride - t))
+        elif (t - window_size) % stride != 0:
+            x = np.pad(x, (0, stride - (t - window_size) % stride))
+        t = x.shape[0]
+        give_up = (window_size - stride) // 2
+        out = np.zeros(t)
+        idx = 0
+        while idx + window_size <= t:
+            seg = self._process_chunk(x[idx: idx + window_size])
+            if idx == 0:
+                out[idx: idx + window_size - give_up] = seg[:-give_up]
+            else:
+                out[idx + give_up: idx + window_size - give_up] = \
+                    seg[give_up:-give_up]
+            idx += stride
+        return out[:original_len] / MAX_WAV_VALUE
+
+    def _decode_chunked(self, audio: np.ndarray) -> np.ndarray:
+        """Chunked with discard-edges reassembly (reference model.py:282-353)."""
+        cfg = self.config
+        original_len = audio.shape[0]
+        x = audio * MAX_WAV_VALUE
+        chunk_samples = int(cfg.sample_rate * cfg.chunk_seconds)
+        overlap = int(chunk_samples * cfg.chunk_overlap)
+        stride = chunk_samples - overlap
+        give_up = overlap // 2
+        if original_len <= chunk_samples:
+            return self._process_chunk(x) / MAX_WAV_VALUE
+
+        chunks, starts = [], []
+        idx = 0
+        while idx + chunk_samples <= original_len:
+            chunks.append(self._process_chunk(x[idx: idx + chunk_samples]))
+            starts.append(idx)
+            idx += stride
+        if idx < original_len:
+            chunks.append(self._process_chunk(x[idx:]))
+            starts.append(idx)
+
+        out = np.zeros(original_len)
+        for i, (chunk, start) in enumerate(zip(chunks, starts)):
+            L = len(chunk)
+            first, last = i == 0, i == len(chunks) - 1
+            if last and L < chunk_samples:
+                ks = give_up if not first else 0
+                ke = L
+            else:
+                ks = 0 if first else give_up
+                ke = L - give_up
+            s = start + ks
+            e = min(start + ke, original_len)
+            out[s:e] = chunk[ks: ks + (e - s)]
+        return out / MAX_WAV_VALUE
+
+
+class Model(Module):
+    """Loader-facing wrapper (weights key root: model.mossformer.*)."""
+
+    def __init__(self, config=None):
+        if isinstance(config, dict):
+            config = MossFormer2SEConfig.from_dict(config)
+        self.config = config or MossFormer2SEConfig()
+        self.net = MossFormer2SE(self.config)
+        self.processor = MossFormer2SEModel(self.net.model, self.config)
+
+    def enhance(self, audio, chunked: Optional[bool] = None) -> np.ndarray:
+        # the processor holds a reference to self.net.model at construction;
+        # rebind in case weights were loaded (functional update)
+        self.processor.model = self.net.model
+        return self.processor.enhance(audio, chunked=chunked)
+
+    def sanitize(self, weights: dict) -> dict:
+        out = {}
+        for key, value in weights.items():
+            k = key
+            if not k.startswith("net.") and not k.startswith("model."):
+                k = "net.model." + k
+            elif k.startswith("model."):
+                k = "net." + k
+            # torch UniDeepFsmn conv1 is Conv2d (O, 39, 1, I/g) → ours (O, 39, 1)
+            if k.endswith(".fsmn.conv1.weight") and value.ndim == 4:
+                value = value.reshape(value.shape[0], -1, 1)
+            if k.endswith(".fsmn.conv1"):
+                pass
+            # ConvModule stores the raw depthwise weight
+            k = k.replace(".conv_module.conv.weight", ".conv_module.weight")
+            # PReLU torch name
+            k = k.replace(".prelu.weight", ".prelu_weight")
+            out[k] = value
+        return out

@@ -55,3 +55,18 @@ def test_quantized_matmul_int8():
     ref = x @ dequantize_arrays(jnp.asarray(packed), jnp.asarray(scales),
                                 jnp.asarray(biases), 32, 8).T
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_relu2_attention_matches_reference():
+    from mlx_audio_tpu.ops.pallas.relu2_attention import (
+        relu2_attention,
+        relu2_attention_reference,
+    )
+
+    q = jnp.asarray(np.random.randn(2, 3, 16, 8).astype(np.float32))
+    k = jnp.asarray(np.random.randn(2, 3, 16, 8).astype(np.float32))
+    v = jnp.asarray(np.random.randn(2, 3, 16, 12).astype(np.float32))
+    expect = relu2_attention_reference(q, k, v, 16)
+    with pltpu.force_tpu_interpret_mode():
+        got = relu2_attention(q, k, v, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
