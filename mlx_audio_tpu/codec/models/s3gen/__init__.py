@@ -11,4 +11,5 @@ from .hifigan import (
     SourceModuleHnNSF,
 )
 from .mel import mel_spectrogram
+from .s3gen import S3_SR, S3GEN_SR, CausalConditionalCFM, S3Token2Mel, S3Token2Wav
 from .xvector import CAMPPlus, kaldi_fbank

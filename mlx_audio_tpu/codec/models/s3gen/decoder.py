@@ -203,6 +203,7 @@ class ConditionalDecoder(Module):
         num_heads: int = 8,
         static_chunk_size: int = 50,
         num_decoding_left_chunks: int = -1,
+        meanflow: bool = False,
         **_unused,
     ):
         channels = list(channels or [256])
@@ -211,10 +212,16 @@ class ConditionalDecoder(Module):
         self.causal = causal
         self.static_chunk_size = static_chunk_size
         self.num_decoding_left_chunks = num_decoding_left_chunks
+        self.meanflow = meanflow
 
         self.time_embeddings = SinusoidalPosEmb(in_channels)
         time_embed_dim = channels[0] * 4
         self.time_mlp = TimestepEmbedding(in_channels, time_embed_dim)
+        if meanflow:
+            # distilled meanflow models mix (t, r) embeddings
+            # (reference chatterbox_turbo/models/s3gen/decoder.py:523-529)
+            self.time_embed_mixer = nn.Linear(time_embed_dim * 2,
+                                              time_embed_dim, bias=False)
 
         def transformers(ch):
             return [BasicTransformerBlock(ch, num_heads, attention_head_dim)
@@ -278,9 +285,14 @@ class ConditionalDecoder(Module):
         return jnp.where(keys, 0.0, -1e10).astype(dtype)[:, None]
 
     def __call__(self, x, mask, mu, t, spks=None, cond=None,
-                 streaming: bool = False) -> jnp.ndarray:
-        """x/mu/cond: (B, T, C); mask: (B, T, 1); t: (B,); spks: (B, D)."""
+                 streaming: bool = False, r=None) -> jnp.ndarray:
+        """x/mu/cond: (B, T, C); mask: (B, T, 1); t: (B,); spks: (B, D).
+        `r` is the meanflow end-time (reference turbo decoder.py:555-564)."""
         t_emb = self.time_mlp(self.time_embeddings(t))
+        if self.meanflow and r is not None:
+            r_emb = self.time_mlp(self.time_embeddings(r))
+            t_emb = self.time_embed_mixer(
+                jnp.concatenate([t_emb, r_emb], axis=-1))
 
         parts = [x, mu]
         if spks is not None:

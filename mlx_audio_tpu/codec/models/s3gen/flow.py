@@ -66,6 +66,7 @@ class CausalMaskedDiffWithXvec(Module):
         finalize: bool = True,
         n_timesteps: Optional[int] = None,
         streaming: bool = False,
+        meanflow: bool = False,
     ) -> Tuple[jnp.ndarray, None]:
         """token (1, T) + prompt mel (1, T_pm, 80) + x-vector (1, 192)
         → mel (1, T_new, 80) for the non-prompt region.
@@ -102,5 +103,6 @@ class CausalMaskedDiffWithXvec(Module):
             key = jax.random.PRNGKey(0)
         feat, _ = self.decoder(
             mu=h, mask=dec_mask, n_timesteps=n_timesteps or self.n_timesteps,
-            key=key, spks=emb, cond=conds, streaming=streaming)
+            key=key, spks=emb, cond=conds, streaming=streaming,
+            **({"meanflow": True} if meanflow else {}))
         return feat[:, mel_len1:], None

@@ -52,20 +52,42 @@ class ConditionalCFM(Module):
                  key: jnp.ndarray, temperature: float = 1.0,
                  spks: Optional[jnp.ndarray] = None,
                  cond: Optional[jnp.ndarray] = None,
-                 streaming: bool = False) -> Tuple[jnp.ndarray, None]:
+                 streaming: bool = False,
+                 meanflow: bool = False) -> Tuple[jnp.ndarray, None]:
         """mu: (B, T, C_mu); mask: (B, T, 1) → mel (B, T, 80).
 
         reference cosyvoice2/flow_matching.py:39-85 (but channels-last and
-        fully in-graph; `key` drives the initial noise).
+        fully in-graph; `key` drives the initial noise). `meanflow=True`
+        runs the distilled no-CFG solver with (t, r) conditioning
+        (reference chatterbox_turbo/models/s3gen/flow_matching.py:86-117).
         """
         B, T = mu.shape[0], mu.shape[1]
         z = jax.random.normal(key, (B, T, self.MEL_CHANNELS),
                               mu.dtype) * temperature
         t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
-        if self.t_scheduler == "cosine":
+        if not meanflow and self.t_scheduler == "cosine":
             t_span = 1.0 - jnp.cos(t_span * 0.5 * math.pi)
+        if meanflow:
+            return self.solve_euler_meanflow(z, t_span, mu, mask, spks,
+                                             cond, streaming=streaming), None
         return self.solve_euler(z, t_span, mu, mask, spks, cond,
                                 streaming=streaming), None
+
+    def solve_euler_meanflow(self, x, t_span, mu, mask, spks, cond,
+                             streaming: bool = False) -> jnp.ndarray:
+        """Distilled 1-2 step solver, no CFG."""
+        B = x.shape[0]
+        n_steps = t_span.shape[0] - 1
+
+        def step(i, x):
+            t = t_span[i]
+            r = t_span[i + 1]
+            dxdt = self.estimator(x, mask, mu, jnp.full((B,), t, x.dtype),
+                                  spks, cond, streaming=streaming,
+                                  r=jnp.full((B,), r, x.dtype))
+            return x + (r - t) * dxdt
+
+        return jax.lax.fori_loop(0, n_steps, step, x)
 
     def solve_euler(self, x, t_span, mu, mask, spks, cond,
                     streaming: bool = False) -> jnp.ndarray:
