@@ -71,6 +71,44 @@ class WhisperTokenizer:
                 out.append(self.decode([t]))
         return "".join(out)
 
+    # ---- word splitting for word-level timestamps (timing.py) ----
+    def split_to_word_tokens(self, tokens: Sequence[int]):
+        if self.language in {"zh", "ja", "th", "lo", "my", "yue"}:
+            return self.split_tokens_on_unicode(list(tokens))
+        return self.split_tokens_on_spaces(list(tokens))
+
+    def split_tokens_on_unicode(self, tokens: List[int]):
+        decoded_full = self.decode_with_timestamps(tokens)
+        replacement = "�"
+        words, word_tokens, current = [], [], []
+        offset = 0
+        for token in tokens:
+            current.append(token)
+            decoded = self.decode_with_timestamps(current)
+            if (replacement not in decoded
+                    or decoded_full[offset + decoded.index(replacement)]
+                    == replacement):
+                words.append(decoded)
+                word_tokens.append(current)
+                current = []
+                offset += len(decoded)
+        return words, word_tokens
+
+    def split_tokens_on_spaces(self, tokens: List[int]):
+        subwords, subword_tokens = self.split_tokens_on_unicode(tokens)
+        words, word_tokens = [], []
+        for sub, toks in zip(subwords, subword_tokens):
+            special = toks[0] >= self.eot
+            with_space = sub.startswith(" ")
+            punct = sub.strip() in "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+            if special or with_space or punct or len(words) == 0:
+                words.append(sub)
+                word_tokens.append(list(toks))
+            else:
+                words[-1] += sub
+                word_tokens[-1].extend(toks)
+        return words, word_tokens
+
     def _id(self, token: str) -> int:
         i = self._tok.token_to_id(token)
         if i is None:
@@ -207,3 +245,12 @@ class DummyTokenizer:
 
     def decode_with_timestamps(self, ids):
         return self.decode(ids)
+
+    def split_to_word_tokens(self, tokens):
+        # one "word" per pair of tokens — structural stand-in for tests
+        words, word_tokens = [], []
+        for i in range(0, len(tokens), 2):
+            chunk = list(tokens[i: i + 2])
+            words.append(" " + self.decode(chunk))
+            word_tokens.append(chunk)
+        return words, word_tokens

@@ -103,6 +103,19 @@ class MultiHeadAttention(Module):
     def cross_kv(self, xa):
         return self._split(self.key(xa)), self._split(self.value(xa))
 
+    def call_with_qk(self, x, cross_kv):
+        """Cross attention returning (out, qk_scores) — the pre-softmax
+        scaled scores used for DTW word alignment (reference timing.py)."""
+        q = self._split(self.query(x))
+        k, v = cross_kv
+        scale = (q.shape[-1]) ** -0.5
+        qk = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(qk, axis=-1).astype(v.dtype)
+        out = attn @ v
+        B, H, T, Dh = out.shape
+        return self.out(jnp.swapaxes(out, 1, 2).reshape(B, T, H * Dh)), qk
+
 
 class ResidualAttentionBlock(Module):
     def __init__(self, n_state: int, n_head: int, cross_attention: bool = False):
@@ -192,6 +205,51 @@ class TextDecoder(Module):
         x = self.ln(x)
         return self.token_embedding.as_linear(x), new_caches
 
+    def step_with_qk(self, tokens, pos0, caches, cross_kv):
+        """Incremental decode step that also returns per-layer cross-attn
+        scores for the new tokens (AlignAtt streaming, reference
+        streaming.py:59-80)."""
+        B, t = tokens.shape
+        positions = pos0 + jnp.arange(t)
+        x = self.token_embedding(tokens) + self.positional_embedding[
+            positions].astype(jnp.float32)
+        mask = caches[0].attention_mask(t) if caches is not None else None
+        new_caches = []
+        qks = []
+        for i, blk in enumerate(self.blocks):
+            a, nc = blk.attn(blk.attn_ln(x), mask=mask,
+                             cache=caches[i] if caches is not None else None)
+            x = x + a
+            new_caches.append(nc)
+            c, qk = blk.cross_attn.call_with_qk(blk.cross_attn_ln(x),
+                                                cross_kv[i])
+            qks.append(qk)
+            x = x + blk.mlp2(jax.nn.gelu(blk.mlp1(blk.mlp_ln(x)),
+                                         approximate=False))
+        x = self.ln(x)
+        return self.token_embedding.as_linear(x), new_caches, qks
+
+    def forward_with_cross_qk(self, tokens, cross_kv):
+        """Full-sequence decode capturing per-layer cross-attention scores
+        (reference whisper.py forward_with_cross_qk / timing.py:114-185)."""
+        from ....ops.attention import make_causal_mask
+
+        B, t = tokens.shape
+        x = self.token_embedding(tokens) + self.positional_embedding[
+            jnp.arange(t)].astype(jnp.float32)
+        mask = make_causal_mask(t, t) if t > 1 else None
+        qks = []
+        for i, blk in enumerate(self.blocks):
+            a, _ = blk.attn(blk.attn_ln(x), mask=mask)
+            x = x + a
+            c, qk = blk.cross_attn.call_with_qk(blk.cross_attn_ln(x),
+                                                cross_kv[i])
+            qks.append(qk)
+            x = x + blk.mlp2(jax.nn.gelu(blk.mlp1(blk.mlp_ln(x)),
+                                         approximate=False))
+        x = self.ln(x)
+        return self.token_embedding.as_linear(x), qks
+
 
 def _hf_to_native(weights: dict) -> dict:
     """Map HF transformers whisper keys → native (openai/mlx) naming."""
@@ -250,6 +308,37 @@ class Model(Module):
             out[k] = v
         out.pop("proj_out.weight", None)
         return out
+
+    # ---- word-alignment support ----
+
+    def set_alignment_heads(self, heads) -> None:
+        """heads: iterable of (layer, head) pairs used for DTW alignment."""
+        self.alignment_heads_static = tuple(tuple(int(i) for i in h)
+                                            for h in heads)
+
+    @property
+    def alignment_heads(self):
+        """Configured heads, or the openai fallback: all heads of the top
+        half of decoder layers."""
+        heads = getattr(self, "alignment_heads_static", None)
+        if heads:
+            return heads
+        d = self.dims
+        return tuple((l, h) for l in range(d.n_text_layer // 2,
+                                           d.n_text_layer)
+                     for h in range(d.n_text_head))
+
+    @staticmethod
+    @jax.jit
+    def _forward_cross_qk(model: "Model", mel: jax.Array, tokens: jax.Array):
+        xa = model.encoder(mel)
+        ckv = model.decoder.cross_kv(xa)
+        return model.decoder.forward_with_cross_qk(tokens, ckv)
+
+    def forward_with_cross_qk(self, mel, tokens):
+        """mel (B, 3000, n_mels), tokens (B, T) → (logits, [qk per layer])."""
+        return Model._forward_cross_qk(self, jnp.asarray(mel),
+                                       jnp.asarray(tokens, jnp.int32))
 
     # ---- jitted pieces ----
 

@@ -1,0 +1,91 @@
+"""Whisper extras: DTW word timestamps and AlignAtt streaming."""
+
+import numpy as np
+import pytest
+
+from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
+from mlx_audio_tpu.stt.models.whisper.timing import (
+    WordTiming,
+    add_word_timestamps,
+    dtw,
+    find_alignment,
+    median_filter,
+    merge_punctuations,
+)
+from mlx_audio_tpu.stt.models.whisper.tokenizer import DummyTokenizer
+from mlx_audio_tpu.stt.models.whisper.streaming import (
+    StreamingConfig,
+    StreamingDecoder,
+)
+
+
+def tiny():
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=1, n_vocab=2000, n_text_ctx=448, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+    return Model(dims), DummyTokenizer(n_vocab=2000)
+
+
+def test_dtw_monotonic_diagonal():
+    # strong diagonal cost → alignment follows the diagonal
+    N = 6
+    x = np.ones((N, N)) - np.eye(N)
+    ti, fi = dtw(x)
+    assert ti[0] == 0 and fi[0] == 0
+    assert ti[-1] == N - 1 and fi[-1] == N - 1
+    assert (np.diff(ti) >= 0).all() and (np.diff(fi) >= 0).all()
+
+
+def test_median_filter():
+    x = np.arange(10, dtype=float)[None]
+    y = median_filter(x, 3)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y[0][1:-1], x[0][1:-1])
+
+
+def test_merge_punctuations():
+    al = [WordTiming(" \"", [1], 0, 0.1, 1.0),
+          WordTiming("Hi", [2], 0.1, 0.3, 1.0),
+          WordTiming(",", [3], 0.3, 0.35, 1.0)]
+    merge_punctuations(al, "\"'“¿([{-", "\"'.。,，!！?？:：”)]}、")
+    words = [w.word for w in al if w.word]
+    assert words == [" \"Hi,"]
+
+
+def test_find_alignment_shapes():
+    model, tok = tiny()
+    mel = np.random.randn(3000, 80).astype(np.float32) * 0.1
+    text_tokens = [20, 21, 22, 23]
+    timings = find_alignment(model, tok, text_tokens, mel, num_frames=600)
+    assert isinstance(timings, list)
+    for t in timings:
+        assert t.end >= t.start >= 0.0
+        assert 0.0 <= t.probability <= 1.0
+
+
+def test_add_word_timestamps():
+    model, tok = tiny()
+    mel = np.random.randn(3000, 80).astype(np.float32) * 0.1
+    segments = [{"seek": 0, "start": 0.0, "end": 2.0,
+                 "tokens": [20, 21, 22, 23]}]
+    add_word_timestamps(segments=segments, model=model, tokenizer=tok,
+                        mel=mel, num_frames=600, last_speech_timestamp=0.0)
+    assert "words" in segments[0]
+    for w in segments[0]["words"]:
+        assert w["end"] >= w["start"]
+
+
+def test_streaming_decoder_chunks():
+    model, tok = tiny()
+    dec = StreamingDecoder(model, StreamingConfig(frame_threshold=5),
+                           tokenizer=tok)
+    mel1 = np.random.randn(500, 80).astype(np.float32) * 0.1
+    r1 = dec.decode_chunk(mel1)
+    assert isinstance(r1.text, str)
+    mel2 = np.random.randn(500, 80).astype(np.float32) * 0.1
+    r2 = dec.decode_chunk(mel2, is_last=True)
+    assert r2.is_final
+    dec.reset()
+    assert dec._accumulated_mel is None
