@@ -132,3 +132,36 @@ def test_weight_norm_fold_helper():
     out2 = fold_weight_norm_pairs({"c.weight_v": v, "c.weight_g": g2})
     w2 = out2["c.weight"]
     np.testing.assert_allclose(np.sqrt((w2**2).sum(axis=(0, 1))), 3.0, rtol=1e-5)
+
+
+def test_bigvgan_generator():
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.codec.models.bigvgan import BigVGAN, BigVGANConfig
+
+    cfg = BigVGANConfig(
+        num_mels=8, upsample_rates=[4, 2], upsample_kernel_sizes=[8, 4],
+        upsample_initial_channel=16, resblock="1",
+        resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]],
+        activation="snakebeta", snake_logscale=True)
+    m = BigVGAN(cfg)
+    mel = jnp.asarray(np.random.randn(1, 20, 8), jnp.float32)
+    wav = m(mel)
+    assert wav.shape == (1, 160, 1)
+    assert (np.abs(np.asarray(wav)) <= 1.0).all()  # tanh output
+    # weight-norm folding path
+    from mlx_audio_tpu.nn.module import flatten_params
+
+    flat = flatten_params(m)
+    wn = {}
+    for k, v in flat.items():
+        if k.endswith("conv_pre.weight"):
+            g = np.linalg.norm(np.asarray(v).reshape(v.shape[0], -1), axis=1,
+                               keepdims=True)[:, :, None]
+            wn[k.replace(".weight", ".weight_g")] = jnp.asarray(g)
+            wn[k.replace(".weight", ".weight_v")] = v / jnp.asarray(g)
+        else:
+            wn[k] = v
+    fixed = m.sanitize(wn)
+    np.testing.assert_allclose(np.asarray(fixed["conv_pre.weight"]),
+                               np.asarray(flat["conv_pre.weight"]), rtol=1e-5)

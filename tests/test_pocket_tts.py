@@ -1,0 +1,84 @@
+"""PocketTTS: AdaLN flow net, LSD decode, on-device latent loop, Mimi decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.codec.models.mimi.mimi import MimiConfig
+from mlx_audio_tpu.tts.models.pocket_tts import (
+    FlowLMConfig,
+    Model,
+    ModelConfig,
+    SimpleMLPAdaLN,
+    lsd_decode,
+)
+from mlx_audio_tpu.tts.models.pocket_tts.pocket_tts import (
+    FlowConfig,
+    FlowLMTransformerConfig,
+    LookupTable,
+)
+
+
+def tiny_model():
+    flow_cfg = FlowLMConfig(
+        flow=FlowConfig(dim=24, depth=1),
+        transformer=FlowLMTransformerConfig(hidden_scale=2, max_period=10000,
+                                            d_model=24, num_heads=2,
+                                            num_layers=1),
+        lookup_table=LookupTable(dim=24, n_bins=60))
+    from dataclasses import replace
+
+    mimi_cfg = MimiConfig()
+    mimi_cfg.seanet = replace(mimi_cfg.seanet, dimension=16, nfilters=4,
+                              nresidual_layers=1, ratios=[8, 5, 4, 3])
+    mimi_cfg.transformer = replace(mimi_cfg.transformer, d_model=16,
+                                   num_heads=2, num_layers=1,
+                                   dim_feedforward=32)
+    mimi_cfg.frame_rate = 25.0
+    cfg = ModelConfig(latent_dim=8, flow_lm=flow_cfg, mimi=mimi_cfg,
+                      lsd_decode_steps=2, temp=0.8)
+    return Model(cfg)
+
+
+def test_lsd_decode_integrates_constant_flow():
+    # v(s,t,x) = 1 → x_1 = x_0 + 1 regardless of num_steps
+    x0 = jnp.zeros((2, 4))
+    out = lsd_decode(lambda s, t, x: jnp.ones_like(x), x0, num_steps=4)
+    np.testing.assert_allclose(np.asarray(out), np.ones((2, 4)), atol=1e-6)
+
+
+def test_flow_net_shapes():
+    net = SimpleMLPAdaLN(in_channels=8, model_channels=24, out_channels=8,
+                         cond_channels=16, num_res_blocks=2)
+    c = jnp.zeros((3, 16))
+    s = jnp.zeros((3, 1))
+    t = jnp.ones((3, 1))
+    x = jnp.asarray(np.random.randn(3, 8), jnp.float32)
+    v = net(c, s, t, x)
+    assert v.shape == (3, 8)
+    assert np.isfinite(np.asarray(v)).all()
+
+
+class FakeTok:
+    def encode(self, text):
+        return [(ord(c) % 59) + 1 for c in text][:12]
+
+
+def test_generate_audio_end_to_end():
+    model = tiny_model()
+    model.set_runtime(tokenizer=FakeTok())
+    wav = model.generate_audio("hello world", max_gen_len=6,
+                               frames_after_eos=2,
+                               key=jax.random.PRNGKey(0))
+    # 6 frames at 25 Hz / 24 kHz = 960 samples/frame
+    assert wav.shape[0] in (6 * 960,) or wav.shape[0] > 0
+    assert np.isfinite(wav).all()
+
+
+def test_generate_with_ref_audio_conditioning():
+    model = tiny_model()
+    model.set_runtime(tokenizer=FakeTok())
+    ref = np.random.randn(4800).astype(np.float32) * 0.1
+    res = list(model.generate("hi", ref_audio=ref, seed=0))
+    assert len(res) == 1
+    assert np.isfinite(res[0].audio).all()
