@@ -165,3 +165,52 @@ def test_bigvgan_generator():
     fixed = m.sanitize(wn)
     np.testing.assert_allclose(np.asarray(fixed["conv_pre.weight"]),
                                np.asarray(flat["conv_pre.weight"]), rtol=1e-5)
+
+
+def test_dacvae_roundtrip_shapes():
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.codec.models.dacvae import DACVAE, DACVAEConfig
+
+    cfg = DACVAEConfig(encoder_dim=8, encoder_rates=[2, 3], latent_dim=32,
+                       decoder_dim=24, decoder_rates=[3, 2], codebook_dim=8)
+    m = DACVAE(cfg)
+    wav = jnp.asarray(np.random.randn(1, 60, 1).astype(np.float32)) * 0.1
+    lat = m.encode(wav)
+    # (k-stride)//2 internal padding (reference codec.py:91-94) → 9 frames
+    assert lat.shape == (1, 8, 9)
+    out = m.decode(lat)
+    assert out.shape[0] == 1 and out.shape[2] == 1
+    assert (np.abs(np.asarray(out)) <= 1.0).all()
+
+
+def test_fish_s1_dac_roundtrip():
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.codec.models.fish_s1_dac import (
+        DownsampleResidualVectorQuantize,
+        FishS1DAC,
+        WindowLimitedTransformer,
+    )
+    from mlx_audio_tpu.codec.models.fish_s1_dac.fish_s1_dac import ModelArgs
+
+    q_cfg = ModelArgs(n_layer=1, n_head=2, dim=16, intermediate_size=32)
+    quant = DownsampleResidualVectorQuantize(
+        input_dim=16, n_codebooks=2, codebook_size=32, codebook_dim=4,
+        semantic_codebook_size=64, downsample_factor=(2,),
+        pre_module=WindowLimitedTransformer(q_cfg, input_dim=16,
+                                            window_size=8),
+        post_module=WindowLimitedTransformer(q_cfg, input_dim=16,
+                                             window_size=8))
+    m = FishS1DAC(encoder_dim=2, encoder_rates=[2, 4], latent_dim=16,
+                  decoder_dim=16, decoder_rates=[4, 2], quantizer=quant,
+                  encoder_transformer_layers=[0, 1])
+    audio = jnp.asarray(np.random.randn(1, 256).astype(np.float32)) * 0.1
+    codes = m.encode(audio)
+    assert codes.shape[1] == 3  # semantic + 2 residual books
+    assert codes.max() < 64
+    out = m.decode(codes)
+    assert out.shape == (1, 256, 1)
+    # decode is deterministic from codes
+    out2 = m.decode(codes)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
