@@ -1,0 +1,371 @@
+"""Qwen3-ASR: windowed conv/transformer audio encoder + Qwen3 decoder.
+
+TPU-native re-implementation of the reference
+mlx_audio/stt/models/qwen3_asr/qwen3_asr.py:133-1390. The audio encoder's
+ragged chunking and block-attention layout are computed on the host (audio
+length is host-known) and the encoder runs as one jitted call per
+chunk-count bucket; the text decode reuses the shared on-device
+`lax.while_loop` decode (lm/generate).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....lm.cache import KVCache
+from ....lm.sample import make_sampler
+from ....lm.transformer import CausalLM, LMConfig
+from ....nn import layers as nn
+from ....nn.module import Module
+from ..base import STTOutput
+from ..whisper import audio as A
+
+__all__ = ["Model", "ModelConfig", "AudioEncoderConfig", "TextConfig",
+           "AudioEncoder"]
+
+
+@dataclass
+class AudioEncoderConfig:
+    num_mel_bins: int = 128
+    encoder_layers: int = 24
+    encoder_attention_heads: int = 16
+    encoder_ffn_dim: int = 4096
+    d_model: int = 1024
+    max_source_positions: int = 1500
+    n_window: int = 50
+    output_dim: int = 2048
+    n_window_infer: int = 800
+    conv_chunksize: int = 500
+    downsample_hidden_size: int = 480
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "AudioEncoderConfig":
+        return cls(**{k: v for k, v in d.items()
+                      if k in cls.__dataclass_fields__})
+
+
+@dataclass
+class TextConfig:
+    model_type: str = "qwen3"
+    vocab_size: int = 151936
+    hidden_size: int = 2048
+    intermediate_size: int = 6144
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    tie_word_embeddings: bool = True
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TextConfig":
+        return cls(**{k: v for k, v in d.items()
+                      if k in cls.__dataclass_fields__})
+
+
+@dataclass
+class ModelConfig:
+    audio_config: Any = None
+    text_config: Any = None
+    model_type: str = "qwen3_asr"
+    audio_token_id: int = 151676
+    audio_start_token_id: int = 151669
+    audio_end_token_id: int = 151670
+    support_languages: List[str] = field(default_factory=list)
+    model_path: Optional[str] = None
+
+    def __post_init__(self):
+        if self.audio_config is None:
+            self.audio_config = AudioEncoderConfig()
+        elif isinstance(self.audio_config, dict):
+            self.audio_config = AudioEncoderConfig.from_dict(self.audio_config)
+        if self.text_config is None:
+            self.text_config = TextConfig()
+        elif isinstance(self.text_config, dict):
+            self.text_config = TextConfig.from_dict(self.text_config)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ModelConfig":
+        d = dict(d)
+        if "thinker_config" in d:
+            thinker = d.pop("thinker_config")
+            for k in ("audio_config", "text_config", "audio_token_id",
+                      "audio_start_token_id", "audio_end_token_id"):
+                if k in thinker:
+                    d[k] = thinker[k]
+        return cls(**{k: v for k, v in d.items()
+                      if k in cls.__dataclass_fields__})
+
+
+def _conv_out_len(n: int) -> int:
+    """Three stride-2 convs with padding 1 (reference qwen3_asr.py:146-155)."""
+    for _ in range(3):
+        n = (n + 1) // 2
+    return n
+
+
+class _SinPos(Module):
+    def __init__(self, length: int, channels: int):
+        half = channels // 2
+        scale = np.log(10000.0) / (half - 1)
+        inv = np.exp(-scale * np.arange(half))
+        pos = np.arange(length)[:, None] * inv[None, :]
+        self._pe = jnp.asarray(
+            np.concatenate([np.sin(pos), np.cos(pos)], axis=1), jnp.float32)
+
+    def __call__(self, n: int):
+        return self._pe[:n]
+
+
+class AudioEncoderLayer(Module):
+    def __init__(self, cfg: AudioEncoderConfig):
+        d = cfg.d_model
+        h = cfg.encoder_attention_heads
+        self.self_attn_q = nn.Linear(d, d)
+        self.self_attn_k = nn.Linear(d, d, bias=False)
+        self.self_attn_v = nn.Linear(d, d)
+        self.self_attn_o = nn.Linear(d, d)
+        self.self_attn_layer_norm = nn.LayerNorm(d)
+        self.fc1 = nn.Linear(d, cfg.encoder_ffn_dim)
+        self.fc2 = nn.Linear(cfg.encoder_ffn_dim, d)
+        self.final_layer_norm = nn.LayerNorm(d)
+        self.n_head = h
+
+    def __call__(self, x, mask):
+        B, T, D = x.shape
+        h = self.self_attn_layer_norm(x)
+        q = self.self_attn_q(h).reshape(B, T, self.n_head, -1)
+        k = self.self_attn_k(h).reshape(B, T, self.n_head, -1)
+        v = self.self_attn_v(h).reshape(B, T, self.n_head, -1)
+        q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+        scores = q @ k.transpose(0, 1, 3, 2) * (q.shape[-1] ** -0.5) + mask
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        o = (attn @ v).transpose(0, 2, 1, 3).reshape(B, T, D)
+        x = x + self.self_attn_o(o)
+        x = x + self.fc2(jax.nn.gelu(self.fc1(self.final_layer_norm(x))))
+        return x
+
+
+class AudioEncoder(Module):
+    """reference qwen3_asr.py:263-440."""
+
+    def __init__(self, cfg: AudioEncoderConfig):
+        self.cfg = cfg
+        ds = cfg.downsample_hidden_size
+        self.conv2d1 = nn.Conv2d(1, ds, 3, stride=2, padding=1)
+        self.conv2d2 = nn.Conv2d(ds, ds, 3, stride=2, padding=1)
+        self.conv2d3 = nn.Conv2d(ds, ds, 3, stride=2, padding=1)
+        freq_after = _conv_out_len(cfg.num_mel_bins)
+        self.conv_out = nn.Linear(ds * freq_after, cfg.d_model, bias=False)
+        self.positional_embedding = _SinPos(cfg.max_source_positions,
+                                            cfg.d_model)
+        self.layers = [AudioEncoderLayer(cfg)
+                       for _ in range(cfg.encoder_layers)]
+        self.ln_post = nn.LayerNorm(cfg.d_model)
+        self.proj1 = nn.Linear(cfg.d_model, cfg.d_model)
+        self.proj2 = nn.Linear(cfg.d_model, cfg.output_dim)
+
+    def _frontend(self, chunks):
+        """chunks: (N, mel, T) → (N, T', d_model)."""
+        x = chunks[:, :, :, None]  # NHWC with H=mel, W=T
+        x = jax.nn.gelu(self.conv2d1(x))
+        x = jax.nn.gelu(self.conv2d2(x))
+        x = jax.nn.gelu(self.conv2d3(x))
+        N, f, t, c = x.shape
+        x = x.transpose(0, 2, 3, 1).reshape(N, t, c * f)
+        x = self.conv_out(x)
+        return x + self.positional_embedding(x.shape[1])[None]
+
+    def __call__(self, input_features: jnp.ndarray,
+                 feature_len: Optional[int] = None) -> jnp.ndarray:
+        """(1, mel, T) mel features → (Na, output_dim) audio embeddings."""
+        mel = np.asarray(input_features)
+        T = feature_len if feature_len is not None else mel.shape[-1]
+        cfg = self.cfg
+        chunk = cfg.n_window * 2
+
+        # host-side ragged chunking (lengths are host-known)
+        starts = list(range(0, T, chunk))
+        lens = [min(chunk, T - s) for s in starts]
+        padded = np.zeros((len(starts), mel.shape[1], chunk), np.float32)
+        for i, (s, L) in enumerate(zip(starts, lens)):
+            padded[i, :, :L] = mel[0, :, s: s + L]
+
+        x = self._frontend(jnp.asarray(padded))  # (N, t, D)
+        t_lens = [_conv_out_len(L) for L in lens]
+        max_t = x.shape[1]
+
+        # flatten valid frames across chunks
+        hidden = jnp.concatenate(
+            [x[i, : t_lens[i]] for i in range(len(t_lens))], axis=0)
+
+        # block attention over inference windows
+        total = int(sum(t_lens))
+        window_after = max_t * (cfg.n_window_infer // (cfg.n_window * 2))
+        bounds = [0]
+        rem = total
+        while rem > 0:
+            step = min(window_after, rem)
+            bounds.append(bounds[-1] + step)
+            rem -= step
+        mask = np.full((total, total), -1e9, np.float32)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            mask[a:b, a:b] = 0.0
+        mask = jnp.asarray(mask)[None, None]
+
+        h = hidden[None]
+        for layer in self.layers:
+            h = layer(h, mask)
+        h = self.ln_post(h[0])
+        return self.proj2(jax.nn.gelu(self.proj1(h)))
+
+
+def _lm_call(model, x, caches):
+    if x.dtype in (jnp.int32, jnp.int64):
+        return model(x, caches)
+    h, caches = model.model(x, caches)
+    logits = (model.lm_head(h) if hasattr(model, "lm_head")
+              else model.model.embed_tokens.as_linear(h))
+    return logits, caches
+
+
+class Model(Module):
+    """reference qwen3_asr.py:605-1390."""
+
+    _RUNTIME: dict = {}
+
+    def __init__(self, config: Any = None):
+        if isinstance(config, dict):
+            config = ModelConfig.from_dict(config)
+        self.config = config or ModelConfig()
+        self.audio_tower = AudioEncoder(self.config.audio_config)
+        lm_cfg = LMConfig(
+            model_type="qwen3",
+            vocab_size=self.config.text_config.vocab_size,
+            hidden_size=self.config.text_config.hidden_size,
+            intermediate_size=self.config.text_config.intermediate_size,
+            num_hidden_layers=self.config.text_config.num_hidden_layers,
+            num_attention_heads=self.config.text_config.num_attention_heads,
+            num_key_value_heads=self.config.text_config.num_key_value_heads,
+            head_dim=self.config.text_config.head_dim,
+            rms_norm_eps=self.config.text_config.rms_norm_eps,
+            rope_theta=self.config.text_config.rope_theta,
+            tie_word_embeddings=self.config.text_config.tie_word_embeddings,
+        )
+        self.language_model = CausalLM(lm_cfg)
+
+    @property
+    def sample_rate(self) -> int:
+        return 16000
+
+    def set_runtime(self, tokenizer=None):
+        if tokenizer is not None:
+            Model._RUNTIME.setdefault(id(self), {})["tokenizer"] = tokenizer
+
+    def model_quant_predicate(self, p, m):
+        return not p.startswith("audio_tower")
+
+    def get_audio_features(self, mel, feature_len=None):
+        return self.audio_tower(mel, feature_len)
+
+    # ------------------------------------------------------------------
+    def generate(self, audio, *, language: str = "English",
+                 system_prompt: Optional[str] = None, max_tokens: int = 512,
+                 temperature: float = 0.0, tokenizer=None,
+                 **kwargs) -> STTOutput:
+        t0 = time.perf_counter()
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        duration = len(audio) / self.sample_rate
+        rt = Model._RUNTIME.get(id(self), {})
+        tokenizer = tokenizer or rt.get("tokenizer")
+        if tokenizer is None:
+            raise RuntimeError("Qwen3-ASR tokenizer not set — call "
+                               "set_runtime(tokenizer=...)")
+
+        mel = A.log_mel_spectrogram(
+            jnp.asarray(audio),
+            n_mels=self.config.audio_config.num_mel_bins)
+        mel = np.asarray(mel).T[None]  # (1, mel, T)
+        audio_emb = self.get_audio_features(jnp.asarray(mel))  # (Na, D)
+        n_audio = audio_emb.shape[0]
+
+        prompt = (
+            f"<|im_start|>system\n"
+            f"{(system_prompt + chr(10)) if system_prompt else ''}"
+            f"<|im_end|>\n<|im_start|>user\n<|audio_start|>"
+            + "<|audio_pad|>" * n_audio
+            + f"<|audio_end|><|im_end|>\n<|im_start|>assistant\n"
+            f"language {language}<asr_text>")
+        ids = np.asarray(tokenizer.encode(prompt), np.int64).reshape(-1)
+
+        lm = self.language_model
+        emb = np.array(jax.device_get(
+            lm.model.embed_tokens(jnp.asarray(ids[None], jnp.int32))))
+        mask = ids == self.config.audio_token_id
+        n = min(int(mask.sum()), n_audio)
+        if n:
+            emb[0][np.nonzero(mask)[0][:n]] = np.asarray(
+                jax.device_get(audio_emb))[:n]
+        inputs = jnp.asarray(emb)
+
+        caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1,
+                                dtype=jnp.float32)
+        from ....lm.generate import _decode_chunk, _prefill
+
+        eos = []
+        for t in ("<|im_end|>", "<|endoftext|>"):
+            try:
+                tid = tokenizer.convert_tokens_to_ids(t)
+                if tid is not None:
+                    eos.append(int(tid))
+            except Exception:
+                pass
+        if not eos:
+            eos = [151645]
+        eos = (eos + [-1, -1, -1])[:3]
+
+        logits, caches = _prefill(lm, caches, inputs, _lm_call)
+        out, i, *_ = _decode_chunk(
+            lm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
+            jnp.zeros((1,), bool), jax.random.PRNGKey(0),
+            jnp.asarray(eos, jnp.int32), _lm_call,
+            make_sampler(temp=float(temperature)), 1.0, int(max_tokens))
+        toks, nt = jax.device_get((out, i))
+        seq = [int(t) for t in toks[0][: int(nt)] if int(t) not in eos]
+        text = tokenizer.decode(seq)
+        if "<asr_text>" in text:
+            text = text.split("<asr_text>")[-1]
+        wall = time.perf_counter() - t0
+        return STTOutput(
+            text=text.strip(), duration=duration,
+            language=language, prompt_tokens=int(ids.shape[0]),
+            generation_tokens=len(seq),
+            generation_tps=len(seq) / max(wall, 1e-9))
+
+    def sanitize(self, weights: dict) -> dict:
+        from ....nn.sanitize import orient_weights_to_model
+
+        out = {}
+        for key, value in weights.items():
+            k = key
+            if k.startswith("thinker."):
+                k = k[len("thinker."):]
+            if k == "lm_head.weight":
+                continue
+            if k.startswith("model."):
+                k = "language_model." + k
+            # HF attention naming → ours
+            k = k.replace(".self_attn.q_proj.", ".self_attn_q.")
+            k = k.replace(".self_attn.k_proj.", ".self_attn_k.")
+            k = k.replace(".self_attn.v_proj.", ".self_attn_v.")
+            k = k.replace(".self_attn.out_proj.", ".self_attn_o.")
+            out[k] = value
+        return orient_weights_to_model(self, out)
