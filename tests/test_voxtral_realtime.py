@@ -1,0 +1,47 @@
+"""Voxtral Realtime: causal encoder, position-locked on-device decode."""
+
+import numpy as np
+
+from mlx_audio_tpu.stt.models.voxtral_realtime import (
+    DecoderConfig,
+    EncoderConfig,
+    Model,
+    ModelConfig,
+)
+
+
+def tiny_cfg():
+    return ModelConfig(
+        encoder_args=EncoderConfig(dim=16, n_layers=1, n_heads=2, head_dim=8,
+                                   hidden_dim=32, sliding_window=64),
+        decoder=DecoderConfig(dim=24, n_layers=2, n_heads=2, n_kv_heads=2,
+                              head_dim=12, hidden_dim=48, vocab_size=100,
+                              ada_rms_norm_t_cond_dim=8),
+        n_left_pad_tokens=2,
+    )
+
+
+class FakeTok:
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def test_encoder_downsample():
+    import jax.numpy as jnp
+
+    model = Model(tiny_cfg())
+    mel = jnp.asarray(np.random.randn(80, 128).astype(np.float32))
+    out = model.encoder(mel)
+    # 80 mel frames → 40 after stride 2 → 10 audio tokens at decoder dim
+    assert out.shape == (10, 24)
+
+
+def test_generate_end_to_end():
+    model = Model(tiny_cfg())
+    model.set_runtime(tokenizer=FakeTok())
+    audio = np.random.randn(16000).astype(np.float32) * 0.1  # 1 s
+    out = model.generate(audio, max_tokens=16)
+    assert isinstance(out.text, str)
+    assert out.duration == 1.0
+    # decode is position-locked: can't emit more tokens than audio positions
+    assert out.generation_tokens <= 16
