@@ -298,14 +298,17 @@ class LayerNorm(Module):
 
 
 class RMSNorm(Module):
-    def __init__(self, dims: int, eps: float = 1e-5):
-        self.weight = jnp.ones((dims,))
+    def __init__(self, dims: int, eps: float = 1e-5, affine: bool = True):
+        if affine:
+            self.weight = jnp.ones((dims,))
         self.eps = eps
 
     def __call__(self, x: jax.Array) -> jax.Array:
         xf = x.astype(jnp.float32)
         y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
-        return (y * self.weight.astype(jnp.float32)).astype(x.dtype)
+        if hasattr(self, "weight"):
+            y = y * self.weight.astype(jnp.float32)
+        return y.astype(x.dtype)
 
 
 class GroupNorm(Module):
