@@ -1,0 +1,124 @@
+"""SAM-Audio: T5 encoder, DiT, anchors, ODE separation, long/streaming."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_audio_tpu.codec.models.dacvae.dacvae import DACVAEConfig
+from mlx_audio_tpu.sts.models.sam_audio import (
+    DiT,
+    SAMAudio,
+    SAMAudioConfig,
+    SAMAudioProcessor,
+    T5Config,
+    T5Encoder,
+    T5EncoderConfig,
+    TransformerConfig,
+)
+
+
+def tiny_config():
+    codec = DACVAEConfig(encoder_dim=8, encoder_rates=[2, 3], latent_dim=32,
+                         decoder_dim=24, decoder_rates=[3, 2],
+                         codebook_dim=8, sample_rate=48000)
+    t5 = T5Config(vocab_size=50, d_model=16, d_kv=4, d_ff=32,
+                  num_layers=2, num_heads=4)
+    return SAMAudioConfig(
+        in_channels=6 * 8,
+        audio_codec=codec,
+        text_encoder=T5EncoderConfig(dim=16, t5=t5),
+        transformer=TransformerConfig(
+            dim=32, n_heads=4, n_layers=2, context_dim=32,
+            out_channels=16, frequency_embedding_dim=16),
+        num_anchors=3, anchor_embedding_dim=8)
+
+
+class FakeT5Tokenizer:
+    def __call__(self, texts, **kw):
+        ids = [[min(ord(c) % 49 + 1, 49) for c in t[:8]] + [1]
+               for t in texts]
+        width = max(len(i) for i in ids)
+        input_ids = np.zeros((len(ids), width), np.int64)
+        mask = np.zeros((len(ids), width), np.int64)
+        for r, i in enumerate(ids):
+            input_ids[r, : len(i)] = i
+            mask[r, : len(i)] = 1
+        return {"input_ids": input_ids, "attention_mask": mask}
+
+
+def test_t5_encoder_shapes_and_mask():
+    t5 = T5Encoder(T5Config(vocab_size=50, d_model=16, d_kv=4, d_ff=32,
+                            num_layers=2, num_heads=4))
+    ids = jnp.asarray(np.random.randint(1, 50, (2, 7)))
+    mask = jnp.asarray(np.array([[1] * 7, [1] * 4 + [0] * 3]))
+    out = t5(ids, mask)
+    assert out.shape == (2, 7, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dit_forward_with_memory():
+    dit = DiT(TransformerConfig(dim=32, n_heads=4, n_layers=2,
+                                context_dim=32, out_channels=16,
+                                frequency_embedding_dim=16))
+    x = jnp.zeros((2, 10, 32))
+    out = dit(x, jnp.full((2,), 0.5), memory=jnp.ones((2, 3, 32)) * 0.1)
+    assert out.shape == (2, 10, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_processor_anchors():
+    p = SAMAudioProcessor(audio_hop_length=6, audio_sampling_rate=48000)
+    batch = p(["speech"], [np.random.randn(60).astype(np.float32)],
+              anchors=[[("+", 0.0, 0.0005)]])
+    assert batch.anchor_ids.shape[1] == 3  # null, pad, +
+    assert batch.anchor_ids[0, 2] == 1  # "+" token
+    # first feature frames point to anchor index 2
+    assert batch.anchor_alignment[0, 0] == 2
+    # default (no anchors): null + pad only
+    b2 = p(["x"], [np.random.randn(30).astype(np.float32)])
+    assert b2.anchor_ids.shape == (1, 2)
+
+
+def test_separate_end_to_end():
+    model = SAMAudio(tiny_config())
+    model.text_encoder.set_tokenizer(FakeT5Tokenizer())
+    audio = np.random.randn(1, 60, 1).astype(np.float32) * 0.1
+    res = model.separate(jnp.asarray(audio), ["a dog barking"],
+                         ode_opt={"method": "euler", "step_size": 0.5})
+    assert len(res.target) == 1 and len(res.residual) == 1
+    assert res.target[0].shape == res.residual[0].shape
+    assert np.isfinite(res.target[0]).all()
+    # midpoint solver also runs
+    res2 = model.separate(jnp.asarray(audio), ["a dog barking"],
+                          ode_opt={"method": "midpoint", "step_size": 0.5})
+    assert np.isfinite(res2.target[0]).all()
+
+
+def test_separate_long_crossfade():
+    model = SAMAudio(tiny_config())
+    model.text_encoder.set_tokenizer(FakeT5Tokenizer())
+    sr = model.sample_rate
+    audio = np.random.randn(1, 1, 180).astype(np.float32) * 0.1
+    res = model.separate_long(jnp.asarray(audio), ["speech"],
+                              chunk_seconds=90 / sr,
+                              overlap_seconds=30 / sr,
+                              ode_opt={"method": "euler",
+                                       "step_size": 0.5})
+    assert len(res.target) == 1
+    assert res.target[0].shape[0] > 0
+    assert np.isfinite(res.target[0]).all()
+
+
+def test_separate_streaming_chunks():
+    model = SAMAudio(tiny_config())
+    model.text_encoder.set_tokenizer(FakeT5Tokenizer())
+    sr = model.sample_rate
+    audio = np.random.randn(1, 1, 180).astype(np.float32) * 0.1
+    chunks = list(model.separate_streaming(
+        jnp.asarray(audio), ["speech"], chunk_seconds=90 / sr,
+        overlap_seconds=30 / sr,
+        ode_opt={"method": "euler", "step_size": 0.5}))
+    assert len(chunks) >= 2
+    assert chunks[-1].is_last and not chunks[0].is_last
+    assert all(np.isfinite(c.target).all() for c in chunks)
