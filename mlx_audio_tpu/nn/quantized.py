@@ -30,7 +30,17 @@ __all__ = [
 
 
 def _pack_rows(q: np.ndarray, bits: int) -> np.ndarray:
-    """Pack int values (..., in) little-endian into uint32 (..., in*bits/32)."""
+    """Pack int values (..., in) little-endian. 2/4/8/16-bit → uint32 words
+    (32/bits values each); 3/6-bit → MLX's uint8 bitstream (3 bytes per
+    8/4 values)."""
+    if bits in (3, 6):
+        per = 24 // bits  # values per 3-byte pack
+        q = q.astype(np.uint32).reshape(*q.shape[:-1], -1, per)
+        shifts = (np.arange(per, dtype=np.uint32) * bits)[None, :]
+        word = (q << shifts).sum(axis=-1, dtype=np.uint32)  # 24 bits used
+        out = np.stack([word & 0xFF, (word >> 8) & 0xFF,
+                        (word >> 16) & 0xFF], axis=-1)
+        return out.reshape(*word.shape[:-1], -1).astype(np.uint8)
     per = 32 // bits
     q = q.astype(np.uint32).reshape(*q.shape[:-1], -1, per)
     shifts = (np.arange(per, dtype=np.uint32) * bits)[None, :]
@@ -38,20 +48,32 @@ def _pack_rows(q: np.ndarray, bits: int) -> np.ndarray:
 
 
 def unpack_rows(w: jax.Array, bits: int) -> jax.Array:
-    """Unpack uint32 (..., P) into (..., P * 32/bits) integer values."""
+    """Unpack packed rows into (..., in) integer values. Dispatches on
+    layout: uint8 bitstream for 3/6-bit, uint32 words otherwise."""
+    if bits in (3, 6):
+        b = w.astype(jnp.uint32).reshape(*w.shape[:-1], -1, 3)
+        word = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+        per = 24 // bits
+        shifts = jnp.arange(per, dtype=jnp.uint32) * jnp.uint32(bits)
+        q = (word[..., None] >> shifts) & jnp.uint32((1 << bits) - 1)
+        return q.reshape(*w.shape[:-1], -1)
     per = 32 // bits
     shifts = jnp.arange(per, dtype=jnp.uint32) * jnp.uint32(bits)
     q = (w[..., None] >> shifts) & jnp.uint32((1 << bits) - 1)
     return q.reshape(*w.shape[:-1], -1)
 
 
+SUPPORTED_BITS = (2, 3, 4, 6, 8, 16)
+
+
 def quantize_arrays(w, group_size: int = 64, bits: int = 4):
-    """Quantize a float matrix (out, in) → (packed uint32, scales, biases).
+    """Quantize a float matrix (out, in) → (packed, scales, biases).
 
     Matches MLX's affine scheme: per-group min/max mapped onto [0, 2^bits-1].
     """
-    if 32 % bits != 0:
-        raise ValueError(f"bits={bits} must divide 32 (supported: 2, 4, 8, 16)")
+    if bits not in SUPPORTED_BITS:
+        raise ValueError(f"bits={bits} unsupported "
+                         f"(supported: {SUPPORTED_BITS})")
     w = np.asarray(w, dtype=np.float32)
     out_shape = w.shape
     wg = w.reshape(*out_shape[:-1], -1, group_size)
@@ -85,8 +107,12 @@ class QuantizedLinear(Module):
         group_size: int = 64,
         bits: int = 4,
     ):
-        per = 32 // bits
-        self.weight = jnp.zeros((output_dims, input_dims // per), dtype=jnp.uint32)
+        if bits in (3, 6):
+            self.weight = jnp.zeros(
+                (output_dims, input_dims * bits // 8), dtype=jnp.uint8)
+        else:
+            self.weight = jnp.zeros(
+                (output_dims, input_dims // (32 // bits)), dtype=jnp.uint32)
         self.scales = jnp.ones((output_dims, input_dims // group_size))
         self.biases = jnp.zeros((output_dims, input_dims // group_size))
         if bias:
@@ -123,8 +149,12 @@ class QuantizedEmbedding(Module):
     def __init__(
         self, num_embeddings: int, dims: int, group_size: int = 64, bits: int = 4
     ):
-        per = 32 // bits
-        self.weight = jnp.zeros((num_embeddings, dims // per), dtype=jnp.uint32)
+        if bits in (3, 6):
+            self.weight = jnp.zeros(
+                (num_embeddings, dims * bits // 8), dtype=jnp.uint8)
+        else:
+            self.weight = jnp.zeros(
+                (num_embeddings, dims // (32 // bits)), dtype=jnp.uint32)
         self.scales = jnp.ones((num_embeddings, dims // group_size))
         self.biases = jnp.zeros((num_embeddings, dims // group_size))
         self.group_size = group_size
@@ -208,7 +238,7 @@ def quantize_module(
                 gs = r.get("group_size", gs)
                 b = r.get("bits", b)
         in_dim = v.weight.shape[-1]
-        if in_dim % gs != 0 or 32 % b != 0:
+        if in_dim % gs != 0 or b not in SUPPORTED_BITS:
             return None
         if isinstance(v, Linear):
             return QuantizedLinear.from_linear(v, gs, b)

@@ -239,3 +239,46 @@ def test_quantize_module_swaps_layers():
     assert isinstance(m.layers[0], nn.QuantizedLinear)
     params = flatten_params(m)
     assert "lin.scales" in params and "lin.biases" in params
+
+
+def test_quantize_roundtrip_3_and_6_bit():
+    """MLX uint8-bitstream packing: 3 bytes per 8 (3-bit) / 4 (6-bit)
+    values."""
+    import numpy as np
+    from mlx_audio_tpu.nn.quantized import (dequantize_arrays,
+                                            quantize_arrays, unpack_rows)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(8, 64)).astype(np.float32)
+    for bits in (3, 6):
+        packed, scales, biases = quantize_arrays(w, group_size=32,
+                                                 bits=bits)
+        assert packed.dtype == np.uint8
+        assert packed.shape == (8, 64 * bits // 8)
+        deq = np.asarray(dequantize_arrays(
+            jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(biases),
+            32, bits))
+        # quantization error bounded by half a step per group
+        step = scales.max()
+        assert np.abs(deq - w).max() <= step * 0.51 + 1e-6
+        # exact integer roundtrip through pack/unpack
+        q = np.asarray(unpack_rows(jnp.asarray(packed), bits))
+        assert q.max() < 2**bits and q.min() >= 0
+
+
+def test_quantized_linear_3bit_forward():
+    import numpy as np
+    import jax.numpy as jnp
+    from mlx_audio_tpu.nn.layers import Linear
+    from mlx_audio_tpu.nn.quantized import QuantizedLinear
+
+    lin = Linear(64, 16)
+    qlin = QuantizedLinear.from_linear(lin, group_size=32, bits=3)
+    x = jnp.asarray(np.random.randn(2, 64).astype(np.float32))
+    y_ref = np.asarray(lin(x))
+    y_q = np.asarray(qlin(x))
+    assert y_q.shape == y_ref.shape
+    # 3-bit is coarse; just require meaningful correlation
+    c = np.corrcoef(y_ref.ravel(), y_q.ravel())[0, 1]
+    assert c > 0.95
