@@ -107,12 +107,12 @@ class WNConv1d(Module):
     def __call__(self, x):
         x = self._auto_pad(x)
         y = jax.lax.conv_general_dilated(
-            x, self._weight(), window_strides=(self.stride,),
+            x, self._weight().astype(x.dtype), window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NLC", "OLI", "NLC"))
         if hasattr(self, "bias"):
-            y = y + self.bias
+            y = y + self.bias.astype(y.dtype)
         return y
 
 
@@ -150,12 +150,12 @@ class WNConvTranspose1d(Module):
         K = self.kernel_size
         p = self.padding
         y = jax.lax.conv_general_dilated(
-            x, w_t, window_strides=(1,),
+            x, w_t.astype(x.dtype), window_strides=(1,),
             padding=[(K - 1 - p, K - 1 - p)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NLC", "ILO", "NLC"))
         if hasattr(self, "bias"):
-            y = y + self.bias
+            y = y + self.bias.astype(y.dtype)
         if self.pad_mode == "none":
             return y
         pad_total = K - self.stride
@@ -432,12 +432,99 @@ class DACVAE(Module):
         mean, _ = jnp.split(proj, 2, axis=-1)
         return jnp.swapaxes(mean, 1, 2)
 
-    def decode(self, encoded_frames, message=None) -> jnp.ndarray:
-        """(B, codebook_dim, frames) → waveform (B, T, 1)."""
+    def wav_idx_to_feature_idx(self, wav_idx: int,
+                               sample_rate: int = None) -> int:
+        """Sample index → frame index (reference codec.py:1577-1593)."""
+        sr = sample_rate or self.sample_rate
+        target = int(np.ceil(self.sample_rate * wav_idx / sr))
+        return int(np.ceil(target / self.hop_length))
+
+    def feature_idx_to_wav_idx(self, feature_idx: int,
+                               sample_rate: int = None) -> int:
+        """Frame index → sample index (reference codec.py:1595-1610)."""
+        sr = sample_rate or self.sample_rate
+        return int(feature_idx * self.hop_length * (sr / self.sample_rate))
+
+    def decode_streaming(self, encoded_frames, chunk_size: int = 50,
+                         overlap: int = 4, message=None):
+        """Yield (chunk_audio, is_last) with crossfaded seams
+        (reference codec.py:1164-1290)."""
+        frames = jnp.asarray(encoded_frames)
+        total = frames.shape[-1]
+        ov = overlap * self.hop_length
+        fade_in = jnp.linspace(0.0, 1.0, ov)[None, :, None]
+        fade_out = 1.0 - fade_in
+        start = 0
+        tail = None
+        while start < total:
+            end = min(start + chunk_size, total)
+            out = self.decode(frames[:, :, start:end], message=message)
+            is_last = end >= total
+            head = out[:, :ov] * fade_in.astype(out.dtype)
+            if tail is not None:
+                head = head + tail
+            body = out[:, ov if tail is not None else 0:
+                       (None if is_last else -ov)]
+            piece = jnp.concatenate(
+                [head, body] if tail is not None else [body], axis=1)
+            if not is_last:
+                tail = out[:, -ov:] * fade_out.astype(out.dtype)
+            yield piece, is_last
+            if is_last:
+                return
+            start = end - overlap
+
+    def decode(self, encoded_frames, message=None,
+               chunk_size=None) -> jnp.ndarray:
+        """(B, codebook_dim, frames) → waveform (B, T, 1).
+
+        `chunk_size` (frames) enables overlap-crossfaded chunked decoding
+        to bound peak activation memory (reference codec.py:1022-1160)."""
+        if chunk_size is not None:
+            return self._decode_chunked(encoded_frames, chunk_size,
+                                        message=message)
         emb = self.quantizer_out_proj(jnp.swapaxes(
             jnp.asarray(encoded_frames), 1, 2))
         h = self.decoder(emb)
         return self.decoder.decode_with_watermark(h, message)
+
+    def _decode_chunked(self, encoded_frames, chunk_size: int,
+                        overlap: int = 4, message=None) -> jnp.ndarray:
+        """Linear-crossfade stitching of per-chunk decodes
+        (reference codec.py:1064-1160)."""
+        frames = jnp.asarray(encoded_frames)
+        total = frames.shape[-1]
+        if total <= chunk_size:
+            return self.decode(frames, message=message)
+        ov = overlap * self.hop_length
+        fade_in = jnp.linspace(0.0, 1.0, ov)[None, :, None]
+        fade_out = 1.0 - fade_in
+
+        chunks = []
+        start = 0
+        while start < total:
+            end = min(start + chunk_size, total)
+            chunks.append(self.decode(frames[:, :, start:end],
+                                      message=message))
+            if end >= total:
+                break
+            start = end - overlap
+
+        parts = []
+        for i, chunk in enumerate(chunks):
+            head = chunk[:, :ov] * fade_in.astype(chunk.dtype)
+            tail = chunk[:, -ov:] * fade_out.astype(chunk.dtype)
+            if i == 0:
+                parts.append(chunk[:, :-ov])
+                parts.append(tail)
+            elif i == len(chunks) - 1:
+                parts[-1] = parts[-1] + head
+                parts.append(chunk[:, ov:])
+            else:
+                parts[-1] = parts[-1] + head
+                parts.append(chunk[:, ov:-ov])
+                parts.append(tail)
+        return jnp.concatenate(parts, axis=1)
 
     def sanitize(self, weights: dict) -> dict:
         out = {}

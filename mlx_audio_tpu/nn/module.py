@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Callable, Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.tree_util import (
     DictKey,
@@ -32,7 +33,7 @@ from jax.tree_util import (
     register_pytree_with_keys,
 )
 
-__all__ = ["Module", "flatten_params", "load_weights", "path_str"]
+__all__ = ["Module", "flatten_params", "load_weights", "path_str", "cast_floats"]
 
 
 def _is_dynamic(v: Any) -> bool:
@@ -223,3 +224,19 @@ def load_weights(
             )
 
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def cast_floats(tree, dtype=jnp.bfloat16):
+    """Cast every floating-point array leaf of a module pytree to `dtype`.
+
+    Integer/bool leaves (token tables, packed quantized weights, masks) are
+    left untouched. Use for bf16 inference of large models — halves HBM for
+    weights and keeps matmuls on the MXU's native bf16 path.
+    """
+    def cast(x):
+        if isinstance(x, (jax.Array, np.ndarray)) and \
+                jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)

@@ -27,6 +27,7 @@ __all__ = [
     "replicate",
     "shard_module",
     "LLAMA_TP_RULES",
+    "DIT_TP_RULES",
     "data_parallel_call",
 ]
 
@@ -60,6 +61,17 @@ LLAMA_TP_RULES = [
     (r".*\.(o_proj|down_proj)\.bias$", P()),
     (r".*embed_tokens\.weight$", P("model", None)),
     (r".*lm_head\.weight$", P("model", None)),
+    (r".*norm.*\.weight$", P()),
+]
+
+
+# Tensor-parallel rules for DiT-style diffusion transformers (SAM-Audio,
+# CosyVoice3, EchoTTS): column-parallel attention in-projections and FFN
+# up/gate, row-parallel out-projections. AdaLN modulation tables replicate.
+DIT_TP_RULES = [
+    (r".*\.(wq|wk|wv|to_q|to_k|to_v|w1|w3)\.weight$", P("model", None)),
+    (r".*\.(wo|w2|to_out_0)\.weight$", P(None, "model")),
+    (r".*scale_shift_table$", P()),
     (r".*norm.*\.weight$", P()),
 ]
 

@@ -271,6 +271,7 @@ class SAMAudio(Module):
                  sizes=None, anchors=None, anchor_ids=None,
                  anchor_alignment=None, audio_pad_mask=None, noise=None,
                  ode_opt: Optional[Dict[str, Any]] = None,
+                 ode_decode_chunk_size: Optional[int] = None,
                  key: Optional[jax.Array] = None,
                  _text_features=None, _text_mask=None
                  ) -> SeparationResult:
@@ -325,8 +326,10 @@ class SAMAudio(Module):
         channels = audio_features.shape[2] // 2
         if noise is None:
             key = key if key is not None else jax.random.PRNGKey(0)
+            # noise in the model dtype (reference model.py:518: self.dtype)
+            # — an fp32 noise would upcast the whole ODE loop
             noise = jax.random.normal(key, audio_features.shape,
-                                      jnp.float32)
+                                      audio_features.dtype)
 
         gen = _ode_solve(
             self, jnp.asarray(noise), audio_features,
@@ -340,8 +343,10 @@ class SAMAudio(Module):
 
         target = jnp.swapaxes(gen[:, :, :channels], 1, 2)  # (B, C, F)
         residual = jnp.swapaxes(gen[:, :, channels:], 1, 2)
-        target_wavs = np.asarray(self.audio_codec.decode(target))
-        residual_wavs = np.asarray(self.audio_codec.decode(residual))
+        target_wavs = np.asarray(self.audio_codec.decode(
+            target, chunk_size=ode_decode_chunk_size))
+        residual_wavs = np.asarray(self.audio_codec.decode(
+            residual, chunk_size=ode_decode_chunk_size))
 
         hop = self.audio_codec.hop_length
         wav_sizes = [int(s) * hop for s in np.asarray(sizes)]

@@ -214,3 +214,43 @@ def test_fish_s1_dac_roundtrip():
     # decode is deterministic from codes
     out2 = m.decode(codes)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_dacvae_chunked_decode_matches_full():
+    """Chunked decode (overlap crossfade) ≈ full decode away from seams."""
+    from mlx_audio_tpu.codec.models.dacvae.dacvae import DACVAE, DACVAEConfig
+
+    import jax.numpy as jnp
+
+    # even strides: conv-transpose lengths are exactly frames*hop, so
+    # chunk stitching is length-exact (the real config's rates are even)
+    cfg = DACVAEConfig(encoder_dim=8, encoder_rates=[2, 2], latent_dim=32,
+                       decoder_dim=24, decoder_rates=[2, 2], codebook_dim=8)
+    m = DACVAE(cfg)
+    lat = jnp.asarray(np.random.randn(1, 8, 40).astype(np.float32) * 0.1)
+    full = np.asarray(m.decode(lat))
+    chunked = np.asarray(m.decode(lat, chunk_size=16))
+    assert chunked.shape == full.shape
+    # identical outside crossfade regions; close overall
+    assert np.abs(chunked - full).max() < 0.2
+    assert np.allclose(chunked[:, : 10 * cfg.hop_length], 
+                       full[:, : 10 * cfg.hop_length], atol=1e-5)
+
+
+def test_dacvae_streaming_decode_matches_chunked():
+    import jax.numpy as jnp
+    from mlx_audio_tpu.codec.models.dacvae.dacvae import DACVAE, DACVAEConfig
+
+    cfg = DACVAEConfig(encoder_dim=8, encoder_rates=[2, 2], latent_dim=32,
+                       decoder_dim=24, decoder_rates=[2, 2], codebook_dim=8)
+    m = DACVAE(cfg)
+    lat = jnp.asarray(np.random.randn(1, 8, 40).astype(np.float32) * 0.1)
+    chunked = np.asarray(m.decode(lat, chunk_size=16))
+    pieces = list(m.decode_streaming(lat, chunk_size=16))
+    assert pieces[-1][1] and not pieces[0][1]
+    streamed = np.concatenate([np.asarray(p) for p, _ in pieces], axis=1)
+    assert streamed.shape == chunked.shape
+    assert np.allclose(streamed, chunked, atol=1e-5)
+    # frame/sample index converters
+    assert m.wav_idx_to_feature_idx(40) == 10
+    assert m.feature_idx_to_wav_idx(10) == 40

@@ -54,3 +54,31 @@ def test_replicated_data_parallel_batch():
     ids = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
     out, _ = jax.jit(lambda m, i: m(i))(rep, ids)
     assert out.shape == (8, 4, 50)
+
+
+def test_dit_tensor_parallel_forward():
+    """SAM-Audio DiT jits + executes over a (1, model=2) mesh with
+    DIT_TP_RULES shardings."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mlx_audio_tpu.parallel import DIT_TP_RULES, get_mesh, shard_module
+    from mlx_audio_tpu.sts.models.sam_audio import DiT, TransformerConfig
+
+    mesh = get_mesh(data=1, model=2, devices=jax.devices()[:2])
+    dit = DiT(TransformerConfig(dim=32, n_heads=4, n_layers=2,
+                                context_dim=32, out_channels=16,
+                                frequency_embedding_dim=16))
+    ref = np.asarray(dit(jnp.zeros((1, 6, 32)), jnp.full((1,), 0.5),
+                         memory=jnp.ones((1, 2, 32)) * 0.1))
+    sharded = shard_module(dit, mesh, DIT_TP_RULES)
+
+    @jax.jit
+    def fwd(m, x, t, mem):
+        return m(x, t, memory=mem)
+
+    out = np.asarray(fwd(sharded, jnp.zeros((1, 6, 32)),
+                         jnp.full((1,), 0.5), jnp.ones((1, 2, 32)) * 0.1))
+    assert out.shape == (1, 6, 16)
+    # sharded execution must match the single-device result
+    assert np.allclose(out, ref, atol=1e-4)

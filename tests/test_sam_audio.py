@@ -122,3 +122,19 @@ def test_separate_streaming_chunks():
     assert len(chunks) >= 2
     assert chunks[-1].is_last and not chunks[0].is_last
     assert all(np.isfinite(c.target).all() for c in chunks)
+
+
+def test_separate_bf16_weights():
+    """cast_floats(bf16) + bf16 audio must run the whole pipeline."""
+    import jax.numpy as jnp
+    from mlx_audio_tpu.nn.module import cast_floats
+
+    model = cast_floats(SAMAudio(tiny_config()), jnp.bfloat16)
+    model.text_encoder.set_tokenizer(FakeT5Tokenizer())
+    audio = jnp.asarray(
+        np.random.randn(1, 60, 1).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    res = model.separate(audio, ["speech"],
+                         ode_opt={"method": "euler", "step_size": 0.5})
+    out = np.asarray(res.target[0], np.float32)
+    assert np.isfinite(out).all()
