@@ -252,9 +252,10 @@ class SAMAudio(Module):
         """One velocity-field evaluation (reference model.py:303-357)."""
         aligned = self.align_inputs(noisy_audio, audio_features,
                                     anchor_ids, anchor_alignment)
-        temb = sinusoidal_embedding(time, self._timestep_dim)[:, None]
-        memory = (self.memory_proj(text_features) + temb
-                  if text_features is not None else temb)
+        temb = sinusoidal_embedding(time, self._timestep_dim
+                                    )[:, None].astype(aligned.dtype)
+        memory = (self.memory_proj(text_features.astype(aligned.dtype))
+                  + temb if text_features is not None else temb)
         return self.transformer(aligned, time,
                                 padding_mask=audio_pad_mask,
                                 memory=memory,

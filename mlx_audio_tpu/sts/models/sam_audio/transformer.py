@@ -291,7 +291,8 @@ class DiTBlock(Module):
                  t: jnp.ndarray, padding_mask: Optional[jnp.ndarray],
                  memory_padding_mask: Optional[jnp.ndarray],
                  rope: Optional[tuple]) -> jnp.ndarray:
-        biases = self.scale_shift_table[None] + t.reshape(x.shape[0], 6, -1)
+        biases = (self.scale_shift_table[None].astype(x.dtype)
+                  + t.reshape(x.shape[0], 6, -1).astype(x.dtype))
         (shift_msa, scale_msa, gate_msa,
          shift_mlp, scale_mlp, gate_mlp) = jnp.split(biases, 6, axis=1)
         h = self.attention_norm(x) * (1 + scale_msa) + shift_msa
@@ -346,16 +347,19 @@ class DiT(Module):
                  ) -> jnp.ndarray:
         h = self.x_embedder(x)
         N = h.shape[1]
-        t = self.t_embedder(time)
+        # time path computes in f32, then joins the model dtype — an f32
+        # modulation would silently upcast every block (HBM blow-up)
+        t = self.t_embedder(time).astype(h.dtype)
         t0 = self.t_block(self.t_block_non_linearity(t))
-        y = self.y_embedder(memory) if memory is not None else None
+        y = self.y_embedder(memory).astype(h.dtype) \
+            if memory is not None else None
         rope = rope_rotation(N, self.head_dim, self.rope_theta) \
             if self.use_rope else None
         for layer in self.layers:
             h = layer(h, y, t0, padding_mask, memory_padding_mask, rope)
         shift, scale = jnp.split(
-            self.final_layer_scale_shift_table[None] + t[:, None], 2,
-            axis=1)
+            self.final_layer_scale_shift_table[None].astype(h.dtype)
+            + t[:, None], 2, axis=1)
         h = self.norm(h) * (1 + scale) + shift
         out = self.output(h)
         return out[:, -N:] if out.shape[1] != N else out

@@ -240,8 +240,10 @@ class DiT(Module):
         B, N, _ = x.shape
         if t.ndim == 0:
             t = jnp.broadcast_to(t, (B,))
-        temb = self.time_embed(t)
         h = self.input_embed(x, cond, mu, spks)
+        # time path joins the model dtype — an f32 modulation would
+        # silently upcast every AdaLN block
+        temb = self.time_embed(t).astype(h.dtype)
         angles = _rope_angles(N, self.dim_head)
         mask = chunk_attention_mask(N, self.static_chunk_size) if streaming \
             else None

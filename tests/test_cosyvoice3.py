@@ -151,3 +151,18 @@ def test_text_frontend():
     assert len(chunks) >= 1
     assert all(c.strip() for c in chunks)
     assert ZERO_SHOT_PROMPT_PREFIX.endswith("<|endofprompt|>")
+
+
+def test_dit_bf16_dtype_stable():
+    from mlx_audio_tpu.nn.module import cast_floats
+
+    dit = cast_floats(DiT(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                          mel_dim=16, mu_dim=16, spk_dim=16,
+                          out_channels=16, static_chunk_size=4),
+                      jnp.bfloat16)
+    out = dit(jnp.zeros((2, 8, 16), jnp.bfloat16),
+              jnp.ones((2, 8, 16), jnp.bfloat16) * 0.1,
+              jnp.full((2,), 0.3),
+              jnp.ones((2, 16), jnp.bfloat16) * 0.2,
+              jnp.zeros((2, 8, 16), jnp.bfloat16))
+    assert out.dtype == jnp.bfloat16

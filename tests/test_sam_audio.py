@@ -138,3 +138,15 @@ def test_separate_bf16_weights():
                          ode_opt={"method": "euler", "step_size": 0.5})
     out = np.asarray(res.target[0], np.float32)
     assert np.isfinite(out).all()
+
+
+def test_dit_bf16_dtype_stable():
+    """bf16 in → bf16 out: the time/modulation path must not upcast."""
+    from mlx_audio_tpu.nn.module import cast_floats
+
+    dit = cast_floats(DiT(TransformerConfig(
+        dim=32, n_heads=4, n_layers=2, context_dim=32, out_channels=16,
+        frequency_embedding_dim=16)), jnp.bfloat16)
+    out = dit(jnp.zeros((1, 6, 32), jnp.bfloat16), jnp.full((1,), 0.5),
+              memory=jnp.ones((1, 2, 32), jnp.bfloat16) * 0.1)
+    assert out.dtype == jnp.bfloat16
