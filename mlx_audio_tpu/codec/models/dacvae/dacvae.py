@@ -425,12 +425,10 @@ class DACVAE(Module):
         return wavs
 
     def encode(self, waveform) -> jnp.ndarray:
-        """(B, T, 1) → latents (B, codebook_dim, frames)."""
+        """(B, T, 1) → latents (B, codebook_dim, frames). One XLA
+        program per padded length (vs the reference's eager op stream)."""
         x = self._pad(jnp.asarray(waveform))
-        z = self.encoder(x)
-        proj = self.quantizer_in_proj(z)
-        mean, _ = jnp.split(proj, 2, axis=-1)
-        return jnp.swapaxes(mean, 1, 2)
+        return _encode_jit(self, x)
 
     def wav_idx_to_feature_idx(self, wav_idx: int,
                                sample_rate: int = None) -> int:
@@ -483,6 +481,8 @@ class DACVAE(Module):
         if chunk_size is not None:
             return self._decode_chunked(encoded_frames, chunk_size,
                                         message=message)
+        if message is None:
+            return _decode_jit(self, jnp.asarray(encoded_frames))
         emb = self.quantizer_out_proj(jnp.swapaxes(
             jnp.asarray(encoded_frames), 1, 2))
         h = self.decoder(emb)
@@ -545,3 +545,18 @@ class DACVAE(Module):
         from ....nn.sanitize import orient_weights_to_model
 
         return orient_weights_to_model(self, out)
+
+
+@jax.jit
+def _encode_jit(codec: DACVAE, x: jnp.ndarray) -> jnp.ndarray:
+    z = codec.encoder(x)
+    proj = codec.quantizer_in_proj(z)
+    mean, _ = jnp.split(proj, 2, axis=-1)
+    return jnp.swapaxes(mean, 1, 2)
+
+
+@jax.jit
+def _decode_jit(codec: DACVAE, frames: jnp.ndarray) -> jnp.ndarray:
+    emb = codec.quantizer_out_proj(jnp.swapaxes(frames, 1, 2))
+    h = codec.decoder(emb)
+    return codec.decoder.decode_with_watermark(h, None)

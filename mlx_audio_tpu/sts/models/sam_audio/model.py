@@ -341,6 +341,9 @@ class SAMAudio(Module):
             jnp.asarray(anchor_alignment),
             None if audio_pad_mask is None else jnp.asarray(audio_pad_mask),
             num_steps, method)
+        # sync before the decoder programs: the large ODE program and the
+        # decode programs must not hold device workspaces concurrently
+        jax.block_until_ready(gen)
 
         target = jnp.swapaxes(gen[:, :, :channels], 1, 2)  # (B, C, F)
         residual = jnp.swapaxes(gen[:, :, channels:], 1, 2)
