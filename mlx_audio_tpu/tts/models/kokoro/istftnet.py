@@ -27,7 +27,18 @@ __all__ = ["Decoder", "Generator", "SineGen", "SourceModuleHnNSF", "STFTHead"]
 
 class STFTHead(Module):
     """Batched STFT/ISTFT used by the NSF source analysis and the output head
-    (replaces MLXSTFT; all complex math stays in-graph)."""
+    (replaces MLXSTFT; all complex math stays in-graph).
+
+    TPU-native formulation: Kokoro's head runs at n_fft=20, hop=5 over
+    ~1.8M-sample signals, where per-frame FFTs and gather/scatter overlap-add
+    dominate the decoder's runtime. Both directions are therefore expressed
+    as window-folded DFT *matmuls* (MXU path) with reshape/shift framing and
+    overlap-add (no gather, no scatter) whenever n_fft % hop == 0; a generic
+    gather/scatter path covers other geometries. The reference's phase
+    unwrap (istftnet.py:417 mlx_unwrap) is intentionally omitted: unwrapping
+    only adds multiples of 2π, which cos/sin discard, so it cannot change
+    the reconstruction — it only costs a full-length cumsum.
+    """
 
     def __init__(self, filter_length=800, hop_length=200, win_length=800):
         self.filter_length = filter_length
@@ -35,50 +46,83 @@ class STFTHead(Module):
         self.win_length = win_length
         self._window = hanning(win_length, periodic=True)
 
+        # Window-folded real-DFT matrices (host-side constants).
+        N = filter_length
+        F = N // 2 + 1
+        win = np.asarray(hanning(win_length, periodic=True), np.float64)
+        n = np.arange(N)[:, None]
+        f = np.arange(F)[None, :]
+        ang = 2.0 * np.pi * n * f / N
+        self._fwd_re = jnp.asarray(win[:, None] * np.cos(ang), jnp.float32)
+        self._fwd_im = jnp.asarray(win[:, None] * -np.sin(ang), jnp.float32)
+        wf = np.full(F, 2.0)
+        wf[0] = 1.0
+        if N % 2 == 0:
+            wf[-1] = 1.0
+        self._inv_re = jnp.asarray(
+            (wf[:, None] * np.cos(ang.T) / N) * win[None, :], jnp.float32
+        )
+        self._inv_im = jnp.asarray(
+            (wf[:, None] * -np.sin(ang.T) / N) * win[None, :], jnp.float32
+        )
+
+    def _frame(self, xp: jax.Array, num_frames: int) -> jax.Array:
+        """xp (B, Lp) → frames (B, T, n_fft); reshape/shift when possible."""
+        N, hop = self.filter_length, self.hop_length
+        Lp = xp.shape[-1]
+        if N % hop == 0 and Lp % hop == 0:
+            r = N // hop
+            xb = xp.reshape(xp.shape[0], Lp // hop, hop)
+            cols = [xb[:, q : q + num_frames, :] for q in range(r)]
+            return jnp.concatenate(cols, axis=-1)
+        idx = (
+            np.arange(num_frames)[:, None] * hop + np.arange(N)[None, :]
+        )
+        return jnp.take(xp, jnp.asarray(idx), axis=-1)
+
     def transform(self, x: jax.Array):
         """x: (B, L) → magnitude, phase each (B, F, T)."""
         pad = self.filter_length // 2
         xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
         num_frames = 1 + (xp.shape[-1] - self.filter_length) // self.hop_length
-        idx = (
-            np.arange(num_frames)[:, None] * self.hop_length
-            + np.arange(self.filter_length)[None, :]
-        )
-        frames = jnp.take(xp, jnp.asarray(idx), axis=-1)  # (B, T, n_fft)
-        spec = jnp.fft.rfft((frames * self._window).astype(jnp.float32))
-        mag = jnp.abs(spec)
-        phase = jnp.arctan2(spec.imag, spec.real)
+        frames = self._frame(xp.astype(jnp.float32), num_frames)  # (B, T, n_fft)
+        re = frames @ self._fwd_re  # (B, T, F)
+        im = frames @ self._fwd_im
+        mag = jnp.sqrt(re * re + im * im)
+        phase = jnp.arctan2(im, re)
         return jnp.swapaxes(mag, -1, -2), jnp.swapaxes(phase, -1, -2)
-
-    @staticmethod
-    def _unwrap(p: jax.Array, axis: int = -1) -> jax.Array:
-        dd = jnp.diff(p, axis=axis)
-        ddmod = jnp.mod(dd + math.pi, 2 * math.pi) - math.pi
-        ddmod = jnp.where((ddmod == -math.pi) & (dd > 0), math.pi, ddmod)
-        ph_correct = jnp.where(jnp.abs(dd) < math.pi, 0.0, ddmod - dd)
-        pad = [(0, 0)] * p.ndim
-        pad[axis] = (1, 0)
-        return p + jnp.cumsum(jnp.pad(ph_correct, pad), axis=axis)
 
     def inverse(self, magnitude: jax.Array, phase: jax.Array) -> jax.Array:
         """(B, F, T) mag/phase → (B, L) waveform via COLA-normalized OLA."""
-        phase = self._unwrap(phase, axis=-1)
-        real = magnitude * jnp.cos(phase)
-        imag = magnitude * jnp.sin(phase)
-        spec = jax.lax.complex(real.astype(jnp.float32), imag.astype(jnp.float32))
-        frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=self.filter_length, axis=-1)
-        frames = frames * self._window  # (B, T, n_fft)
+        re = (magnitude * jnp.cos(phase)).astype(jnp.float32)
+        im = (magnitude * jnp.sin(phase)).astype(jnp.float32)
+        re = jnp.swapaxes(re, -1, -2)  # (B, T, F)
+        im = jnp.swapaxes(im, -1, -2)
+        frames = re @ self._inv_re + im @ self._inv_im  # (B, T, n_fft), windowed
 
         B, T, N = frames.shape
         hop = self.hop_length
         out_len = (T - 1) * hop + N
+        if N % hop == 0:
+            r = N // hop
+            fwr = frames.reshape(B, T, r, hop)
+            out = sum(
+                jnp.pad(fwr[:, :, q, :], ((0, 0), (q, r - 1 - q), (0, 0)))
+                for q in range(r)
+            ).reshape(B, out_len)
+        else:
+            idx = (np.arange(T)[:, None] * hop + np.arange(N)[None, :]).reshape(-1)
+            out = jnp.zeros((B, out_len), jnp.float32)
+            out = out.at[:, jnp.asarray(idx)].add(frames.reshape(B, -1))
+        # COLA denominator is input-independent → host-side constant
+        # (recomputed in numpy: self._window is a pytree leaf, i.e. a tracer
+        # under jit, and must not leave the graph).
+        nwin = np.arange(self.win_length)
+        win2 = (0.5 * (1 - np.cos(2 * np.pi * nwin / self.win_length))) ** 2
         idx = (np.arange(T)[:, None] * hop + np.arange(N)[None, :]).reshape(-1)
-        out = jnp.zeros((B, out_len), jnp.float32)
-        out = out.at[:, jnp.asarray(idx)].add(frames.reshape(B, -1))
-        wsum = jnp.zeros((out_len,), jnp.float32)
-        w2 = jnp.broadcast_to(self._window * self._window, (T, N)).reshape(-1)
-        wsum = wsum.at[jnp.asarray(idx)].add(w2)
-        out = out / jnp.maximum(wsum, 1e-10)
+        wsum = np.zeros(out_len)
+        np.add.at(wsum, idx, np.broadcast_to(win2, (T, N)).reshape(-1))
+        out = out / jnp.asarray(np.maximum(wsum, 1e-10), jnp.float32)
         pad = self.filter_length // 2
         return out[:, pad:-pad]
 
