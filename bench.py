@@ -58,6 +58,7 @@ PHONEMES = (
 
 
 def main():
+    from mlx_audio_tpu.nn.module import cast_floats
     from mlx_audio_tpu.tts.models.kokoro import Model, ModelConfig
 
     vocab_chars = (
@@ -65,7 +66,8 @@ def main():
     )
     vocab = {c: i + 1 for i, c in enumerate(dict.fromkeys(vocab_chars))}
     cfg = ModelConfig.from_dict({**KOKORO_82M_CONFIG, "vocab": vocab})
-    model = Model(cfg)
+    # BASELINE headline config is bf16 (phase-critical paths pin to f32).
+    model = cast_floats(Model(cfg))
 
     n_params = sum(
         int(np.prod(v.shape)) for v in jax.tree_util.tree_leaves(model)

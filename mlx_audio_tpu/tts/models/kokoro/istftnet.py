@@ -237,14 +237,18 @@ class Generator(Module):
         )
 
     def __call__(self, x: jax.Array, s: jax.Array, f0: jax.Array, key: jax.Array):
-        # x: (B, T, C); f0: (B, T_f0) frame-rate F0 curve
+        # x: (B, T, C); f0: (B, T_f0) frame-rate F0 curve.
+        # The NSF source is phase-critical (cumsum over the full audio length)
+        # so it always runs f32 regardless of the conv stack's compute dtype.
         f0_up = interpolate(
-            f0[:, None, :], scale_factor=self.total_upsample, mode="nearest"
+            f0.astype(jnp.float32)[:, None, :],
+            scale_factor=self.total_upsample,
+            mode="nearest",
         )  # (B, 1, L)
         har_source, _ = self.m_source(jnp.swapaxes(f0_up, 1, 2), key)  # (B, L, 1)
         har_spec, har_phase = self.stft.transform(har_source[..., 0])
         har = jnp.concatenate([har_spec, har_phase], axis=1)  # (B, 22, T')
-        har = jnp.swapaxes(har, 1, 2)  # (B, T', 22)
+        har = jnp.swapaxes(har, 1, 2).astype(x.dtype)  # (B, T', 22)
 
         for i in range(self.num_upsamples):
             x = leaky_relu(x, 0.1)
@@ -262,7 +266,7 @@ class Generator(Module):
 
         x = leaky_relu(x, 0.01)
         x = self.conv_post(x)  # (B, T', n_fft+2)
-        x = jnp.swapaxes(x, 1, 2)
+        x = jnp.swapaxes(x, 1, 2).astype(jnp.float32)  # head math stays f32
         spec = jnp.exp(x[:, : self.post_n_fft // 2 + 1, :])
         phase = jnp.sin(x[:, self.post_n_fft // 2 + 1 :, :])
         return self.stft.inverse(spec, phase)  # (B, L)

@@ -170,7 +170,10 @@ class Model(Module):
         Tpad = _bucket(T, TEXT_BUCKETS)
         ids_arr = jnp.asarray([ids + [0] * (Tpad - T)], jnp.int32)
         mask = jnp.asarray([[False] * T + [True] * (Tpad - T)])
-        ref_s = jnp.asarray(ref_s, jnp.float32)
+        # Activations follow the parameter dtype (bf16 after nn.cast_floats);
+        # phase-critical paths (NSF source, ISTFT head) pin themselves to f32.
+        cdtype = self.bert_encoder.weight.dtype
+        ref_s = jnp.asarray(ref_s, cdtype)
         if ref_s.ndim == 1:
             ref_s = ref_s[None]
 

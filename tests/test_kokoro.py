@@ -152,3 +152,24 @@ def test_sanitize_folds_weight_norm_and_lstm_keys(tiny_model):
     assert "predictor.lstm.forward.Wx" in out
     assert "predictor.lstm.backward.Wh" in out
     assert not any("position_ids" in k for k in out)
+
+
+def test_bf16_inference_matches_f32(tiny_model):
+    """cast_floats(model) must produce audio close to the f32 path (the
+    BASELINE headline config is bf16): phase-critical paths pin to f32."""
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.nn.module import cast_floats
+
+    ref_s = np.random.default_rng(1).standard_normal((1, 64)).astype(np.float32) * 0.1
+    ps = "ðə kwˈɪk bɹˈWn fˈɑks ʤˈʌmps"
+    a32 = tiny_model(ps, ref_s)
+    mb = cast_floats(tiny_model)
+    assert mb.bert_encoder.weight.dtype == jnp.bfloat16
+    a16 = mb(ps, ref_s)
+    n = min(len(a32), len(a16))
+    assert np.isfinite(a16).all()
+    # same duration predictions → same length
+    assert abs(len(a32) - len(a16)) <= 64 * 2
+    corr = np.corrcoef(a32[:n], a16[:n])[0, 1]
+    assert corr > 0.98, corr
