@@ -347,7 +347,13 @@ class GroupNorm(Module):
 
 
 class InstanceNorm(Module):
-    """InstanceNorm1d over (N, L, C): stats per (N, C) across L."""
+    """InstanceNorm1d over (N, L, C): stats per (N, C) across L.
+
+    `valid_len` (N,) restricts the statistics to the first valid_len
+    positions — with bucketed static shapes this keeps normalization
+    identical to the reference's exact-length behavior (padding must be
+    excluded from the stats or the bucket size would change the output).
+    """
 
     def __init__(self, dims: int, eps: float = 1e-5, affine: bool = True):
         if affine:
@@ -355,10 +361,20 @@ class InstanceNorm(Module):
             self.bias = jnp.zeros((dims,))
         self.eps = eps
 
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, valid_len=None) -> jax.Array:
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-2, keepdims=True)
-        var = jnp.var(xf, axis=-2, keepdims=True)
+        if valid_len is None:
+            mean = jnp.mean(xf, axis=-2, keepdims=True)
+            var = jnp.var(xf, axis=-2, keepdims=True)
+        else:
+            L = x.shape[-2]
+            m = (jnp.arange(L)[None, :] < valid_len[:, None])[..., None]
+            cnt = jnp.maximum(valid_len, 1).astype(jnp.float32)[:, None, None]
+            mean = jnp.where(m, xf, 0.0).sum(axis=-2, keepdims=True) / cnt
+            var = (
+                jnp.where(m, (xf - mean) ** 2, 0.0).sum(axis=-2, keepdims=True)
+                / cnt
+            )
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if hasattr(self, "weight"):
             y = y * self.weight.astype(jnp.float32) + self.bias.astype(jnp.float32)

@@ -27,25 +27,43 @@ def lstm_scan(
     h0: jax.Array,  # (N, H)
     c0: jax.Array,  # (N, H)
     reverse: bool = False,
+    mask: Optional[jax.Array] = None,  # (N, T) True = valid step
 ):
-    """Run an LSTM over time. Returns (hidden_states (N,T,H), (hT, cT))."""
+    """Run an LSTM over time. Returns (hidden_states (N,T,H), (hT, cT)).
+
+    With `mask`, the carry freezes on padded steps — a reversed scan over a
+    right-padded sequence then reaches the last *valid* step with the clean
+    initial state, making outputs independent of the bucket padding length.
+    """
     H = wh.shape[1]
     whT = wh.T.astype(x_proj.dtype)
 
-    def step(carry, xt):
+    def step(carry, inp):
         h, c = carry
+        xt = inp[0] if mask is not None else inp
         z = xt + jnp.matmul(h, whT, preferred_element_type=xt.dtype)
         i = jax.nn.sigmoid(z[..., 0 * H : 1 * H])
         f = jax.nn.sigmoid(z[..., 1 * H : 2 * H])
         g = jnp.tanh(z[..., 2 * H : 3 * H])
         o = jax.nn.sigmoid(z[..., 3 * H : 4 * H])
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        return (h, c), h
+        cn = f * c + i * g
+        hn = o * jnp.tanh(cn)
+        if mask is not None:
+            mt = inp[1][:, None]
+            cn = jnp.where(mt, cn, c)
+            hn = jnp.where(mt, hn, h)
+        return (hn, cn), hn
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # (T, N, 4H)
-    (hT, cT), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    inputs = xs if mask is None else (xs, jnp.swapaxes(mask, 0, 1))
+    (hT, cT), hs = jax.lax.scan(step, (h0, c0), inputs, reverse=reverse)
     return jnp.swapaxes(hs, 0, 1), (hT, cT)
+
+
+def _length_mask(T: int, valid_len: Optional[jax.Array]):
+    if valid_len is None:
+        return None
+    return jnp.arange(T)[None, :] < valid_len[:, None]
 
 
 class LSTM(Module):
@@ -68,7 +86,8 @@ class LSTM(Module):
             self.bias_hh = jnp.zeros((4 * hidden_size,))
         self.hidden_size = hidden_size
 
-    def __call__(self, x: jax.Array, hidden=None, reverse: bool = False):
+    def __call__(self, x: jax.Array, hidden=None, reverse: bool = False,
+                 valid_len: Optional[jax.Array] = None):
         N = x.shape[0]
         H = self.hidden_size
         xp = jnp.matmul(x, self.Wx.T.astype(x.dtype), preferred_element_type=x.dtype)
@@ -79,19 +98,27 @@ class LSTM(Module):
             c0 = jnp.zeros((N, H), dtype=x.dtype)
         else:
             h0, c0 = hidden
-        return lstm_scan(xp, self.Wh, h0, c0, reverse=reverse)
+        return lstm_scan(
+            xp, self.Wh, h0, c0, reverse=reverse,
+            mask=_length_mask(x.shape[1], valid_len),
+        )
 
 
 class BiLSTM(Module):
-    """Bidirectional LSTM: concat of forward and backward hidden states."""
+    """Bidirectional LSTM: concat of forward and backward hidden states.
+
+    `valid_len` (B,) makes outputs at valid positions independent of the
+    right-padding length: the forward direction is naturally immune, the
+    reversed direction freezes its carry across padded steps.
+    """
 
     def __init__(self, input_size: int, hidden_size: int, bias: bool = True):
         self.forward = LSTM(input_size, hidden_size, bias)
         self.backward = LSTM(input_size, hidden_size, bias)
 
-    def __call__(self, x: jax.Array):
+    def __call__(self, x: jax.Array, valid_len: Optional[jax.Array] = None):
         fwd, _ = self.forward(x)
-        bwd, _ = self.backward(x, reverse=True)
+        bwd, _ = self.backward(x, reverse=True, valid_len=valid_len)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 

@@ -32,6 +32,7 @@ from . import audio_io
 
 NUM_WORKERS = int(os.environ.get("MLX_AUDIO_NUM_WORKERS", "1"))
 ALLOWED_ORIGINS = os.environ.get("MLX_AUDIO_ALLOWED_ORIGINS", "*")
+BATCHING = os.environ.get("MLX_AUDIO_BATCHING", "1") != "0"
 
 
 class ModelProvider:
@@ -46,7 +47,15 @@ class ModelProvider:
             if model_name not in self._models:
                 from .utils import load_model
 
-                self._models[model_name] = load_model(model_name)
+                model = load_model(model_name)
+                # Per-chip request batching (BASELINE serving north star):
+                # models exposing batch_synthesize get a scheduler so
+                # concurrent requests fuse into one XLA dispatch.
+                if BATCHING and hasattr(model, "batch_synthesize"):
+                    from .serving import KokoroBatcher
+
+                    KokoroBatcher(model).install()
+                self._models[model_name] = model
             return self._models[model_name]
 
     def list_models(self) -> List[str]:

@@ -1,0 +1,185 @@
+"""Request-batching scheduler for serving — queue → bucket → batch per chip.
+
+NEW relative to the reference (which serves one request at a time per
+process; SURVEY §2.8): on TPU, a single chip easily saturates only with
+batched work, so concurrent requests arriving within a small window are
+fused into one XLA dispatch (BASELINE north star: "server batches
+concurrent TTS/STT streams per chip").
+
+Design: `BatchScheduler` is model-agnostic — it owns a queue and a worker
+thread; requests submitted within `window_ms` of each other are grouped by
+a bucket key (padded-shape class) and handed to `batch_fn` as one list.
+`KokoroBatcher` adapts it to the Kokoro TTS model via
+`Model.batch_synthesize` (one frontend + one decoder dispatch for the whole
+group). The TTS pipeline picks the batcher up through `register_infer_hook`,
+so `model.generate()` transparently batches under a running server.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+__all__ = [
+    "BatchScheduler",
+    "KokoroBatcher",
+    "register_infer_hook",
+    "unregister_infer_hook",
+    "get_infer_hook",
+]
+
+
+class BatchScheduler:
+    """Fuses concurrent submissions into batched calls.
+
+    batch_fn(items: list) -> list of results (same order/length).
+    bucket_fn(item) -> hashable key; only items with equal keys share a
+    batch (shape-bucket + static-arg compatibility).
+    """
+
+    def __init__(
+        self,
+        batch_fn: Callable[[List[Any]], List[Any]],
+        bucket_fn: Callable[[Any], Any] = lambda item: None,
+        max_batch: int = 8,
+        window_ms: float = 8.0,
+    ):
+        self.batch_fn = batch_fn
+        self.bucket_fn = bucket_fn
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._q: "queue.Queue[Tuple[Any, Future]]" = queue.Queue()
+        self._stop = threading.Event()
+        self.dispatch_count = 0  # batched device dispatches (for tests/metrics)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, item: Any) -> Future:
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def __call__(self, item: Any, timeout: Optional[float] = None) -> Any:
+        """Blocking submit."""
+        return self.submit(item).result(timeout=timeout)
+
+    def close(self):
+        self._stop.set()
+        self._q.put((None, None))  # wake worker
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _collect(self) -> List[Tuple[Any, Future]]:
+        """Block for the first item, then drain arrivals for one window."""
+        item = self._q.get()
+        if item[1] is None:
+            return []
+        batch = [item]
+        deadline = time.monotonic() + self.window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt[1] is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _worker(self):
+        while not self._stop.is_set():
+            pending = self._collect()
+            if not pending:
+                continue
+            # group by bucket key, preserving arrival order inside groups
+            groups: Dict[Any, List[Tuple[Any, Future]]] = {}
+            for item, fut in pending:
+                groups.setdefault(self.bucket_fn(item), []).append((item, fut))
+            for group in groups.values():
+                items = [it for it, _ in group]
+                try:
+                    results = self.batch_fn(items)
+                    self.dispatch_count += 1
+                    for (_, fut), res in zip(group, results):
+                        fut.set_result(res)
+                except Exception as e:  # pragma: no cover - defensive
+                    for _, fut in group:
+                        if not fut.done():
+                            fut.set_exception(e)
+
+
+# ---------------------------------------------------------------------------
+# Infer-hook registry: lets pipelines route their device call through a
+# batcher without growing host-side state on the (pytree) model object.
+# ---------------------------------------------------------------------------
+
+_INFER_HOOKS: Dict[int, Callable] = {}
+
+
+def register_infer_hook(model, hook: Callable) -> None:
+    _INFER_HOOKS[id(model)] = hook
+
+
+def unregister_infer_hook(model) -> None:
+    _INFER_HOOKS.pop(id(model), None)
+
+
+def get_infer_hook(model) -> Optional[Callable]:
+    return _INFER_HOOKS.get(id(model))
+
+
+# ---------------------------------------------------------------------------
+# Kokoro adapter
+# ---------------------------------------------------------------------------
+
+
+class KokoroBatcher:
+    """Batches Kokoro phoneme-segment synthesis across concurrent requests.
+
+    Bucket key = (text-length bucket, speed): rows in one bucket share the
+    padded shapes of both jitted stages, so a group costs exactly one
+    frontend + one synthesize dispatch. Install with `.install()`; the
+    pipeline then transparently routes `model(ps, ref_s, speed)` through
+    this scheduler for every `generate()` call.
+    """
+
+    def __init__(self, model, max_batch: int = 8, window_ms: float = 8.0):
+        from .tts.models.kokoro.kokoro import TEXT_BUCKETS, _bucket
+
+        self.model = model
+        self._bucket = lambda n: _bucket(n, TEXT_BUCKETS)
+        self.sched = BatchScheduler(
+            self._run, self._key, max_batch=max_batch, window_ms=window_ms
+        )
+
+    def _key(self, item):
+        ps, _ref_s, speed = item
+        return (self._bucket(len(ps) + 2), float(speed))
+
+    def _run(self, items):
+        ps_list = [ps for ps, _, _ in items]
+        refs = [r for _, r, _ in items]
+        speed = items[0][2]
+        return self.model.batch_synthesize(ps_list, refs, speed=speed)
+
+    def __call__(self, ps: str, ref_s, speed: float = 1.0):
+        return self.sched((ps, ref_s, speed))
+
+    def install(self):
+        register_infer_hook(self.model, self)
+        return self
+
+    def close(self):
+        unregister_infer_hook(self.model)
+        self.sched.close()
+
+    @property
+    def dispatch_count(self) -> int:
+        return self.sched.dispatch_count

@@ -141,10 +141,13 @@ class SineGen(Module):
         self.voiced_threshold = voiced_threshold
         self.upsample_scale = int(upsample_scale)
 
-    def _f02sine(self, f0_values: jax.Array, key: jax.Array) -> jax.Array:
-        # f0_values: (B, L, dim) at audio rate
+    def _f02sine(self, f0_values: jax.Array, keys: jax.Array) -> jax.Array:
+        # f0_values: (B, L, dim) at audio rate; keys: (B, 2) per-row PRNG —
+        # noise is drawn per row so a request's waveform does not depend on
+        # its batch position or on the batch size (serving determinism).
         rad = jnp.mod(f0_values / self.sampling_rate, 1.0)
-        rand_ini = jax.random.normal(key, (f0_values.shape[0], f0_values.shape[2]))
+        dim = f0_values.shape[2]
+        rand_ini = jax.vmap(lambda k: jax.random.normal(k, (dim,)))(keys)
         rand_ini = rand_ini.at[:, 0].set(0.0)
         rad = rad.at[:, 0, :].add(rand_ini)
         # downsample phase increments to frame rate, integrate, upsample back
@@ -156,14 +159,17 @@ class SineGen(Module):
         )
         return jnp.sin(jnp.swapaxes(phase_up, 1, 2))
 
-    def __call__(self, f0: jax.Array, key: jax.Array):
-        # f0: (B, L, 1) at audio rate
-        k1, k2 = jax.random.split(key)
+    def __call__(self, f0: jax.Array, keys: jax.Array):
+        # f0: (B, L, 1) at audio rate; keys: (B, 2) per-row PRNG
+        split = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+        k1, k2 = split[:, 0], split[:, 1]
         fn = f0 * jnp.arange(1, self.harmonic_num + 2, dtype=f0.dtype)[None, None, :]
         sine_waves = self._f02sine(fn, k1) * self.sine_amp
         uv = (f0 > self.voiced_threshold).astype(jnp.float32)
         noise_amp = uv * self.noise_std + (1 - uv) * self.sine_amp / 3
-        noise = noise_amp * jax.random.normal(k2, sine_waves.shape)
+        noise = noise_amp * jax.vmap(
+            lambda k, sw: jax.random.normal(k, sw.shape)
+        )(k2, sine_waves)
         return sine_waves * uv + noise, uv
 
 
@@ -178,8 +184,8 @@ class SourceModuleHnNSF(Module):
         )
         self.l_linear = Linear(harmonic_num + 1, 1)
 
-    def __call__(self, x: jax.Array, key: jax.Array):
-        sine_wavs, uv = self.l_sin_gen(x, key)
+    def __call__(self, x: jax.Array, keys: jax.Array):
+        sine_wavs, uv = self.l_sin_gen(x, keys)
         sine_merge = jnp.tanh(self.l_linear(sine_wavs))
         return sine_merge, uv
 
@@ -236,16 +242,19 @@ class Generator(Module):
             win_length=gen_istft_n_fft,
         )
 
-    def __call__(self, x: jax.Array, s: jax.Array, f0: jax.Array, key: jax.Array):
-        # x: (B, T, C); f0: (B, T_f0) frame-rate F0 curve.
+    def __call__(self, x: jax.Array, s: jax.Array, f0: jax.Array,
+                 keys: jax.Array, valid_frac=None):
+        # x: (B, T, C); f0: (B, T_f0) frame-rate F0 curve; keys (B,2) or (2,).
         # The NSF source is phase-critical (cumsum over the full audio length)
         # so it always runs f32 regardless of the conv stack's compute dtype.
+        if keys.ndim == 1:
+            keys = jnp.broadcast_to(keys[None], (x.shape[0], keys.shape[0]))
         f0_up = interpolate(
             f0.astype(jnp.float32)[:, None, :],
             scale_factor=self.total_upsample,
             mode="nearest",
         )  # (B, 1, L)
-        har_source, _ = self.m_source(jnp.swapaxes(f0_up, 1, 2), key)  # (B, L, 1)
+        har_source, _ = self.m_source(jnp.swapaxes(f0_up, 1, 2), keys)  # (B, L, 1)
         har_spec, har_phase = self.stft.transform(har_source[..., 0])
         har = jnp.concatenate([har_spec, har_phase], axis=1)  # (B, 22, T')
         har = jnp.swapaxes(har, 1, 2).astype(x.dtype)  # (B, T', 22)
@@ -253,14 +262,14 @@ class Generator(Module):
         for i in range(self.num_upsamples):
             x = leaky_relu(x, 0.1)
             x_source = self.noise_convs[i](har)
-            x_source = self.noise_res[i](x_source, s)
+            x_source = self.noise_res[i](x_source, s, valid_frac)
             x = self.ups[i](x)
             if i == self.num_upsamples - 1:
                 x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))  # reflection_pad (1, 0)
             x = x + x_source
             xs = None
             for j in range(self.num_kernels):
-                r = self.resblocks[i * self.num_kernels + j](x, s)
+                r = self.resblocks[i * self.num_kernels + j](x, s, valid_frac)
                 xs = r if xs is None else xs + r
             x = xs / self.num_kernels
 
@@ -293,16 +302,19 @@ class ResBlockAdaINSnake(Module):
         self.alpha1 = [jnp.ones((1, channels, 1)) for _ in dilations]
         self.alpha2 = [jnp.ones((1, channels, 1)) for _ in dilations]
 
-    def __call__(self, x: jax.Array, s: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, s: jax.Array, valid_frac=None) -> jax.Array:
+        from .modules import valid_len_at
+
+        vl = valid_len_at(x.shape[1], valid_frac)
         for c1, c2, n1, n2, a1, a2 in zip(
             self.convs1, self.convs2, self.adain1, self.adain2, self.alpha1, self.alpha2
         ):
             a1v = jnp.swapaxes(a1, 1, 2).astype(x.dtype)  # (1, 1, C)
             a2v = jnp.swapaxes(a2, 1, 2).astype(x.dtype)
-            xt = n1(x, s)
+            xt = n1(x, s, vl)
             xt = xt + (1.0 / a1v) * jnp.sin(a1v * xt) ** 2
             xt = c1(xt)
-            xt = n2(xt, s)
+            xt = n2(xt, s, vl)
             xt = xt + (1.0 / a2v) * jnp.sin(a2v * xt) ** 2
             xt = c2(xt)
             x = xt + x
@@ -337,18 +349,18 @@ class Decoder(Module):
             sample_rate=sample_rate,
         )
 
-    def __call__(self, asr, F0_curve, N, s, key):
+    def __call__(self, asr, F0_curve, N, s, keys, valid_frac=None):
         # asr: (B, T, 512); F0_curve/N: (B, 2T); s: (B, style)
         F0 = self.F0_conv(F0_curve[..., None])  # (B, T, 1)
         Nd = self.N_conv(N[..., None])
         x = jnp.concatenate([asr, F0, Nd], axis=-1)
-        x = self.encode(x, s)
+        x = self.encode(x, s, valid_frac)
         asr_res = self.asr_res[0](asr)
         res = True
         for block in self.decode:
             if res:
                 x = jnp.concatenate([x, asr_res, F0, Nd], axis=-1)
-            x = block(x, s)
+            x = block(x, s, valid_frac)
             if block.upsample_type:
                 res = False
-        return self.generator(x, s, F0_curve, key)
+        return self.generator(x, s, F0_curve, keys, valid_frac)

@@ -123,7 +123,7 @@ class Model(Module):
         d_en = model.bert_encoder(bert_out)
         s = ref_s[:, sd:]
         d = model.predictor.text_encoder(d_en, s, lengths, text_mask)
-        x = model.predictor.lstm(d)
+        x = model.predictor.lstm(d, valid_len=lengths)
         duration = model.predictor.duration_proj(x)
         duration = jax.nn.sigmoid(duration).sum(axis=-1) / speed
         pred_dur = jnp.clip(jnp.round(duration), 1, None).astype(jnp.int32)
@@ -134,21 +134,30 @@ class Model(Module):
     @staticmethod
     @partial(jax.jit, static_argnames=("num_frames",))
     def _synthesize(model: "Model", d, t_en, pred_dur, ref_s, key, num_frames: int):
-        """Alignment + prosody + decoder → waveform (1, num_frames*samples/frame)."""
-        dur = pred_dur[0]
-        ends = jnp.cumsum(dur)
-        starts = ends - dur
+        """Alignment + prosody + decoder → waveform (B, num_frames*samples/frame).
+
+        Batch-polymorphic: each batch row carries its own durations/style, so
+        the serving scheduler can fuse concurrent requests into one dispatch.
+        """
+        ends = jnp.cumsum(pred_dur, axis=1)  # (B, T)
+        starts = ends - pred_dur
         frame_idx = jnp.arange(num_frames)
-        # (T_text, num_frames) one-hot interval alignment
+        # (B, T_text, num_frames) one-hot interval alignment
         aln = (
-            (frame_idx[None, :] >= starts[:, None])
-            & (frame_idx[None, :] < ends[:, None])
+            (frame_idx[None, None, :] >= starts[..., None])
+            & (frame_idx[None, None, :] < ends[..., None])
         ).astype(d.dtype)
-        en = jnp.einsum("btc,tf->bfc", d, aln)
+        # Per-row valid fraction: norm statistics and reversed-LSTM carries
+        # ignore the bucket padding, so output is independent of the bucket
+        # size (matches the reference's exact-length behavior).
+        valid_frac = ends[:, -1].astype(jnp.float32) / num_frames
+        en = jnp.einsum("btc,btf->bfc", d, aln)
         s = ref_s[:, model.config.style_dim:]
-        F0_pred, N_pred = model.predictor.F0Ntrain(en, s)
-        asr = jnp.einsum("btc,tf->bfc", t_en, aln)
-        audio = model.decoder(asr, F0_pred, N_pred, ref_s[:, : model.config.style_dim], key)
+        F0_pred, N_pred = model.predictor.F0Ntrain(en, s, valid_frac)
+        asr = jnp.einsum("btc,btf->bfc", t_en, aln)
+        audio = model.decoder(
+            asr, F0_pred, N_pred, ref_s[:, : model.config.style_dim], key, valid_frac
+        )
         return audio
 
     # ------------------------------------------------------------------
@@ -190,6 +199,56 @@ class Model(Module):
         if return_output:
             return self.Output(audio=audio_np, pred_dur=pred_dur_np[0][:T])
         return audio_np
+
+    def batch_synthesize(self, phonemes_list, ref_s_list, speed: float = 1.0,
+                         key: Optional[jax.Array] = None):
+        """Fuse several requests into ONE frontend + ONE synthesize dispatch.
+
+        Serving path (BASELINE: "server batches concurrent TTS/STT streams
+        per chip"): all rows share the text/frame bucket and batch is padded
+        to a power of two, so concurrent requests cost one XLA program
+        instead of N. Returns a list of Output (audio trimmed per request).
+        """
+        B = len(phonemes_list)
+        idseqs = []
+        for ph in phonemes_list:
+            ids = [self.vocab.get(p) for p in ph]
+            ids = [i for i in ids if i is not None]
+            idseqs.append([0, *ids, 0])
+        Tmax = max(len(s) for s in idseqs)
+        Tpad = _bucket(Tmax, TEXT_BUCKETS)
+        Bpad = 1 << (B - 1).bit_length()  # pad batch to pow2 → few compiles
+        rows = idseqs + [idseqs[-1]] * (Bpad - B)
+        ids_arr = jnp.asarray(
+            [s + [0] * (Tpad - len(s)) for s in rows], jnp.int32
+        )
+        mask = jnp.asarray(
+            [[False] * len(s) + [True] * (Tpad - len(s)) for s in rows]
+        )
+        cdtype = self.bert_encoder.weight.dtype
+        refs = [np.asarray(r, np.float32).reshape(-1) for r in ref_s_list]
+        refs = refs + [refs[-1]] * (Bpad - B)
+        ref_s = jnp.asarray(np.stack(refs), cdtype)
+
+        pred_dur, d, t_en = self._frontend(self, ids_arr, mask, ref_s, float(speed))
+        pred_dur_np = np.asarray(jax.device_get(pred_dur))
+        totals = pred_dur_np.sum(axis=1)
+        num_frames = _bucket(int(totals.max()), FRAME_BUCKETS)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        # Every request keeps its own noise stream (same default key a
+        # sequential call would use) → batching does not change audio.
+        keys = jnp.broadcast_to(key, (Bpad, 2)) if key.ndim == 1 else key
+        audio = self._synthesize(self, d, t_en, pred_dur, ref_s, keys, num_frames)
+        spf = self.decoder.generator.total_upsample * 2
+        out = np.asarray(jax.device_get(audio))
+        return [
+            self.Output(
+                audio=out[i][: int(totals[i]) * spf],
+                pred_dur=pred_dur_np[i][: len(idseqs[i])],
+            )
+            for i in range(B)
+        ]
 
     # ------------------------------------------------------------------
 

@@ -52,7 +52,7 @@ class TextEncoder(Module):
         for conv, norm in self.cnn:
             x = leaky_relu(norm(conv(x)))
             x = jnp.where(m, 0.0, x)
-        x = self.lstm(x)
+        x = self.lstm(x, valid_len=input_lengths)
         return jnp.where(m, 0.0, x)
 
 
@@ -102,8 +102,17 @@ class DurationEncoder(Module):
                 x = jnp.concatenate([x, s], axis=-1)
                 x = jnp.where(m, 0.0, x)
             else:
-                x = block(x)  # (B, T, d_model)
+                x = block(x, valid_len=text_lengths)  # (B, T, d_model)
         return x  # (B, T, d_model + sty)
+
+
+def valid_len_at(T: int, valid_frac) -> "jax.Array | None":
+    """Valid length at a temporal resolution T given a per-row valid
+    fraction (B,) — every stage of the decode path is an integer up/down
+    sampling of the frame axis, so the fraction is resolution-invariant."""
+    if valid_frac is None:
+        return None
+    return jnp.round(valid_frac * T).astype(jnp.int32)
 
 
 class AdaIN1d(Module):
@@ -113,11 +122,11 @@ class AdaIN1d(Module):
         self.norm = InstanceNorm(num_features, affine=False)
         self.fc = Linear(style_dim, num_features * 2)
 
-    def __call__(self, x: jax.Array, s: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, s: jax.Array, valid_len=None) -> jax.Array:
         # x: (B, T, C)
         h = self.fc(s)
         gamma, beta = jnp.split(h[:, None, :], 2, axis=-1)
-        return (1 + gamma) * self.norm(x) + beta
+        return (1 + gamma) * self.norm(x, valid_len) + beta
 
 
 class UpSampleNearest2x(Module):
@@ -161,19 +170,19 @@ class AdainResBlk1d(Module):
             x = self.conv1x1(x)
         return x
 
-    def _residual(self, x, s):
-        x = leaky_relu(self.norm1(x, s))
+    def _residual(self, x, s, valid_frac=None):
+        x = leaky_relu(self.norm1(x, s, valid_len_at(x.shape[1], valid_frac)))
         if self.upsample_type:
             x = self.pool(x)  # (B, 2T-1, C)
             x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))
         x = self.conv1(x)
-        x = leaky_relu(self.norm2(x, s))
+        x = leaky_relu(self.norm2(x, s, valid_len_at(x.shape[1], valid_frac)))
         return self.conv2(x)
 
-    def __call__(self, x, s):
-        return (self._residual(x, s) + self._shortcut(x)) / jnp.sqrt(2.0).astype(
-            x.dtype
-        )
+    def __call__(self, x, s, valid_frac=None):
+        return (
+            self._residual(x, s, valid_frac) + self._shortcut(x)
+        ) / jnp.sqrt(2.0).astype(x.dtype)
 
 
 class ProsodyPredictor(Module):
@@ -200,15 +209,15 @@ class ProsodyPredictor(Module):
         self.F0_proj = Conv1d(d_hid // 2, 1, 1)
         self.N_proj = Conv1d(d_hid // 2, 1, 1)
 
-    def F0Ntrain(self, en: jax.Array, s: jax.Array):
+    def F0Ntrain(self, en: jax.Array, s: jax.Array, valid_frac=None):
         # en: (B, T_frames, d_hid+sty) channels-last
-        x = self.shared(en)  # (B, T, d_hid)
+        x = self.shared(en, valid_len=valid_len_at(en.shape[1], valid_frac))
         F0 = x
         for block in self.F0:
-            F0 = block(F0, s)
+            F0 = block(F0, s, valid_frac)
         F0 = self.F0_proj(F0)[..., 0]  # (B, 2T)
         N = x
         for block in self.N:
-            N = block(N, s)
+            N = block(N, s, valid_frac)
         N = self.N_proj(N)[..., 0]
         return F0, N

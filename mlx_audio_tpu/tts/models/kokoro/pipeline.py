@@ -186,6 +186,13 @@ class KokoroPipeline:
     @classmethod
     def infer(cls, model, ps: str, pack: np.ndarray, speed: float = 1.0):
         ref_s = pack[len(ps) - 1]
+        # Under a running server, a KokoroBatcher may be installed for this
+        # model: route through it so concurrent requests share one dispatch.
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(model)
+        if hook is not None:
+            return hook(ps, ref_s, speed)
         return model(ps, ref_s, speed, return_output=True)
 
     @dataclass
