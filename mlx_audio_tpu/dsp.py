@@ -46,37 +46,58 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+# The lru_cached inner functions return NUMPY arrays: caching a jnp array
+# would capture a tracer-backed constant if the first call happens inside a
+# jit trace, poisoning every later eager call (classic leak). The public
+# wrappers convert per call — free under jit (constant) and cheap eagerly.
+
+
 @lru_cache(maxsize=None)
+def _hanning_np(size: int, periodic: bool) -> np.ndarray:
+    denom = size if periodic else size - 1
+    n = np.arange(size)
+    return (0.5 * (1 - np.cos(2 * np.pi * n / denom))).astype(np.float32)
+
+
 def hanning(size: int, periodic: bool = False) -> jax.Array:
-    denom = size if periodic else size - 1
-    n = np.arange(size)
-    return jnp.asarray(0.5 * (1 - np.cos(2 * np.pi * n / denom)), dtype=jnp.float32)
+    return jnp.asarray(_hanning_np(size, periodic))
 
 
 @lru_cache(maxsize=None)
+def _hamming_np(size: int, periodic: bool) -> np.ndarray:
+    denom = size if periodic else size - 1
+    n = np.arange(size)
+    return (0.54 - 0.46 * np.cos(2 * np.pi * n / denom)).astype(np.float32)
+
+
 def hamming(size: int, periodic: bool = False) -> jax.Array:
-    denom = size if periodic else size - 1
-    n = np.arange(size)
-    return jnp.asarray(0.54 - 0.46 * np.cos(2 * np.pi * n / denom), dtype=jnp.float32)
+    return jnp.asarray(_hamming_np(size, periodic))
 
 
 @lru_cache(maxsize=None)
-def blackman(size: int, periodic: bool = False) -> jax.Array:
+def _blackman_np(size: int, periodic: bool) -> np.ndarray:
     denom = size if periodic else size - 1
     n = np.arange(size)
-    return jnp.asarray(
+    return (
         0.42
         - 0.5 * np.cos(2 * np.pi * n / denom)
-        + 0.08 * np.cos(4 * np.pi * n / denom),
-        dtype=jnp.float32,
-    )
+        + 0.08 * np.cos(4 * np.pi * n / denom)
+    ).astype(np.float32)
+
+
+def blackman(size: int, periodic: bool = False) -> jax.Array:
+    return jnp.asarray(_blackman_np(size, periodic))
 
 
 @lru_cache(maxsize=None)
-def bartlett(size: int, periodic: bool = False) -> jax.Array:
+def _bartlett_np(size: int, periodic: bool) -> np.ndarray:
     denom = size if periodic else size - 1
     n = np.arange(size)
-    return jnp.asarray(1 - 2 * np.abs(n - denom / 2) / denom, dtype=jnp.float32)
+    return (1 - 2 * np.abs(n - denom / 2) / denom).astype(np.float32)
+
+
+def bartlett(size: int, periodic: bool = False) -> jax.Array:
+    return jnp.asarray(_bartlett_np(size, periodic))
 
 
 STR_TO_WINDOW_FN = {
@@ -289,7 +310,7 @@ ISTFTCache = BatchISTFT  # name parity with the reference
 
 
 @lru_cache(maxsize=None)
-def mel_filters(
+def _mel_filters_np(
     sample_rate: int,
     n_fft: int,
     n_mels: int,
@@ -297,11 +318,12 @@ def mel_filters(
     f_max: Optional[float] = None,
     norm: Optional[str] = None,
     mel_scale: str = "htk",
-) -> jax.Array:
+) -> np.ndarray:
     """Triangular mel filterbank, shape (n_mels, n_fft//2 + 1).
 
     Matches torchaudio/reference semantics for both "htk" and "slaney"
-    scales, optional slaney area-normalization.
+    scales, optional slaney area-normalization. Cached as numpy (see the
+    window-function comment above).
     """
 
     def hz_to_mel(freq: float) -> float:
@@ -347,7 +369,21 @@ def mel_filters(
         enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
         fb = fb * enorm[None, :]
 
-    return jnp.asarray(fb.T, dtype=jnp.float32)
+    return fb.T.astype(np.float32)
+
+
+def mel_filters(
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    f_min: float = 0,
+    f_max: Optional[float] = None,
+    norm: Optional[str] = None,
+    mel_scale: str = "htk",
+) -> jax.Array:
+    return jnp.asarray(
+        _mel_filters_np(sample_rate, n_fft, n_mels, f_min, f_max, norm, mel_scale)
+    )
 
 
 def log_mel_spectrogram(

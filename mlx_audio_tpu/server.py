@@ -49,12 +49,10 @@ class ModelProvider:
 
                 model = load_model(model_name)
                 # Per-chip request batching (BASELINE serving north star):
-                # models exposing batch_synthesize get a scheduler so
-                # concurrent requests fuse into one XLA dispatch.
-                if BATCHING and hasattr(model, "batch_synthesize"):
-                    from .serving import KokoroBatcher
-
-                    KokoroBatcher(model).install()
+                # models exposing make_batcher get a scheduler so concurrent
+                # requests fuse into one XLA dispatch.
+                if BATCHING and hasattr(model, "make_batcher"):
+                    model.make_batcher().install()
                 self._models[model_name] = model
             return self._models[model_name]
 

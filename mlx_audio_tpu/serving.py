@@ -26,6 +26,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 __all__ = [
     "BatchScheduler",
     "KokoroBatcher",
+    "WhisperBatcher",
     "register_infer_hook",
     "unregister_infer_hook",
     "get_infer_hook",
@@ -171,6 +172,71 @@ class KokoroBatcher:
 
     def __call__(self, ps: str, ref_s, speed: float = 1.0):
         return self.sched((ps, ref_s, speed))
+
+    def install(self):
+        register_infer_hook(self.model, self)
+        return self
+
+    def close(self):
+        unregister_infer_hook(self.model)
+        self.sched.close()
+
+    @property
+    def dispatch_count(self) -> int:
+        return self.sched.dispatch_count
+
+
+# ---------------------------------------------------------------------------
+# Whisper adapter
+# ---------------------------------------------------------------------------
+
+
+class WhisperBatcher:
+    """Batches Whisper 30 s-window decodes across concurrent requests.
+
+    Each seek-loop iteration of `Model.generate` submits (mel window,
+    prompt, options, tokenizer); windows whose prompt length and decoding
+    options match are encoded and decoded as ONE batched device program
+    (`_decode_loop` is batch-polymorphic). Rows are independent, so batched
+    results equal sequential ones.
+    """
+
+    def __init__(self, model, max_batch: int = 8, window_ms: float = 10.0):
+        self.model = model
+        self.sched = BatchScheduler(
+            self._run, self._key, max_batch=max_batch, window_ms=window_ms
+        )
+
+    def _key(self, item):
+        _window, prompt, opts, _tok = item
+        return (
+            len(prompt),
+            float(opts.temperature),
+            bool(opts.without_timestamps),
+            opts.task,
+            opts.language,
+        )
+
+    def _run(self, items):
+        import jax.numpy as jnp
+
+        from .stt.models.whisper.decoding import decode_window_batch
+
+        model = self.model
+        windows = jnp.stack([jnp.asarray(w) for w, _, _, _ in items])
+        _xa, cross_kv = type(model)._encode(model, windows)
+        prompts = [list(p) for _, p, _, _ in items]
+        opts = items[0][2]
+        tokenizer = items[0][3]
+        return decode_window_batch(
+            model, cross_kv, tokenizer, prompts, opts,
+            n_ctx=model.dims.n_text_ctx, n_vocab=model.dims.n_vocab,
+            decoder_step=type(model)._decoder_step,
+            make_caches=model._make_caches,
+        )
+
+    def __call__(self, window, prompt, opts, tokenizer):
+        return self.sched((window, prompt, opts, tokenizer))
 
     def install(self):
         register_infer_hook(self.model, self)

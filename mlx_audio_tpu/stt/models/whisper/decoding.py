@@ -187,11 +187,11 @@ def _decode_loop(
     return tokens_buf, step, sum_lp, no_speech_prob
 
 
-def decode_window(
+def decode_window_batch(
     model,
     cross_kv,
     tokenizer,
-    prompt_tokens: Sequence[int],
+    prompt_rows: Sequence[Sequence[int]],
     options: DecodingOptions,
     n_ctx: int,
     n_vocab: int,
@@ -199,9 +199,15 @@ def decode_window(
     make_caches,
     sample_len: int = 224,
     seed: int = 0,
-) -> DecodingResult:
-    """Run one 30 s-window decode on device; fetch tokens once."""
-    prompt = jnp.asarray([list(prompt_tokens)], jnp.int32)
+) -> List[DecodingResult]:
+    """Decode B 30 s windows in ONE device program (`_decode_loop` is
+    batch-polymorphic; rows are independent, so the serving scheduler can
+    fuse concurrent requests' windows). All rows must share the prompt
+    length and decoding options; cross_kv carries the batched encoder
+    output. Fetches tokens once."""
+    rows = [list(p) for p in prompt_rows]
+    assert len({len(r) for r in rows}) == 1, "prompt rows must share a length"
+    prompt = jnp.asarray(rows, jnp.int32)
 
     suppress = np.zeros((n_vocab,), bool)
     if options.suppress_tokens:
@@ -231,7 +237,11 @@ def decode_window(
         else 50
     )
 
-    caches = make_caches()
+    # make_caches may be batch-aware (preferred) or a legacy 0-arg thunk
+    try:
+        caches = make_caches(len(rows))
+    except TypeError:
+        caches = make_caches()
     tokens_buf, n_steps, sum_lp, no_speech_prob = _decode_loop(
         model, caches, cross_kv, prompt, jnp.asarray(suppress),
         jax.random.PRNGKey(seed), decoder_step,
@@ -246,19 +256,45 @@ def decode_window(
         (tokens_buf, n_steps, sum_lp, no_speech_prob)
     )
     Tp = prompt.shape[1]
-    seq = []
-    for t in toks[0, Tp : Tp + int(n_steps)]:
-        if t == tokenizer.eot:
-            break
-        seq.append(int(t))
-    text = tokenizer.decode(seq).strip()
-    n_tok = len(seq) + 1
-    return DecodingResult(
-        tokens=seq,
-        text=text,
-        avg_logprob=float(sum_lp[0]) / max(n_tok, 1),
-        no_speech_prob=float(nsp[0]),
-        temperature=options.temperature,
-        compression_ratio=compression_ratio(text),
-        language=options.language,
-    )
+    results = []
+    for b in range(len(rows)):
+        seq = []
+        for t in toks[b, Tp : Tp + int(n_steps)]:
+            if t == tokenizer.eot:
+                break
+            seq.append(int(t))
+        text = tokenizer.decode(seq).strip()
+        n_tok = len(seq) + 1
+        results.append(
+            DecodingResult(
+                tokens=seq,
+                text=text,
+                avg_logprob=float(sum_lp[b]) / max(n_tok, 1),
+                no_speech_prob=float(nsp[b]),
+                temperature=options.temperature,
+                compression_ratio=compression_ratio(text),
+                language=options.language,
+            )
+        )
+    return results
+
+
+def decode_window(
+    model,
+    cross_kv,
+    tokenizer,
+    prompt_tokens: Sequence[int],
+    options: DecodingOptions,
+    n_ctx: int,
+    n_vocab: int,
+    decoder_step,
+    make_caches,
+    sample_len: int = 224,
+    seed: int = 0,
+) -> DecodingResult:
+    """Run one 30 s-window decode on device; fetch tokens once."""
+    return decode_window_batch(
+        model, cross_kv, tokenizer, [list(prompt_tokens)], options,
+        n_ctx, n_vocab, decoder_step, make_caches,
+        sample_len=sample_len, seed=seed,
+    )[0]

@@ -464,6 +464,13 @@ class Model(Module):
         time_precision = 0.02
         n_gen_tokens = 0
 
+        # Under a running server a WhisperBatcher may be installed: route the
+        # per-window encode+decode through it so concurrent requests' windows
+        # fuse into one batched device program.
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+
         while seek < content_frames:
             window = mel_all[seek : seek + A.N_FRAMES]
             if window.shape[0] < A.N_FRAMES:
@@ -474,7 +481,9 @@ class Model(Module):
             )
             time_offset = seek * A.HOP_LENGTH / A.SAMPLE_RATE
 
-            xa, cross_kv = self._encode(self, window[None])
+            cross_kv = None
+            if hook is None or detected_language is None:
+                xa, cross_kv = self._encode(self, window[None])
 
             if detected_language is None:
                 detected_language, _ = self.detect_language(cross_kv, tokenizer)
@@ -504,12 +513,15 @@ class Model(Module):
                         if k in DecodingOptions.__dataclass_fields__
                     },
                 )
-                result = decode_window(
-                    self, cross_kv, tokenizer, prompt, opts,
-                    n_ctx=self.dims.n_text_ctx, n_vocab=self.dims.n_vocab,
-                    decoder_step=type(self)._decoder_step,
-                    make_caches=lambda: self._make_caches(1),
-                )
+                if hook is not None:
+                    result = hook(window, prompt, opts, tokenizer)
+                else:
+                    result = decode_window(
+                        self, cross_kv, tokenizer, prompt, opts,
+                        n_ctx=self.dims.n_text_ctx, n_vocab=self.dims.n_vocab,
+                        decoder_step=type(self)._decoder_step,
+                        make_caches=self._make_caches,
+                    )
                 ok = True
                 if result.compression_ratio > compression_ratio_threshold:
                     ok = False
@@ -584,6 +596,12 @@ class Model(Module):
             duration=content_duration,
             extra={"wall_seconds": wall, "xrt": content_duration / max(wall, 1e-9)},
         )
+
+    def make_batcher(self, **kwargs):
+        """Serving batcher: fuses concurrent requests' windows per dispatch."""
+        from ....serving import WhisperBatcher
+
+        return WhisperBatcher(self, **kwargs)
 
     PROMPT_BUCKETS = (8, 16, 32, 64, 128, 227)
 

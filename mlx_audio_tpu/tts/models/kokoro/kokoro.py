@@ -250,6 +250,12 @@ class Model(Module):
             for i in range(B)
         ]
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: fuses concurrent requests into one dispatch."""
+        from ....serving import KokoroBatcher
+
+        return KokoroBatcher(self, **kwargs)
+
     # ------------------------------------------------------------------
 
     @property

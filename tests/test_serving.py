@@ -155,3 +155,59 @@ def test_kokoro_batcher_fuses_concurrent_requests(kokoro_tiny):
     finally:
         batcher.close()
     assert get_infer_hook(kokoro_tiny) is None
+
+
+# ---------------------------------------------------------------------------
+# Batched Whisper STT path
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def whisper_tiny():
+    from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
+    from mlx_audio_tpu.stt.models.whisper.tokenizer import DummyTokenizer
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=1, n_vocab=2000, n_text_ctx=448, n_text_state=64,
+        n_text_head=2, n_text_layer=1,
+    )
+    return Model(dims), DummyTokenizer(n_vocab=2000)
+
+
+def test_whisper_batcher_matches_sequential(whisper_tiny):
+    from mlx_audio_tpu.serving import WhisperBatcher, get_infer_hook
+
+    model, tok = whisper_tiny
+    rng = np.random.default_rng(0)
+    audios = [
+        (rng.standard_normal(16000 * 2) * 0.05).astype(np.float32)
+        for _ in range(3)
+    ]
+    kw = dict(language="en", temperature=0.0, tokenizer=tok,
+              condition_on_previous_text=False)
+
+    seq = [model.generate(a, **kw) for a in audios]
+
+    batcher = WhisperBatcher(model, max_batch=4, window_ms=300.0).install()
+    try:
+        results = [None] * 3
+
+        def run(i):
+            results[i] = model.generate(audios[i], **kw)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert all(r is not None for r in results)
+        for s, b in zip(seq, results):
+            assert s.text == b.text
+            assert len(s.segments) == len(b.segments)
+        # one 30s window per request, same prompt/options → one fused decode
+        assert batcher.dispatch_count == 1
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None
