@@ -463,6 +463,7 @@ class Model(Module):
 
         time_precision = 0.02
         n_gen_tokens = 0
+        last_speech_timestamp = 0.0
 
         # Under a running server a WhisperBatcher may be installed: route the
         # per-window encode+decode through it so concurrent requests' windows
@@ -572,6 +573,22 @@ class Model(Module):
                     )
                 )
                 seek += A.N_FRAMES
+
+            if word_timestamps:
+                from .timing import add_word_timestamps
+
+                window_seek = round(time_offset * A.FRAMES_PER_SECOND)
+                segment_frames = min(A.N_FRAMES, content_frames - window_seek)
+                for s in segments_here:
+                    s["seek"] = window_seek
+                add_word_timestamps(
+                    segments=segments_here, model=self, tokenizer=tokenizer,
+                    mel=window, num_frames=segment_frames,
+                    last_speech_timestamp=last_speech_timestamp,
+                )
+                for s in segments_here:
+                    if s.get("words"):
+                        last_speech_timestamp = s["end"]
 
             for s in segments_here:
                 s["id"] = len(all_segments)

@@ -127,3 +127,22 @@ def test_writers(tmp_path):
         assert (tmp_path / f"clip.{fmt}").exists()
     srt = (tmp_path / "clip.srt").read_text()
     assert "00:00:00,000 --> 00:00:01,500" in srt
+
+
+def test_generate_word_timestamps(tiny):
+    """word_timestamps=True annotates segments with per-word timings via
+    cross-attention DTW (reference whisper.py word_timestamps path)."""
+    model, tok = tiny
+    audio = (np.random.default_rng(3).standard_normal(16000 * 2) * 0.05).astype(
+        np.float32
+    )
+    out = model.generate(
+        audio, language="en", temperature=0.0, tokenizer=tok,
+        condition_on_previous_text=False, word_timestamps=True,
+    )
+    assert isinstance(out, STTOutput)
+    for seg in out.segments:
+        assert "words" in seg
+        for w in seg["words"]:
+            assert set(w) == {"word", "start", "end", "probability"}
+            assert w["end"] >= w["start"] >= 0.0
