@@ -73,8 +73,28 @@ model_provider = ModelProvider()
 # ---------------------------------------------------------------------------
 
 
+def _wav_stream_header(sample_rate: int) -> bytes:
+    """WAV header with unknown (max) data size — lets PCM frames stream
+    chunk-by-chunk; players treat 0xFFFFFFFF as 'read until EOF'."""
+    import struct
+
+    byte_rate = sample_rate * 2
+    fmt_chunk = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
+
+
 def generate_speech(payload: dict, provider: ModelProvider = None):
-    """Yield encoded audio chunks for a TTS request (reference :256-316)."""
+    """Yield encoded audio chunks for a TTS request (reference :256-316).
+
+    Streaming: wav/pcm responses are emitted per generated segment (header
+    first for wav), so time-to-first-byte is one segment's synthesis, not
+    the whole utterance. Formats needing the full signal (mp3/flac/ogg)
+    buffer and encode once at the end.
+    """
     provider = provider or model_provider
     model_name = payload.get("model", "prince-canuma/Kokoro-82M")
     fmt = payload.get("response_format", "wav")
@@ -89,11 +109,25 @@ def generate_speech(payload: dict, provider: ModelProvider = None):
         ).items()
         if v is not None
     }
+    streamable = fmt in ("wav", "pcm")
     sample_rate = None
     pcm = []
+    sent_header = False
     for result in model.generate(**gen_kwargs):
         sample_rate = result.sample_rate
-        pcm.append(np.asarray(result.audio).reshape(-1))
+        chunk = np.asarray(result.audio).reshape(-1)
+        if not streamable:
+            pcm.append(chunk)
+            continue
+        if fmt == "wav" and not sent_header:
+            yield _wav_stream_header(sample_rate)
+            sent_header = True
+        pcm16 = np.clip(chunk, -1.0, 1.0)
+        yield (pcm16 * 32767.0).astype("<i2").tobytes()
+    if streamable:
+        if fmt == "wav" and not sent_header:
+            yield _wav_stream_header(sample_rate or 24000)
+        return
     audio = np.concatenate(pcm) if pcm else np.zeros(1, np.float32)
     yield audio_io.encode_bytes(audio, sample_rate or 24000, fmt)
 

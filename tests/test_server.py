@@ -122,3 +122,36 @@ def test_unknown_route_404(server_url):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_generate_speech_streams_per_segment():
+    """wav responses stream: header first, then one PCM chunk per generated
+    segment (reference server.py:256-316 streams encoded chunks)."""
+
+    class MultiSegTTS:
+        def generate(self, text, **kwargs):
+            for _ in range(3):
+                yield GenerationResult(
+                    audio=np.full(1200, 0.5, np.float32), samples=1200,
+                    sample_rate=24000,
+                )
+
+    class P(srv.ModelProvider):
+        def load_model(self, name):
+            return MultiSegTTS()
+
+    chunks = list(srv.generate_speech({"model": "m", "input": "x"}, P()))
+    assert len(chunks) == 4  # header + 3 segments
+    assert chunks[0][:4] == b"RIFF"
+    joined = b"".join(chunks)
+    x, sr = audio_io.read(joined)
+    assert sr == 24000 and x.shape[0] == 3600
+    assert np.allclose(x, 0.5, atol=1e-3)
+
+    # pcm: raw int16 frames, no header
+    chunks = list(
+        srv.generate_speech({"model": "m", "input": "x", "response_format": "pcm"}, P())
+    )
+    assert len(chunks) == 3
+    pcm = np.frombuffer(b"".join(chunks), "<i2")
+    assert pcm.shape[0] == 3600
