@@ -31,10 +31,13 @@ def generate_transcription(
     if verbose:
         print(result.text)
         if result.duration:
+            from ..profiling import peak_memory_gb
+
             print(
                 f"--- {result.duration:.1f}s audio in {wall:.2f}s "
                 f"({result.duration / max(wall, 1e-9):.1f}x realtime), "
-                f"{result.generation_tokens} tokens"
+                f"{result.generation_tokens} tokens, "
+                f"peak memory {peak_memory_gb():.3f} GB"
             )
     if output_path is not None:
         from .models.whisper.writers import get_writer

@@ -26,6 +26,14 @@ class GenerationResult:
     processing_time_seconds: float = 0.0
     peak_memory_usage: float = 0.0
 
+    def __post_init__(self):
+        # 0.0 is the "unknown" sentinel models pass — fill with the real HBM
+        # high-water mark (reference reports mx.get_peak_memory per segment).
+        if not self.peak_memory_usage:
+            from ...profiling import peak_memory_gb
+
+            self.peak_memory_usage = peak_memory_gb()
+
 
 def format_duration(seconds: float) -> str:
     hours = int(seconds // 3600)
