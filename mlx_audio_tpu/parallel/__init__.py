@@ -5,4 +5,5 @@ from .mesh import (
     DIT_TP_RULES,
     LLAMA_TP_RULES,
     data_parallel_call,
+    shard_sequence,
 )

@@ -119,6 +119,24 @@ def replicate(model, mesh: Mesh):
     return shard_module(model, mesh, rules=[])
 
 
+def shard_sequence(x, mesh: Mesh, dim: int = 1, axis: str = "model"):
+    """Shard a (long) sequence dimension over a mesh axis.
+
+    Sequence parallelism for long-audio encoder forwards (SURVEY §5): put
+    the time axis of the mel/audio input on the `model` axis and jit the
+    unmodified encoder — XLA's SPMD partitioner inserts the halo exchanges
+    for convolutions and the all-gathers/reduces for attention, following
+    the input sharding (the scaling-book recipe: annotate, let XLA insert
+    collectives). Falls back to replication if the dim doesn't divide.
+    """
+    size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
+    if x.shape[dim] % size != 0:
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
 def data_parallel_call(fn, mesh: Mesh):
     """Wrap `fn(model, batch)` so the batch is sharded over the `data` axis
     and the model is replicated — per-chip request batching for serving."""

@@ -82,3 +82,38 @@ def test_dit_tensor_parallel_forward():
     assert out.shape == (1, 6, 16)
     # sharded execution must match the single-device result
     assert np.allclose(out, ref, atol=1e-4)
+
+
+def test_sequence_parallel_whisper_encoder():
+    """Long-audio sequence parallelism: mel time axis sharded over the model
+    axis; the unmodified encoder jits and matches the single-device result
+    (GSPMD inserts conv halos + attention collectives)."""
+    from mlx_audio_tpu.parallel import replicate, shard_sequence
+    from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=1, n_vocab=100, n_text_ctx=448, n_text_state=64,
+        n_text_head=2, n_text_layer=1,
+    )
+    model = Model(dims)
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 3000, 80)), jnp.float32
+    ) * 0.1
+    ref = np.asarray(model.encoder(mel))
+
+    mesh = get_mesh(data=2, model=4)
+    rep = replicate(model, mesh)
+    mel_sp = shard_sequence(mel, mesh, dim=1, axis="model")
+    out = jax.jit(lambda m, x: m.encoder(x))(rep, mel_sp)
+    assert out.sharding.spec is not None  # executed under the mesh
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_shard_sequence_fallback_replicates():
+    from mlx_audio_tpu.parallel import shard_sequence
+
+    mesh = get_mesh(data=2, model=4)
+    x = jnp.zeros((1, 37, 8))  # 37 not divisible by 4
+    y = shard_sequence(x, mesh, dim=1, axis="model")
+    assert np.asarray(y).shape == (1, 37, 8)
