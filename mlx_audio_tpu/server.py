@@ -157,6 +157,68 @@ def transcribe_audio(file_bytes: bytes, payload: dict,
     return out
 
 
+class RealtimeSTTSession:
+    """Transport-independent realtime STT state machine (reference
+    server.py:415-706): 16 kHz int16 PCM frames in → partial transcripts
+    every `partial_interval` s of buffered speech, finals on
+    `silence_gap` s of silence or at `max_buffer` s. Energy-gated VAD
+    stands in for webrtcvad (same thresholds as the WS endpoint)."""
+
+    def __init__(self, model, partial_interval: float = 1.5,
+                 silence_gap: float = 0.5, max_buffer: float = 30.0,
+                 energy_threshold: float = 0.01, sample_rate: int = 16000):
+        self.model = model
+        self.partial_interval = partial_interval
+        self.silence_gap = silence_gap
+        self.max_buffer = max_buffer
+        self.energy_threshold = energy_threshold
+        self.sample_rate = sample_rate
+        self.buffer = np.zeros(0, np.float32)
+        self.silence_run = 0.0
+        self.last_partial = 0.0
+
+    def _decode(self) -> str:
+        result = self.model.generate(self.buffer)
+        return result.text
+
+    def feed(self, pcm16: bytes) -> List[dict]:
+        """Feed raw int16 PCM; returns 0+ events {type: partial|final, text}."""
+        frame = np.frombuffer(pcm16, np.int16).astype(np.float32) / 32768.0
+        energy = float(np.sqrt((frame**2).mean() + 1e-12)) if len(frame) else 0.0
+        if energy > self.energy_threshold:
+            self.silence_run = 0.0
+        else:
+            self.silence_run += len(frame) / self.sample_rate
+        self.buffer = np.concatenate([self.buffer, frame])
+        buffered = len(self.buffer) / self.sample_rate
+
+        events: List[dict] = []
+        final = (
+            self.silence_run >= self.silence_gap and buffered > self.silence_gap
+        ) or buffered >= self.max_buffer
+        if final or buffered - self.last_partial >= self.partial_interval:
+            if len(self.buffer) >= self.sample_rate // 10:
+                events.append({
+                    "type": "final" if final else "partial",
+                    "text": self._decode(),
+                })
+            if final:
+                self.buffer = np.zeros(0, np.float32)
+                self.silence_run = 0.0
+                self.last_partial = 0.0
+            else:
+                self.last_partial = buffered
+        return events
+
+    def finalize(self) -> Optional[dict]:
+        """Flush the remaining buffer as a final transcript."""
+        if len(self.buffer) >= self.sample_rate // 10:
+            text = self._decode()
+            self.buffer = np.zeros(0, np.float32)
+            return {"type": "final", "text": text}
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Stdlib HTTP transport
 # ---------------------------------------------------------------------------
@@ -220,7 +282,12 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
 
     def do_GET(self):
-        if self.path == "/health":
+        if (
+            self.path.split("?")[0] == "/v1/audio/speech/stream"
+            and "websocket" in self.headers.get("Upgrade", "").lower()
+        ):
+            self._realtime_ws()
+        elif self.path == "/health":
             self._json(200, {"status": "ok"})
         elif self.path == "/v1/models":
             models = self.provider.list_models()
@@ -234,6 +301,51 @@ class _Handler(BaseHTTPRequestHandler):
             })
         else:
             self._json(404, {"error": "not found"})
+
+    def _realtime_ws(self):
+        """Realtime STT over stdlib WebSocket (reference server.py:415-706;
+        the FastAPI transport shares RealtimeSTTSession)."""
+        from urllib.parse import parse_qs, urlparse
+
+        from .ws import OP_BINARY, WebSocketConnection, accept_key
+
+        key = self.headers.get("Sec-WebSocket-Key")
+        if not key:
+            self._json(400, {"error": "missing Sec-WebSocket-Key"})
+            return
+        self.send_response(101)
+        self.send_header("Upgrade", "websocket")
+        self.send_header("Connection", "Upgrade")
+        self.send_header("Sec-WebSocket-Accept", accept_key(key))
+        self.end_headers()
+
+        q = parse_qs(urlparse(self.path).query)
+        model_name = q.get("model", ["mlx-community/whisper-large-v3-turbo"])[0]
+        model = self.provider.load_model(model_name)
+        session = RealtimeSTTSession(model)
+        conn = WebSocketConnection(self.rfile, self.wfile)
+        try:
+            while True:
+                msg = conn.recv()
+                if msg is None:
+                    break
+                opcode, payload = msg
+                if opcode == OP_BINARY:
+                    for event in session.feed(payload):
+                        conn.send_text(json.dumps(event))
+                elif payload == b"finalize":
+                    event = session.finalize()
+                    if event:
+                        conn.send_text(json.dumps(event))
+        finally:
+            final = session.finalize()
+            if final:
+                try:
+                    conn.send_text(json.dumps(final))
+                except Exception:
+                    pass
+            conn.close()
+        self.close_connection = True
 
     def do_POST(self):
         try:
@@ -366,36 +478,18 @@ def create_app(provider: Optional[ModelProvider] = None):
     async def realtime_stt(ws: WebSocket):
         """Realtime STT: client streams 16 kHz int16 PCM frames; server sends
         partial transcripts every ~1.5 s of buffered speech and finals on
-        silence gaps (reference server.py:415-706; energy-gated in place of
-        webrtcvad when that package is absent)."""
+        silence gaps (reference server.py:415-706). Shares
+        RealtimeSTTSession with the stdlib WebSocket transport."""
         await ws.accept()
         model = provider.load_model(
             ws.query_params.get("model", "mlx-community/whisper-large-v3-turbo")
         )
-        buffer = np.zeros(0, np.float32)
-        last_partial = 0.0
-        silence_run = 0
+        session = RealtimeSTTSession(model)
         try:
             while True:
                 data = await ws.receive_bytes()
-                frame = np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
-                energy = float(np.sqrt((frame**2).mean() + 1e-12))
-                is_speech = energy > 0.01
-                silence_run = 0 if is_speech else silence_run + len(frame) / 16000
-                buffer = np.concatenate([buffer, frame])
-                now = len(buffer) / 16000
-                final = silence_run >= 0.5 or now >= 30.0
-                if final or now - last_partial >= 1.5:
-                    if len(buffer) >= 1600:
-                        result = model.generate(buffer)
-                        await ws.send_json(
-                            {"type": "final" if final else "partial",
-                             "text": result.text}
-                        )
-                    if final:
-                        buffer = np.zeros(0, np.float32)
-                        silence_run = 0
-                    last_partial = now
+                for event in session.feed(data):
+                    await ws.send_json(event)
         except Exception:
             pass
 

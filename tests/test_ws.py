@@ -1,0 +1,146 @@
+"""WebSocket layer + realtime STT session tests (dependency-free RFC 6455
+transport so realtime transcription works without fastapi/uvicorn)."""
+
+import io
+import json
+import socket
+import struct
+
+import numpy as np
+
+from mlx_audio_tpu import server as srv
+from mlx_audio_tpu import ws as wsmod
+from mlx_audio_tpu.stt.models.base import STTOutput
+
+
+class _Loopback:
+    """Pair of in-memory file objects wiring two WebSocketConnections."""
+
+    def __init__(self):
+        self.a_to_b = io.BytesIO()
+        self.b_to_a = io.BytesIO()
+
+
+def _pair():
+    # client writes into buf1, server reads buf1; server writes buf2
+    buf_c2s, buf_s2c = io.BytesIO(), io.BytesIO()
+    client = wsmod.WebSocketConnection(buf_s2c, buf_c2s, mask_outgoing=True)
+    server = wsmod.WebSocketConnection(buf_c2s, buf_s2c)
+    return client, server, buf_c2s, buf_s2c
+
+
+def test_accept_key_rfc_example():
+    # RFC 6455 §1.3 sample handshake
+    assert (
+        wsmod.accept_key("dGhlIHNhbXBsZSBub25jZQ==")
+        == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+    )
+
+
+def test_frame_roundtrip_masked_and_fragsizes():
+    client, server, c2s, _ = _pair()
+    client.send_text("hello")
+    client.send_binary(b"\x00" * 200)       # 126..65535 length path
+    client.send_binary(b"\x01" * 70000)     # 64-bit length path
+    c2s.seek(0)
+    op, payload = server.recv()
+    assert op == wsmod.OP_TEXT and payload == b"hello"
+    op, payload = server.recv()
+    assert op == wsmod.OP_BINARY and len(payload) == 200
+    op, payload = server.recv()
+    assert op == wsmod.OP_BINARY and len(payload) == 70000
+
+
+def test_ping_answered_and_close():
+    client, server, c2s, s2c = _pair()
+    client._send_frame(wsmod.OP_PING, b"hi")
+    client.send_text("after-ping")
+    c2s.seek(0)
+    op, payload = server.recv()
+    assert op == wsmod.OP_TEXT and payload == b"after-ping"
+    # server answered the ping with a pong before the text reply
+    s2c.seek(0)
+    fin_op = s2c.read(2)
+    assert fin_op[0] & 0x0F == wsmod.OP_PONG
+
+
+class SlowSTT:
+    def __init__(self):
+        self.calls = 0
+
+    def generate(self, audio, **kw):
+        self.calls += 1
+        return STTOutput(text=f"t{self.calls}:{len(audio)}", segments=[],
+                         language="en", duration=len(audio) / 16000)
+
+
+def _pcm(seconds, amp, sr=16000):
+    x = (np.random.default_rng(0).standard_normal(int(sr * seconds)) * amp)
+    return (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+
+
+def test_realtime_session_partials_and_finals():
+    stt = SlowSTT()
+    s = srv.RealtimeSTTSession(stt, partial_interval=1.0, silence_gap=0.5)
+    events = []
+    # 2 s of speech in 0.25 s frames → partials at ~1 s cadence
+    for _ in range(8):
+        events += s.feed(_pcm(0.25, 0.2))
+    assert any(e["type"] == "partial" for e in events)
+    assert not any(e["type"] == "final" for e in events)
+    # 0.75 s of silence → final fires, buffer resets
+    events2 = []
+    for _ in range(3):
+        events2 += s.feed(_pcm(0.25, 0.0))
+    assert any(e["type"] == "final" for e in events2)
+    # buffer was reset at the final; only frames after it remain
+    assert len(s.buffer) <= 2 * 4000
+
+
+def test_realtime_session_finalize_flushes():
+    stt = SlowSTT()
+    s = srv.RealtimeSTTSession(stt)
+    s.feed(_pcm(0.5, 0.2))
+    out = s.finalize()
+    assert out and out["type"] == "final"
+    assert s.finalize() is None  # empty buffer → nothing
+
+
+def test_stdlib_websocket_realtime_stt_end_to_end():
+    """Full socket-level WS session against the stdlib server."""
+
+    class P(srv.ModelProvider):
+        def load_model(self, name):
+            return SlowSTT()
+
+    httpd = srv.serve_stdlib("127.0.0.1", 0, P())
+    host, port = httpd.server_address
+    try:
+        sock = socket.create_connection((host, port), timeout=10)
+        req, expect_accept = wsmod.client_handshake_headers(
+            f"{host}:{port}", "/v1/audio/speech/stream?model=test"
+        )
+        sock.sendall(req)
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += sock.recv(4096)
+        head = resp.split(b"\r\n\r\n")[0].decode()
+        assert "101" in head.splitlines()[0]
+        assert expect_accept in head
+
+        rfile = sock.makefile("rb")
+        wfile = sock.makefile("wb")
+        conn = wsmod.WebSocketConnection(rfile, wfile, mask_outgoing=True)
+        # 2 s speech → at least one partial
+        conn.send_binary(_pcm(2.0, 0.2))
+        op, payload = conn.recv()
+        event = json.loads(payload)
+        assert event["type"] == "partial" and event["text"].startswith("t")
+        # silence gap → final
+        conn.send_binary(_pcm(1.0, 0.0))
+        op, payload = conn.recv()
+        assert json.loads(payload)["type"] == "final"
+        conn.close()
+        sock.close()
+    finally:
+        httpd.shutdown()
