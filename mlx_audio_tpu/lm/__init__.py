@@ -9,4 +9,5 @@ from .cache import KVCache, make_caches
 from .transformer import LMConfig, CausalLM, TransformerBlock, CausalSelfAttention
 from .sample import make_sampler, apply_repetition_penalty
 from .generate import stream_generate, generate_tokens, GenerationResponse
+from .continuous import ContinuousBatcher, SlotKVCache
 from .gpt2 import GPT2Config, GPT2Model

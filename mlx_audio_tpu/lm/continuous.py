@@ -1,0 +1,296 @@
+"""Continuous (slot-based) batching for autoregressive decode.
+
+NEW relative to the reference (strictly one request at a time): a fixed
+pool of B cache slots decodes in lock-step as ONE jitted program per step;
+requests join a free slot at any step boundary (prefill into a B=1 cache,
+device-copied into the slot) and leave when they hit EOS/max_tokens. In
+steady state a chip serves B concurrent token streams for roughly the cost
+of one — decode is memory-bandwidth-bound, so batching the tiny per-step
+matmuls is nearly free on the MXU.
+
+Design notes:
+- `SlotKVCache` has a per-row `pos` vector; the step function overwrites it
+  from host state each dispatch, so freed slots never corrupt live ones
+  (their writes land on their own slot's scratch index).
+- Prompt prefill lengths are bucketed (right-padding is safe: padded K/V
+  land at indices the mask only ever exposes after a real token has
+  overwritten them).
+- Sampling is greedy or temperature on the host over fetched (B, V) logits
+  — one fetch per step serves every stream.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.module import Module
+
+__all__ = ["SlotKVCache", "ContinuousBatcher"]
+
+
+PROMPT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket(n: int) -> int:
+    for b in PROMPT_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+class SlotKVCache(Module):
+    """KV cache with one independent stream per batch row.
+
+    `pos` is a (B,) vector; `update` (t==1 decode path) writes each row at
+    its own position. Compatible with the attention layers' `cache.update`
+    protocol; masks are supplied externally by the step function.
+    """
+
+    def __init__(self, slots: int, num_kv_heads: int, max_len: int,
+                 head_dim: int, dtype=jnp.bfloat16):
+        self.k = jnp.zeros((slots, num_kv_heads, max_len, head_dim), dtype)
+        self.v = jnp.zeros((slots, num_kv_heads, max_len, head_dim), dtype)
+        self.pos = jnp.zeros((slots,), jnp.int32)
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    def update(self, k: jax.Array, v: jax.Array):
+        assert k.shape[2] == 1, "SlotKVCache.update is the decode (t=1) path"
+        b = jnp.arange(self.k.shape[0])
+        nk = self.k.at[b, :, self.pos].set(k[:, :, 0].astype(self.k.dtype))
+        nv = self.v.at[b, :, self.pos].set(v[:, :, 0].astype(self.v.dtype))
+        new = self.replace(k=nk, v=nv, pos=self.pos + 1)
+        return nk, nv, new
+
+
+@partial(jax.jit, donate_argnames=("caches",))
+def _step(model, caches: List[SlotKVCache], tokens, pos):
+    """One lock-step decode step for all slots.
+
+    tokens (B,) int32 — last sampled token per slot; pos (B,) — its
+    position. Returns (logits (B, V) f32, updated caches).
+    """
+    caches = [c.replace(pos=pos) for c in caches]
+    S = caches[0].max_len
+    k_idx = jnp.arange(S)[None, :]
+    ok = k_idx <= pos[:, None]  # current token lands at pos
+    mask = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)[:, None, None, :]
+    logits, caches = model(
+        tokens[:, None], caches=caches, positions=pos[:, None], mask=mask
+    )
+    return logits[:, -1, :].astype(jnp.float32), caches
+
+
+@jax.jit
+def _prefill_b1(model, caches, ids, length):
+    """Prefill a B=1 bucketed prompt; returns (last-real-token logits (V,),
+    caches). Right padding is masked causally; padded K/V are harmless (see
+    module docstring)."""
+    logits, caches = model(ids, caches)
+    return logits[0, length - 1, :].astype(jnp.float32), caches
+
+
+@partial(jax.jit, donate_argnames=("slot_caches",), static_argnames=("slot",))
+def _install_slot(slot_caches: List[SlotKVCache], single_caches, slot: int,
+                  true_len):
+    """Copy a B=1 prefilled cache into `slot` and set its pos."""
+    out = []
+    for sc, c1 in zip(slot_caches, single_caches):
+        P = c1.k.shape[2]  # prompt bucket ≤ slot max_len
+        nk = sc.k.at[slot, :, :P].set(c1.k[0].astype(sc.k.dtype))
+        nv = sc.v.at[slot, :, :P].set(c1.v[0].astype(sc.v.dtype))
+        npos = sc.pos.at[slot].set(true_len)
+        out.append(sc.replace(k=nk, v=nv, pos=npos))
+    return out
+
+
+@dataclass
+class _Request:
+    prompt: np.ndarray
+    max_tokens: int
+    eos_ids: frozenset
+    temp: float
+    future: Future = field(default_factory=Future)
+    on_token: Optional[callable] = None
+    tokens: list = field(default_factory=list)
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching scheduler over a `CausalLM`-style
+    model (anything with `make_caches` semantics and the
+    `model(ids, caches, positions, mask)` calling convention)."""
+
+    def __init__(self, model, slots: int = 4, max_len: int = 2048,
+                 cache_dtype=jnp.bfloat16, seed: int = 0):
+        cfg = model.config
+        self.model = model
+        self.slots = slots
+        self.max_len = max_len
+        self.caches = [
+            SlotKVCache(slots, cfg.num_key_value_heads, max_len,
+                        cfg.head_dim, cache_dtype)
+            for _ in range(cfg.num_hidden_layers)
+        ]
+        self.active: List[Optional[_Request]] = [None] * slots
+        self.cur_tok = np.zeros(slots, np.int32)
+        self.pos = np.full(slots, max_len - 1, np.int32)  # scratch index
+        self._joinq: "queue.Queue[_Request]" = queue.Queue()
+        self._rng = np.random.default_rng(seed)
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self.steps = 0  # batched step dispatches (for tests/metrics)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt: Sequence[int], max_tokens: int = 128,
+               eos_ids: Sequence[int] = (), temp: float = 0.0,
+               on_token=None) -> Future:
+        """Queue a generation request; resolves to the token list
+        (EOS included when hit)."""
+        req = _Request(
+            prompt=np.asarray(list(prompt), np.int32),
+            max_tokens=max_tokens, eos_ids=frozenset(int(e) for e in eos_ids),
+            temp=temp, on_token=on_token,
+        )
+        self._joinq.put(req)
+        self._wake.set()
+        return req.future
+
+    def close(self):
+        self._stop.set()
+        self._wake.set()
+        self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------------
+
+    def _sample(self, logits_row: np.ndarray, temp: float) -> int:
+        if temp == 0.0:
+            return int(np.argmax(logits_row))
+        z = logits_row / temp
+        z = z - z.max()
+        p = np.exp(z)
+        p /= p.sum()
+        return int(self._rng.choice(len(p), p=p))
+
+    def _admit(self, req: _Request, slot: int):
+        T = len(req.prompt)
+        P = min(_bucket(T), self.max_len)
+        ids = np.zeros((1, P), np.int32)
+        ids[0, :T] = req.prompt
+        cfg = self.model.config
+        single = [
+            # plain scalar-pos cache for the bucketed prefill
+            _B1Cache(cfg.num_key_value_heads, P, cfg.head_dim,
+                     self.caches[0].k.dtype)
+            for _ in range(cfg.num_hidden_layers)
+        ]
+        logits, single = _prefill_b1(
+            self.model, single, jnp.asarray(ids), jnp.asarray(T)
+        )
+        self.caches = _install_slot(
+            self.caches, single, slot, jnp.asarray(T, jnp.int32)
+        )
+        first = self._sample(np.asarray(jax.device_get(logits)), req.temp)
+        self.active[slot] = req
+        req.tokens.append(first)
+        if req.on_token:
+            req.on_token(first)
+        if first in req.eos_ids or req.max_tokens <= 1:
+            self._finish(slot)
+            return
+        self.cur_tok[slot] = first
+        self.pos[slot] = T
+
+    def _finish(self, slot: int):
+        req = self.active[slot]
+        self.active[slot] = None
+        self.pos[slot] = self.max_len - 1  # park on scratch index
+        if req and not req.future.done():
+            req.future.set_result(req.tokens)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            # admit pending requests into free slots
+            while any(a is None for a in self.active):
+                try:
+                    req = self._joinq.get_nowait()
+                except queue.Empty:
+                    break
+                slot = self.active.index(None)
+                try:
+                    self._admit(req, slot)
+                except Exception as e:  # pragma: no cover - defensive
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+            if not any(self.active):
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+
+            logits, self.caches = _step(
+                self.model, self.caches,
+                jnp.asarray(self.cur_tok), jnp.asarray(self.pos),
+            )
+            self.steps += 1
+            logits_np = np.asarray(jax.device_get(logits))
+            for slot, req in enumerate(self.active):
+                if req is None:
+                    continue
+                tok = self._sample(logits_np[slot], req.temp)
+                req.tokens.append(tok)
+                if req.on_token:
+                    req.on_token(tok)
+                self.pos[slot] += 1
+                self.cur_tok[slot] = tok
+                if (
+                    tok in req.eos_ids
+                    or len(req.tokens) >= req.max_tokens
+                    or self.pos[slot] >= self.max_len - 1
+                ):
+                    self._finish(slot)
+
+
+class _B1Cache(Module):
+    """Scalar-pos B=1 cache for bucketed prefill (mirrors lm.cache.KVCache
+    but sized exactly to the prompt bucket so the copy into a slot is a
+    contiguous prefix)."""
+
+    def __init__(self, num_kv_heads: int, max_len: int, head_dim: int, dtype):
+        self.k = jnp.zeros((1, num_kv_heads, max_len, head_dim), dtype)
+        self.v = jnp.zeros((1, num_kv_heads, max_len, head_dim), dtype)
+        self.pos = jnp.array(0, jnp.int32)
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    def update(self, k, v):
+        nk = jax.lax.dynamic_update_slice(
+            self.k, k.astype(self.k.dtype), (0, 0, self.pos, 0)
+        )
+        nv = jax.lax.dynamic_update_slice(
+            self.v, v.astype(self.v.dtype), (0, 0, self.pos, 0)
+        )
+        new = self.replace(k=nk, v=nv, pos=self.pos + k.shape[2])
+        return nk, nv, new
+
+    def attention_mask(self, t: int, dtype=jnp.float32):
+        s = self.max_len
+        q_pos = self.pos + jnp.arange(t)[:, None]
+        k_idx = jnp.arange(s)[None, :]
+        ok = k_idx <= q_pos
+        return jnp.where(ok, 0.0, -jnp.inf).astype(dtype)[None, None]

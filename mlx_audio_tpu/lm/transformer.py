@@ -168,6 +168,8 @@ class Transformer(Module):
             start = caches[0].pos if caches is not None else 0
             positions = start + jnp.arange(T)
         cos, sin = self.rope_tables(positions, h.dtype)
+        if cos.ndim == 3:  # per-row positions (B, T) → broadcast over heads
+            cos, sin = cos[:, None], sin[:, None]
         if mask is None:
             if caches is not None:
                 mask = caches[0].attention_mask(T)

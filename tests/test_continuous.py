@@ -1,0 +1,98 @@
+"""Continuous (slot-based) batching tests: parity with single-request
+decode, mid-flight joins, slot reuse under load."""
+
+import numpy as np
+import pytest
+
+from mlx_audio_tpu.lm import CausalLM, LMConfig
+from mlx_audio_tpu.lm.continuous import ContinuousBatcher
+from mlx_audio_tpu.lm.generate import generate_tokens
+
+
+@pytest.fixture(scope="module")
+def lm():
+    cfg = LMConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        intermediate_size=128,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=97,
+    )
+    return CausalLM(cfg)
+
+
+def _ref_decode(model, prompt, n, eos=()):
+    toks, _ = generate_tokens(
+        model, np.asarray(prompt, np.int32), max_tokens=n,
+        eos_token_ids=tuple(eos), temp=0.0,
+    )
+    return list(toks[0])
+
+
+def test_matches_single_request_decode(lm):
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, 97, n)) for n in (5, 11, 3)]
+    refs = [_ref_decode(lm, p, 12) for p in prompts]
+
+    cb = ContinuousBatcher(lm, slots=4, max_len=256, cache_dtype=np.float32)
+    try:
+        futs = [cb.submit(p, max_tokens=12) for p in prompts]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        cb.close()
+    for ref, out in zip(refs, outs):
+        assert out == ref, (out, ref)
+
+
+def test_eos_stops_stream(lm):
+    rng = np.random.default_rng(1)
+    prompt = list(rng.integers(1, 97, 6))
+    ref = _ref_decode(lm, prompt, 24)
+    # pick a token value and stop at its FIRST occurrence in the greedy ref
+    first_idx = {}
+    for i, t in enumerate(ref):
+        first_idx.setdefault(int(t), i)
+    eos, k = max(first_idx.items(), key=lambda kv: kv[1])
+    cb = ContinuousBatcher(lm, slots=2, max_len=128, cache_dtype=np.float32)
+    try:
+        out = cb.submit(prompt, max_tokens=24, eos_ids=[eos]).result(timeout=300)
+    finally:
+        cb.close()
+    assert out == ref[: k + 1]
+    assert out[-1] == eos
+
+
+def test_mid_flight_join_and_slot_reuse(lm):
+    rng = np.random.default_rng(2)
+    prompts = [list(rng.integers(1, 97, n)) for n in (4, 7, 9, 5, 6)]
+    refs = [_ref_decode(lm, p, 10) for p in prompts]
+
+    # 2 slots, 5 requests → joins must happen mid-flight and slots recycle
+    cb = ContinuousBatcher(lm, slots=2, max_len=128, cache_dtype=np.float32)
+    try:
+        futs = []
+        for i, p in enumerate(prompts):
+            futs.append(cb.submit(p, max_tokens=10))
+        outs = [f.result(timeout=600) for f in futs]
+        steps = cb.steps
+    finally:
+        cb.close()
+    for i, (ref, out) in enumerate(zip(refs, outs)):
+        assert out == ref, (i, out, ref)
+    # lock-step sharing: fewer total steps than 5 sequential × 9 steps
+    assert steps < 5 * 9
+
+
+def test_streaming_callback(lm):
+    rng = np.random.default_rng(3)
+    prompt = list(rng.integers(1, 97, 5))
+    seen = []
+    cb = ContinuousBatcher(lm, slots=1, max_len=128, cache_dtype=np.float32)
+    try:
+        out = cb.submit(
+            prompt, max_tokens=6, on_token=seen.append
+        ).result(timeout=300)
+    finally:
+        cb.close()
+    assert seen == out
