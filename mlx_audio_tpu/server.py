@@ -157,6 +157,59 @@ def transcribe_audio(file_bytes: bytes, payload: dict,
     return out
 
 
+def transcribe_audio_stream(file_bytes: bytes, payload: dict,
+                            provider: ModelProvider = None):
+    """NDJSON streaming transcription (reference server.py:364-412 streams
+    per-segment lines): yields one JSON line per decoded segment as the
+    seek loop produces it, then a final line with the full text."""
+    import queue as _q
+    import threading as _t
+
+    provider = provider or model_provider
+    model_name = payload.get("model", "mlx-community/whisper-large-v3-turbo")
+    model = provider.load_model(model_name)
+    x, sr = audio_io.read(file_bytes)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    from .utils import resample_audio
+
+    if sr != 16000:
+        x = resample_audio(x.astype(np.float32), sr, 16000)
+
+    q: "_q.Queue" = _q.Queue()
+    DONE = object()
+
+    import inspect
+
+    streams_segments = "on_segment" in inspect.signature(model.generate).parameters
+
+    def run():
+        try:
+            kwargs = {}
+            if payload.get("language"):
+                kwargs["language"] = payload["language"]
+            if streams_segments:
+                kwargs["on_segment"] = q.put
+            result = model.generate(x, **kwargs)
+            if not streams_segments:
+                for seg in result.segments or []:
+                    q.put(seg)
+            q.put({"type": "done", "text": result.text,
+                   "language": getattr(result, "language", None),
+                   "duration": getattr(result, "duration", None)})
+        except Exception as e:
+            q.put({"type": "error", "error": f"{type(e).__name__}: {e}"})
+        finally:
+            q.put(DONE)
+
+    _t.Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        yield (json.dumps(item) + "\n").encode()
+
+
 class RealtimeSTTSession:
     """Transport-independent realtime STT state machine (reference
     server.py:415-706): 16 kHz int16 PCM frames in → partial transcripts
@@ -356,13 +409,29 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, chunks, content_type=f"audio/{fmt}")
             elif self.path == "/v1/audio/transcriptions":
                 ctype = self.headers.get("Content-Type", "")
-                if "multipart/form-data" in ctype:
-                    fields, files = _parse_multipart(self._read_body(), ctype)
-                    blob = files.get("file", b"")
-                    out = transcribe_audio(blob, fields, self.provider)
-                else:
+                if "multipart/form-data" not in ctype:
                     self._json(400, {"error": "expected multipart/form-data"})
                     return
+                fields, files = _parse_multipart(self._read_body(), ctype)
+                blob = files.get("file", b"")
+                if fields.get("stream") in ("true", "1"):
+                    # NDJSON: one line per segment as it decodes
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/x-ndjson")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.send_header(
+                        "Access-Control-Allow-Origin", ALLOWED_ORIGINS
+                    )
+                    self.end_headers()
+                    for line in transcribe_audio_stream(
+                        blob, fields, self.provider
+                    ):
+                        self.wfile.write(f"{len(line):x}\r\n".encode())
+                        self.wfile.write(line + b"\r\n")
+                        self.wfile.flush()
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
+                out = transcribe_audio(blob, fields, self.provider)
                 self._json(200, out)
             elif self.path == "/v1/models":
                 payload = json.loads(self._read_body() or b"{}")
@@ -438,16 +507,17 @@ def create_app(provider: Optional[ModelProvider] = None):
         model: str = Form("mlx-community/whisper-large-v3-turbo"),
         language: Optional[str] = Form(None),
         response_format: str = Form("json"),
+        stream: bool = Form(False),
     ):
         blob = await file.read()
-        return JSONResponse(
-            transcribe_audio(
-                blob,
-                {"model": model, "language": language,
-                 "response_format": response_format},
-                provider,
+        payload = {"model": model, "language": language,
+                   "response_format": response_format}
+        if stream:
+            return StreamingResponse(
+                iter(transcribe_audio_stream(blob, payload, provider)),
+                media_type="application/x-ndjson",
             )
-        )
+        return JSONResponse(transcribe_audio(blob, payload, provider))
 
     @app.get("/v1/models")
     async def list_models():

@@ -428,6 +428,7 @@ class Model(Module):
         verbose: Optional[bool] = None,
         without_timestamps: bool = False,
         tokenizer=None,
+        on_segment=None,
         **decode_options,
     ) -> STTOutput:
         start_t = time.perf_counter()
@@ -594,6 +595,8 @@ class Model(Module):
                 s["id"] = len(all_segments)
                 all_segments.append(s)
                 all_tokens.extend(s["tokens"])
+                if on_segment is not None:
+                    on_segment(s)
             if not condition_on_previous_text or result.temperature > 0.5:
                 prompt_reset_since = len(all_tokens)
 

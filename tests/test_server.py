@@ -155,3 +155,62 @@ def test_generate_speech_streams_per_segment():
     assert len(chunks) == 3
     pcm = np.frombuffer(b"".join(chunks), "<i2")
     assert pcm.shape[0] == 3600
+
+
+class SegmentedSTT:
+    """Fake STT supporting on_segment (like Whisper's seek loop)."""
+
+    def generate(self, audio, on_segment=None, **kw):
+        segs = [
+            {"id": 0, "start": 0.0, "end": 1.0, "text": "hello"},
+            {"id": 1, "start": 1.0, "end": 2.0, "text": " world"},
+        ]
+        for s in segs:
+            if on_segment:
+                on_segment(s)
+        return STTOutput(text="hello world", segments=segs, language="en",
+                         duration=2.0)
+
+
+def test_transcribe_audio_stream_ndjson():
+    class P(srv.ModelProvider):
+        def load_model(self, name):
+            return SegmentedSTT()
+
+    wav = audio_io.encode_bytes(np.zeros(16000, np.float32), 16000, "wav")
+    lines = list(srv.transcribe_audio_stream(wav, {"model": "m"}, P()))
+    objs = [json.loads(l) for l in lines]
+    assert [o.get("text") for o in objs[:2]] == ["hello", " world"]
+    assert objs[-1]["type"] == "done" and objs[-1]["text"] == "hello world"
+
+
+def test_transcription_endpoint_streaming():
+    class P(srv.ModelProvider):
+        def load_model(self, name):
+            return SegmentedSTT()
+
+    httpd = srv.serve_stdlib("127.0.0.1", 0, P())
+    host, port = httpd.server_address
+    try:
+        wav = audio_io.encode_bytes(np.zeros(16000, np.float32), 16000, "wav")
+        boundary = "XBOUND"
+        body = b""
+        for name, val in [("model", b"m"), ("stream", b"true")]:
+            body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                     f'name="{name}"\r\n\r\n').encode() + val + b"\r\n"
+        body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="file"; filename="a.wav"\r\n\r\n').encode()
+        body += wav + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/audio/transcriptions", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert "ndjson" in r.headers["Content-Type"]
+            objs = [json.loads(l) for l in r.read().splitlines() if l.strip()]
+        assert objs[-1]["type"] == "done"
+        assert len(objs) == 3
+    finally:
+        httpd.shutdown()
