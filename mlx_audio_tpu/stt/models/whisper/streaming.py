@@ -41,6 +41,7 @@ class StreamingResult:
     progress: float = 0.0
     audio_position: float = 0.0
     audio_duration: float = 0.0
+    language: Optional[str] = None
 
 
 @partial(

@@ -623,6 +623,70 @@ class Model(Module):
 
         return WhisperBatcher(self, **kwargs)
 
+    def get_tokenizer(self, language: str = "en", task: str = "transcribe"):
+        from .tokenizer import WhisperTokenizer
+
+        return WhisperTokenizer(
+            self.dims.model_path, multilingual=self.dims.n_vocab >= 51865,
+            language=language, task=task,
+        )
+
+    def generate_streaming(
+        self,
+        audio,
+        *,
+        chunk_duration: float = 1.0,
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        frame_threshold: int = 25,
+        tokenizer=None,
+    ):
+        """Streaming transcription with AlignAtt (~chunk_duration latency
+        instead of 30 s windows). Yields StreamingResult per chunk
+        (reference whisper.py:1270-1346)."""
+        from .streaming import StreamingConfig, StreamingDecoder
+
+        if isinstance(audio, (str,)) or hasattr(audio, "__fspath__"):
+            from ...utils import load_audio
+
+            audio = load_audio(audio, sample_rate=A.SAMPLE_RATE)
+        audio = np.asarray(audio, np.float32).reshape(-1)
+
+        if language is None and tokenizer is None:
+            probe_tok = self.get_tokenizer("en", task)
+            first = np.zeros(A.N_SAMPLES, np.float32)
+            n0 = min(len(audio), A.N_SAMPLES)
+            first[:n0] = audio[:n0]
+            mel = self._mel_chunk(jnp.asarray(first), self.dims.n_mels)
+            _, cross_kv = self._encode(self, mel[None])
+            language, _ = self.detect_language(cross_kv, probe_tok)
+        language = language or "en"
+
+        decoder = StreamingDecoder(
+            self, StreamingConfig(frame_threshold=frame_threshold),
+            language=language, task=task, tokenizer=tokenizer,
+        )
+        chunk_samples = int(chunk_duration * A.SAMPLE_RATE)
+        total = len(audio)
+        duration = total / A.SAMPLE_RATE
+        for start in range(0, total, chunk_samples):
+            end = min(start + chunk_samples, total)
+            chunk = np.zeros(chunk_samples, np.float32)
+            chunk[: end - start] = audio[start:end]
+            mel = np.asarray(
+                self._mel_chunk(jnp.asarray(chunk), self.dims.n_mels)
+            )[: (end - start) // A.HOP_LENGTH]
+            is_last = end >= total
+            result = decoder.decode_chunk(mel, is_last=is_last)
+            result.progress = end / total
+            result.audio_position = end / A.SAMPLE_RATE
+            result.audio_duration = duration
+            result.language = language
+            if result.text.strip() or is_last:
+                yield result
+            if is_last:
+                break
+
     PROMPT_BUCKETS = (8, 16, 32, 64, 128, 227)
 
     def _build_prompt(self, prev_tokens, sot_seq, tokenizer):

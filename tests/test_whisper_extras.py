@@ -89,3 +89,22 @@ def test_streaming_decoder_chunks():
     assert r2.is_final
     dec.reset()
     assert dec._accumulated_mel is None
+
+
+def test_generate_streaming_end_to_end():
+    """Model.generate_streaming yields chunk-latency partials ending with a
+    final (reference whisper.py:1270)."""
+    model, tok = tiny()
+    audio = (np.random.default_rng(5).standard_normal(16000 * 3) * 0.05
+             ).astype(np.float32)
+    results = list(model.generate_streaming(
+        audio, chunk_duration=1.0, language="en", frame_threshold=5,
+        tokenizer=tok,
+    ))
+    assert results, "no streaming results yielded"
+    assert results[-1].is_final
+    assert results[-1].progress == 1.0
+    assert abs(results[-1].audio_duration - 3.0) < 1e-6
+    for r in results:
+        assert r.language == "en"
+        assert 0 < r.progress <= 1.0
