@@ -334,12 +334,25 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", "0")
         self.end_headers()
 
+    REALTIME_WS_PATHS = (
+        "/v1/audio/transcriptions/realtime",  # reference route (server.py:415)
+        "/v1/audio/speech/stream",
+    )
+
     def do_GET(self):
         if (
-            self.path.split("?")[0] == "/v1/audio/speech/stream"
+            self.path.split("?")[0] in self.REALTIME_WS_PATHS
             and "websocket" in self.headers.get("Upgrade", "").lower()
         ):
             self._realtime_ws()
+        elif self.path == "/":
+            self._json(200, {
+                "name": "mlx_audio_tpu server",
+                "endpoints": [
+                    "/v1/audio/speech", "/v1/audio/transcriptions",
+                    "/v1/audio/transcriptions/realtime (ws)", "/v1/models",
+                ],
+            })
         elif self.path == "/health":
             self._json(200, {"status": "ok"})
         elif self.path == "/v1/models":
@@ -374,24 +387,42 @@ class _Handler(BaseHTTPRequestHandler):
 
         q = parse_qs(urlparse(self.path).query)
         model_name = q.get("model", ["mlx-community/whisper-large-v3-turbo"])[0]
-        model = self.provider.load_model(model_name)
-        session = RealtimeSTTSession(model)
         conn = WebSocketConnection(self.rfile, self.wfile)
+        session = None
         try:
             while True:
                 msg = conn.recv()
                 if msg is None:
                     break
                 opcode, payload = msg
-                if opcode == OP_BINARY:
-                    for event in session.feed(payload):
-                        conn.send_text(json.dumps(event))
-                elif payload == b"finalize":
-                    event = session.finalize()
-                    if event:
-                        conn.send_text(json.dumps(event))
+                if opcode != OP_BINARY:
+                    # JSON control message: initial config (reference
+                    # protocol: config first, then {"status": "ready"}) or
+                    # a finalize command
+                    try:
+                        cmd = json.loads(payload or b"{}")
+                    except ValueError:
+                        cmd = {}
+                    if payload == b"finalize" or cmd.get("command") == "finalize":
+                        if session is not None:
+                            event = session.finalize()
+                            if event:
+                                conn.send_text(json.dumps(event))
+                        continue
+                    model_name = cmd.get("model", model_name)
+                    model = self.provider.load_model(model_name)
+                    session = RealtimeSTTSession(model)
+                    conn.send_text(json.dumps(
+                        {"status": "ready", "message": "Ready to transcribe"}
+                    ))
+                    continue
+                if session is None:
+                    model = self.provider.load_model(model_name)
+                    session = RealtimeSTTSession(model)
+                for event in session.feed(payload):
+                    conn.send_text(json.dumps(event))
         finally:
-            final = session.finalize()
+            final = session.finalize() if session is not None else None
             if final:
                 try:
                     conn.send_text(json.dumps(final))
@@ -450,8 +481,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):
         m = re.match(r"^/v1/models/(.+)$", self.path)
+        name = None
         if m:
             name = m.group(1)
+        elif self.path == "/v1/models":
+            # reference style: DELETE /v1/models with {"model_name": ...}
+            try:
+                payload = json.loads(self._read_body() or b"{}")
+            except ValueError:
+                payload = {}
+            name = payload.get("model_name") or payload.get("model")
+        if name:
             if self.provider.unload(name):
                 self._json(200, {"status": "unloaded", "model": name})
             else:
@@ -544,6 +584,7 @@ def create_app(provider: Optional[ModelProvider] = None):
             status_code=200 if ok else 404,
         )
 
+    @app.websocket("/v1/audio/transcriptions/realtime")
     @app.websocket("/v1/audio/speech/stream")
     async def realtime_stt(ws: WebSocket):
         """Realtime STT: client streams 16 kHz int16 PCM frames; server sends

@@ -144,3 +144,64 @@ def test_stdlib_websocket_realtime_stt_end_to_end():
         sock.close()
     finally:
         httpd.shutdown()
+
+
+def test_reference_ws_route_with_config_handshake():
+    """The reference route /v1/audio/transcriptions/realtime with the
+    config-first protocol: JSON config → {"status": "ready"} → frames."""
+
+    class P(srv.ModelProvider):
+        def load_model(self, name):
+            return SlowSTT()
+
+    httpd = srv.serve_stdlib("127.0.0.1", 0, P())
+    host, port = httpd.server_address
+    try:
+        sock = socket.create_connection((host, port), timeout=10)
+        req, _ = wsmod.client_handshake_headers(
+            f"{host}:{port}", "/v1/audio/transcriptions/realtime"
+        )
+        sock.sendall(req)
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += sock.recv(4096)
+        assert b"101" in resp.split(b"\r\n")[0]
+
+        conn = wsmod.WebSocketConnection(
+            sock.makefile("rb"), sock.makefile("wb"), mask_outgoing=True
+        )
+        conn.send_text(json.dumps({"model": "test-model"}))
+        op, payload = conn.recv()
+        assert json.loads(payload)["status"] == "ready"
+        conn.send_binary(_pcm(2.0, 0.2))
+        op, payload = conn.recv()
+        assert json.loads(payload)["type"] == "partial"
+        conn.send_text(json.dumps({"command": "finalize"}))
+        op, payload = conn.recv()
+        assert json.loads(payload)["type"] == "final"
+        conn.close()
+        sock.close()
+    finally:
+        httpd.shutdown()
+
+
+def test_delete_model_body_style():
+    class P(srv.ModelProvider):
+        pass
+
+    p = P()
+    p._models["m1"] = object()
+    httpd = srv.serve_stdlib("127.0.0.1", 0, p)
+    host, port = httpd.server_address
+    try:
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/models",
+            data=json.dumps({"model_name": "m1"}).encode(),
+            headers={"Content-Type": "application/json"}, method="DELETE",
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert json.loads(r.read())["status"] == "unloaded"
+    finally:
+        httpd.shutdown()
