@@ -42,6 +42,32 @@ def generate_audio(
     # Adapt kwargs to the model's generate signature (reference :175-179)
     sig = inspect.signature(model.generate)
     accepted = set(sig.parameters)
+
+    # Voice cloning without a transcript: auto-transcribe the reference
+    # audio with an STT model (reference tts/generate.py:193-208)
+    if (
+        ref_audio is not None and ref_text is None
+        and "ref_text" in accepted
+    ):
+        stt_model = kwargs.pop("stt_model", None)
+        stt_path = kwargs.pop(
+            "stt_model_path", "mlx-community/whisper-large-v3-turbo"
+        )
+        try:
+            if stt_model is None:
+                from ..utils import load_model as _load_any
+
+                stt_model = _load_any(stt_path)
+            from ..utils import load_audio as _load_audio
+
+            wav = _load_audio(ref_audio, sample_rate=16000)
+            ref_text = stt_model.generate(wav).text
+            if verbose:
+                print(f"auto-transcribed ref audio: {ref_text!r}")
+        except Exception as e:
+            if verbose:
+                print(f"ref-audio transcription failed ({e}); "
+                      "continuing without ref_text")
     call_kwargs = dict(text=text, **kwargs)
     for k, v in [
         ("voice", voice), ("speed", speed), ("lang_code", lang_code),

@@ -105,3 +105,36 @@ def test_soprano_generate_smoke():
     assert r.sample_rate == 32000
     assert r.samples > 0
     assert np.isfinite(r.audio).all()
+
+
+def test_generate_audio_auto_transcribes_ref_audio(tmp_path):
+    """ref_audio without ref_text → STT auto-transcription feeds ref_text
+    (reference tts/generate.py:193-208)."""
+    import numpy as np
+
+    from mlx_audio_tpu import audio_io
+    from mlx_audio_tpu.stt.models.base import STTOutput
+    from mlx_audio_tpu.tts.generate import generate_audio
+    from mlx_audio_tpu.tts.models.base import GenerationResult
+
+    seen = {}
+
+    class FakeTTS:
+        def generate(self, text, ref_audio=None, ref_text=None, **kw):
+            seen["ref_text"] = ref_text
+            yield GenerationResult(
+                audio=np.zeros(100, np.float32), samples=100, sample_rate=24000
+            )
+
+    class FakeSTT:
+        def generate(self, audio, **kw):
+            return STTOutput(text="spoken words", segments=[], language="en",
+                             duration=1.0)
+
+    ref = tmp_path / "ref.wav"
+    audio_io.write(str(ref), np.zeros(16000, np.float32), 16000)
+    generate_audio(
+        "hi", model=FakeTTS(), ref_audio=str(ref), stt_model=FakeSTT(),
+        output_path=str(tmp_path), verbose=False,
+    )
+    assert seen["ref_text"] == "spoken words"
