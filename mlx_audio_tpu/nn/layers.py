@@ -362,19 +362,22 @@ class InstanceNorm(Module):
         self.eps = eps
 
     def __call__(self, x: jax.Array, valid_len=None) -> jax.Array:
+        # Single-pass E[x²]−E[x]² statistics: both reductions are
+        # independent, so XLA fuses them into ONE read of x (a two-pass
+        # (x−mean)² formulation costs an extra full pass at audio-rate
+        # lengths; activations are O(1) so the cancellation is benign).
         xf = x.astype(jnp.float32)
         if valid_len is None:
-            mean = jnp.mean(xf, axis=-2, keepdims=True)
-            var = jnp.var(xf, axis=-2, keepdims=True)
+            s1 = jnp.mean(xf, axis=-2, keepdims=True)
+            s2 = jnp.mean(xf * xf, axis=-2, keepdims=True)
         else:
             L = x.shape[-2]
             m = (jnp.arange(L)[None, :] < valid_len[:, None])[..., None]
             cnt = jnp.maximum(valid_len, 1).astype(jnp.float32)[:, None, None]
-            mean = jnp.where(m, xf, 0.0).sum(axis=-2, keepdims=True) / cnt
-            var = (
-                jnp.where(m, (xf - mean) ** 2, 0.0).sum(axis=-2, keepdims=True)
-                / cnt
-            )
+            s1 = jnp.where(m, xf, 0.0).sum(axis=-2, keepdims=True) / cnt
+            s2 = jnp.where(m, xf * xf, 0.0).sum(axis=-2, keepdims=True) / cnt
+        mean = s1
+        var = jnp.maximum(s2 - s1 * s1, 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if hasattr(self, "weight"):
             y = y * self.weight.astype(jnp.float32) + self.bias.astype(jnp.float32)

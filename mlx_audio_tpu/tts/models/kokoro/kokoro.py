@@ -158,7 +158,11 @@ class Model(Module):
         audio = model.decoder(
             asr, F0_pred, N_pred, ref_s[:, : model.config.style_dim], key, valid_frac
         )
-        return audio
+        # int16 on device: halves the device→host transfer (the tunnel is
+        # the bottleneck); hosts convert back to f32 — WAV-precision audio.
+        return (
+            jnp.clip(audio, -1.0, 1.0) * 32767.0
+        ).astype(jnp.int16)
 
     # ------------------------------------------------------------------
     # Public forward (phonemes → audio), reference `Model.__call__` parity
@@ -195,7 +199,11 @@ class Model(Module):
             key = jax.random.PRNGKey(0)
         audio = self._synthesize(self, d, t_en, pred_dur, ref_s, key, num_frames)
         samples_per_frame = self.decoder.generator.total_upsample * 2
-        audio_np = np.asarray(jax.device_get(audio))[0][: total_frames * samples_per_frame]
+        audio_np = (
+            np.asarray(jax.device_get(audio))[0][: total_frames * samples_per_frame]
+            .astype(np.float32)
+            / 32767.0
+        )
         if return_output:
             return self.Output(audio=audio_np, pred_dur=pred_dur_np[0][:T])
         return audio_np
@@ -241,7 +249,7 @@ class Model(Module):
         keys = jnp.broadcast_to(key, (Bpad, 2)) if key.ndim == 1 else key
         audio = self._synthesize(self, d, t_en, pred_dur, ref_s, keys, num_frames)
         spf = self.decoder.generator.total_upsample * 2
-        out = np.asarray(jax.device_get(audio))
+        out = np.asarray(jax.device_get(audio)).astype(np.float32) / 32767.0
         return [
             self.Output(
                 audio=out[i][: int(totals[i]) * spf],
