@@ -139,6 +139,13 @@ class Model(Module):
         Batch-polymorphic: each batch row carries its own durations/style, so
         the serving scheduler can fuse concurrent requests into one dispatch.
         """
+        # Stage-boundary dtype: the synthesis stage runs in the decoder's
+        # parameter dtype (activation-dtype-wins within a stage, so a mixed
+        # policy — e.g. bf16 frontend + f32 decoder — needs the cast here).
+        ddt = model.decoder.F0_conv.weight.dtype
+        d = d.astype(ddt)
+        t_en = t_en.astype(ddt)
+        ref_s = ref_s.astype(ddt)
         ends = jnp.cumsum(pred_dur, axis=1)  # (B, T)
         starts = ends - pred_dur
         frame_idx = jnp.arange(num_frames)
