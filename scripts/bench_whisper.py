@@ -49,7 +49,8 @@ def main():
     t0 = time.perf_counter()
     out = model.generate(
         audio, language="en", temperature=0.0, tokenizer=tok,
-        condition_on_previous_text=False,
+        condition_on_previous_text=False, no_speech_threshold=None,
+        without_timestamps=True,
     )
     compile_wall = time.perf_counter() - t0
 
@@ -58,7 +59,8 @@ def main():
         t0 = time.perf_counter()
         out = model.generate(
             audio, language="en", temperature=0.0, tokenizer=tok,
-            condition_on_previous_text=False,
+            condition_on_previous_text=False, no_speech_threshold=None,
+        without_timestamps=True,
         )
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
