@@ -152,7 +152,9 @@ class AudioEncoder(Module):
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        # x: (B, T=3000, n_mels)
+        # x: (B, T=3000, n_mels); compute in the parameter dtype (bf16 after
+        # nn.cast_floats) regardless of the f32 mel front-end
+        x = x.astype(self.conv1.weight.dtype)
         x = jax.nn.gelu(self.conv1(x), approximate=False)
         x = jax.nn.gelu(self.conv2(x), approximate=False)
         x = x + self._positional_embedding[: x.shape[1]].astype(x.dtype)
@@ -183,9 +185,8 @@ class TextDecoder(Module):
         cross_kv: list of (k, v). Returns (logits, new_caches)."""
         B, t = tokens.shape
         positions = pos0 + jnp.arange(t)
-        x = self.token_embedding(tokens) + self.positional_embedding[positions].astype(
-            jnp.float32
-        )
+        x = self.token_embedding(tokens)
+        x = x + self.positional_embedding[positions].astype(x.dtype)
         if caches is not None:
             mask = caches[0].attention_mask(t)
         elif t > 1:
@@ -211,8 +212,8 @@ class TextDecoder(Module):
         streaming.py:59-80)."""
         B, t = tokens.shape
         positions = pos0 + jnp.arange(t)
-        x = self.token_embedding(tokens) + self.positional_embedding[
-            positions].astype(jnp.float32)
+        x = self.token_embedding(tokens)
+        x = x + self.positional_embedding[positions].astype(x.dtype)
         mask = caches[0].attention_mask(t) if caches is not None else None
         new_caches = []
         qks = []
@@ -235,8 +236,8 @@ class TextDecoder(Module):
         from ....ops.attention import make_causal_mask
 
         B, t = tokens.shape
-        x = self.token_embedding(tokens) + self.positional_embedding[
-            jnp.arange(t)].astype(jnp.float32)
+        x = self.token_embedding(tokens)
+        x = x + self.positional_embedding[jnp.arange(t)].astype(x.dtype)
         mask = make_causal_mask(t, t) if t > 1 else None
         qks = []
         for i, blk in enumerate(self.blocks):
@@ -352,7 +353,7 @@ class Model(Module):
         d = self.dims
         return [
             KVCache(batch, d.n_text_head, d.n_text_ctx, d.n_text_state // d.n_text_head,
-                    dtype=jnp.float32)
+                    dtype=self.decoder.token_embedding.weight.dtype)
             for _ in range(d.n_text_layer)
         ]
 
@@ -622,6 +623,129 @@ class Model(Module):
         from ....serving import WhisperBatcher
 
         return WhisperBatcher(self, **kwargs)
+
+    def generate_chunked(
+        self,
+        audio,
+        *,
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        temperature: float = 0.0,
+        without_timestamps: bool = False,
+        tokenizer=None,
+        max_batch: int = 8,
+        **decode_options,
+    ) -> STTOutput:
+        """Batch-parallel long-form transcription (TPU-first fast path).
+
+        The sequential seek loop (generate) conditions each window on the
+        previous text; with that OFF, 30 s windows are independent — so this
+        mode encodes ALL windows as one batch and decodes them in ONE
+        batched while_loop program (HF-style chunked long-form). The vocab
+        projection and per-step loop overhead amortize across windows:
+        several times faster than the seek loop on long audio.
+        """
+        start_t = time.perf_counter()
+        if isinstance(audio, (str,)) or hasattr(audio, "__fspath__"):
+            from ...utils import load_audio
+
+            audio = load_audio(audio, sample_rate=A.SAMPLE_RATE)
+        audio = np.asarray(audio, np.float32).reshape(-1)
+
+        mel_all = self._mel_windows(audio)
+        content_frames = mel_all.shape[0] - A.N_FRAMES
+        content_duration = content_frames * A.HOP_LENGTH / A.SAMPLE_RATE
+
+        if tokenizer is None:
+            from .tokenizer import WhisperTokenizer
+
+            tokenizer = WhisperTokenizer(
+                self.dims.model_path, multilingual=self.dims.n_vocab >= 51865,
+                language=language or "en", task=task,
+            )
+
+        # windows at fixed 30 s stride
+        starts = list(range(0, max(content_frames, 1), A.N_FRAMES))
+        windows = []
+        for seek in starts:
+            w = mel_all[seek : seek + A.N_FRAMES]
+            if w.shape[0] < A.N_FRAMES:
+                w = np.pad(w, ((0, A.N_FRAMES - w.shape[0]), (0, 0)))
+            windows.append(w)
+
+        if language is None:
+            xa, ckv = self._encode(self, jnp.asarray(windows[0])[None])
+            language, _ = self.detect_language(ckv, tokenizer)
+            tokenizer.language = language
+            if hasattr(tokenizer, "__dict__"):
+                tokenizer.__dict__.pop("sot_sequence", None)
+
+        sot_seq = list(
+            tokenizer.sot_sequence_including_notimestamps
+            if without_timestamps
+            else tokenizer.sot_sequence
+        )
+        from .decoding import DecodingOptions, decode_window_batch
+
+        opts = DecodingOptions(
+            task=task, language=language, temperature=float(temperature),
+            without_timestamps=without_timestamps, **{
+                k: v for k, v in decode_options.items()
+                if k in DecodingOptions.__dataclass_fields__
+            },
+        )
+
+        all_segments: List[dict] = []
+        n_gen = 0
+        time_precision = 0.02
+        for i0 in range(0, len(windows), max_batch):
+            group = windows[i0 : i0 + max_batch]
+            _xa, cross_kv = self._encode(
+                self, jnp.asarray(np.stack(group))
+            )
+            results = decode_window_batch(
+                self, cross_kv, tokenizer, [sot_seq] * len(group), opts,
+                n_ctx=self.dims.n_text_ctx, n_vocab=self.dims.n_vocab,
+                decoder_step=type(self)._decoder_step,
+                make_caches=self._make_caches,
+            )
+            for j, res in enumerate(results):
+                seek = starts[i0 + j]
+                time_offset = seek * A.HOP_LENGTH / A.SAMPLE_RATE
+                seg_duration = min(
+                    (content_frames - seek) * A.HOP_LENGTH / A.SAMPLE_RATE,
+                    30.0,
+                )
+                tokens = res.tokens
+                n_gen += len(tokens) + 1
+                ts = tokenizer.timestamp_begin
+                ts_tokens = [t for t in tokens if t >= ts]
+                end_ts = seg_duration
+                if ts_tokens and ts_tokens[-1] != ts:
+                    end_ts = min(
+                        (ts_tokens[-1] - ts) * time_precision, seg_duration
+                    )
+                seg = self._segment(
+                    time_offset, time_offset + end_ts, tokens, tokenizer, res
+                )
+                seg["id"] = len(all_segments)
+                seg["seek"] = seek
+                all_segments.append(seg)
+
+        wall = time.perf_counter() - start_t
+        text = "".join(s["text"] for s in all_segments).strip()
+        return STTOutput(
+            text=text,
+            segments=all_segments,
+            language=language,
+            generation_tokens=n_gen,
+            generation_tps=n_gen / max(wall, 1e-9),
+            total_tps=n_gen / max(wall, 1e-9),
+            duration=content_duration,
+            extra={"wall_seconds": wall,
+                   "xrt": content_duration / max(wall, 1e-9),
+                   "mode": "chunked"},
+        )
 
     def get_tokenizer(self, language: str = "en", task: str = "transcribe"):
         from .tokenizer import WhisperTokenizer

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--sample-len", type=int, default=224,
                     help="decoder steps per 30s window (cap)")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--mode", choices=["seek", "chunked"], default="chunked")
     args = ap.parse_args()
 
     from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
@@ -38,7 +40,11 @@ def main():
         n_audio_layer=32, n_vocab=51866, n_text_ctx=448, n_text_state=1280,
         n_text_head=20, n_text_layer=4,
     )
+    from mlx_audio_tpu.nn.module import cast_floats
+
     model = Model(dims)
+    if args.dtype == "bf16":
+        model = cast_floats(model)
     tok = DummyTokenizer(n_vocab=51866)
 
     rng = np.random.default_rng(0)
@@ -46,22 +52,26 @@ def main():
         np.float32
     )
 
+    def run_once():
+        if args.mode == "chunked":
+            return model.generate_chunked(
+                audio, language="en", temperature=0.0, tokenizer=tok,
+                without_timestamps=True,
+            )
+        return model.generate(
+            audio, language="en", temperature=0.0, tokenizer=tok,
+            condition_on_previous_text=False, no_speech_threshold=None,
+            without_timestamps=True,
+        )
+
     t0 = time.perf_counter()
-    out = model.generate(
-        audio, language="en", temperature=0.0, tokenizer=tok,
-        condition_on_previous_text=False, no_speech_threshold=None,
-        without_timestamps=True,
-    )
+    out = run_once()
     compile_wall = time.perf_counter() - t0
 
     walls = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
-        out = model.generate(
-            audio, language="en", temperature=0.0, tokenizer=tok,
-            condition_on_previous_text=False, no_speech_threshold=None,
-        without_timestamps=True,
-        )
+        out = run_once()
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
     xrt = args.seconds / wall
@@ -75,6 +85,8 @@ def main():
             "wall_seconds": round(wall, 3),
             "compile_plus_first_run_seconds": round(compile_wall, 1),
             "gen_tokens": out.generation_tokens,
+            "dtype": args.dtype,
+            "mode": args.mode,
             "note": "random weights -> no early EOT; lower bound",
         },
     }))

@@ -146,3 +146,45 @@ def test_generate_word_timestamps(tiny):
         for w in seg["words"]:
             assert set(w) == {"word", "start", "end", "probability"}
             assert w["end"] >= w["start"] >= 0.0
+
+
+def test_bf16_generate_matches_f32(tiny):
+    """cast_floats(whisper) decodes; greedy text matches f32 (fp16-checkpoint
+    parity class; bf16 caches + encoder/decoder compute)."""
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.nn.module import cast_floats
+
+    model, tok = tiny
+    audio = (np.random.default_rng(7).standard_normal(16000 * 2) * 0.05).astype(
+        np.float32
+    )
+    kw = dict(language="en", temperature=0.0, tokenizer=tok,
+              condition_on_previous_text=False)
+    ref = model.generate(audio, **kw)
+    mb = cast_floats(model)
+    assert mb.decoder.token_embedding.weight.dtype == jnp.bfloat16
+    out = mb.generate(audio, **kw)
+    assert isinstance(out.text, str)
+    # greedy decisions may flip on near-ties with random weights, but the
+    # structure must hold and most windows should agree
+    assert len(out.segments) == len(ref.segments)
+
+
+def test_generate_chunked_matches_structure(tiny):
+    """Batch-parallel long-form mode: all windows encoded+decoded as one
+    batch; segments cover the audio in 30s strides."""
+    model, tok = tiny
+    audio = (np.random.default_rng(9).standard_normal(16000 * 40) * 0.05).astype(
+        np.float32
+    )
+    out = model.generate_chunked(
+        audio, language="en", temperature=0.0, tokenizer=tok,
+        without_timestamps=True,
+    )
+    assert isinstance(out, STTOutput)
+    assert len(out.segments) == 2  # 40 s → two 30 s windows
+    assert out.segments[0]["seek"] == 0
+    assert out.segments[1]["seek"] == 3000
+    assert out.extra["mode"] == "chunked"
+    assert abs(out.duration - 40.0) < 0.1
