@@ -77,7 +77,10 @@ def main():
     ref_s = np.random.default_rng(0).standard_normal((1, 256)).astype(np.float32) * 0.1
     ps = PHONEMES[:508]
 
-    # Warmup / compile both stages
+    # Two-stage path: the fused single-dispatch variant exists
+    # (fused_frames=...) but its single large program takes far longer to
+    # compile through the remote-compile tunnel than the two stages do —
+    # not worth it for a benchmark that pays compile once.
     t0 = time.perf_counter()
     audio = model(ps, ref_s)
     compile_time = time.perf_counter() - t0

@@ -171,6 +171,23 @@ class Model(Module):
             jnp.clip(audio, -1.0, 1.0) * 32767.0
         ).astype(jnp.int16)
 
+    @staticmethod
+    @partial(jax.jit, static_argnames=("speed", "num_frames"))
+    def _forward_fused(model: "Model", input_ids, text_mask, ref_s, key,
+                       speed: float, num_frames: int):
+        """Frontend + synthesis as ONE program → (audio_i16, pred_dur).
+
+        One dispatch and one host fetch per utterance (the two-stage path
+        costs two device round trips — significant on a tunneled TPU). The
+        caller picks num_frames up front; if the predicted total exceeds it
+        the host falls back to the exact two-stage path.
+        """
+        pred_dur, d, t_en = Model._frontend(model, input_ids, text_mask,
+                                            ref_s, speed)
+        audio = Model._synthesize(model, d, t_en, pred_dur, ref_s, key,
+                                  num_frames)
+        return audio, pred_dur
+
     # ------------------------------------------------------------------
     # Public forward (phonemes → audio), reference `Model.__call__` parity
     # ------------------------------------------------------------------
@@ -181,7 +198,8 @@ class Model(Module):
         pred_dur: Optional[np.ndarray] = None
 
     def __call__(self, phonemes: str, ref_s, speed: float = 1.0,
-                 return_output: bool = False, key: Optional[jax.Array] = None):
+                 return_output: bool = False, key: Optional[jax.Array] = None,
+                 fused_frames: Optional[int] = None):
         input_ids = [self.vocab.get(p) for p in phonemes]
         input_ids = [i for i in input_ids if i is not None]
         assert len(input_ids) + 2 <= self.context_length
@@ -196,16 +214,37 @@ class Model(Module):
         ref_s = jnp.asarray(ref_s, cdtype)
         if ref_s.ndim == 1:
             ref_s = ref_s[None]
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        samples_per_frame = self.decoder.generator.total_upsample * 2
+
+        if fused_frames is not None:
+            # one dispatch, one fetch; exact fallback if frames overflow
+            num_frames = _bucket(fused_frames, FRAME_BUCKETS)
+            audio, pred_dur = self._forward_fused(
+                self, ids_arr, mask, ref_s, key, float(speed), num_frames
+            )
+            audio_np_raw, pred_dur_np = jax.device_get((audio, pred_dur))
+            pred_dur_np = np.asarray(pred_dur_np)
+            total_frames = int(pred_dur_np.sum())
+            if total_frames <= num_frames:
+                audio_np = (
+                    np.asarray(audio_np_raw)[0][: total_frames * samples_per_frame]
+                    .astype(np.float32)
+                    / 32767.0
+                )
+                if return_output:
+                    return self.Output(audio=audio_np,
+                                       pred_dur=pred_dur_np[0][:T])
+                return audio_np
+            # overflow: fall through to the exact two-stage path
 
         pred_dur, d, t_en = self._frontend(self, ids_arr, mask, ref_s, float(speed))
         pred_dur_np = np.asarray(jax.device_get(pred_dur))  # single tiny sync
         total_frames = int(pred_dur_np.sum())
         num_frames = _bucket(total_frames, FRAME_BUCKETS)
 
-        if key is None:
-            key = jax.random.PRNGKey(0)
         audio = self._synthesize(self, d, t_en, pred_dur, ref_s, key, num_frames)
-        samples_per_frame = self.decoder.generator.total_upsample * 2
         audio_np = (
             np.asarray(jax.device_get(audio))[0][: total_frames * samples_per_frame]
             .astype(np.float32)

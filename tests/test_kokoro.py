@@ -173,3 +173,20 @@ def test_bf16_inference_matches_f32(tiny_model):
     assert abs(len(a32) - len(a16)) <= 64 * 2
     corr = np.corrcoef(a32[:n], a16[:n])[0, 1]
     assert corr > 0.98, corr
+
+
+def test_fused_forward_matches_two_stage(tiny_model):
+    """fused_frames path (one dispatch) equals the two-stage path; overflow
+    falls back to exact synthesis."""
+    ref_s = np.random.default_rng(4).standard_normal((1, 64)).astype(np.float32) * 0.1
+    ps = "ðə kwˈɪk bɹˈWn fˈɑks"
+    two = tiny_model(ps, ref_s, return_output=True)
+    fused = tiny_model(ps, ref_s, return_output=True, fused_frames=256)
+    assert np.array_equal(two.pred_dur, fused.pred_dur)
+    assert len(two.audio) == len(fused.audio)
+    n = len(two.audio)
+    corr = np.corrcoef(two.audio[:n], fused.audio[:n])[0, 1]
+    assert corr > 0.999, corr
+    # overflow path: tiny fused budget → falls back, still exact length
+    fb = tiny_model(ps, ref_s, return_output=True, fused_frames=1)
+    assert len(fb.audio) == len(two.audio)
