@@ -241,12 +241,21 @@ class ContinuousBatcher:
                 self._wake.clear()
                 continue
 
-            logits, self.caches = _step(
-                self.model, self.caches,
-                jnp.asarray(self.cur_tok), jnp.asarray(self.pos),
-            )
-            self.steps += 1
-            logits_np = np.asarray(jax.device_get(logits))
+            try:
+                logits, self.caches = _step(
+                    self.model, self.caches,
+                    jnp.asarray(self.cur_tok), jnp.asarray(self.pos),
+                )
+                self.steps += 1
+                logits_np = np.asarray(jax.device_get(logits))
+            except Exception as e:  # pragma: no cover - defensive
+                # fail every live stream rather than stranding futures
+                for slot, req in enumerate(self.active):
+                    if req is not None and not req.future.done():
+                        req.future.set_exception(e)
+                    self.active[slot] = None
+                    self.pos[slot] = self.max_len - 1
+                continue
             for slot, req in enumerate(self.active):
                 if req is None:
                     continue
