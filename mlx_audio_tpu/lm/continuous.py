@@ -44,7 +44,9 @@ def _bucket(n: int) -> int:
     for b in PROMPT_BUCKETS:
         if n <= b:
             return b
-    return n
+    # beyond the table: next power of two, so distinct long prompt lengths
+    # don't each trigger a fresh prefill/install compile
+    return 1 << (n - 1).bit_length()
 
 
 class SlotKVCache(Module):
@@ -137,6 +139,7 @@ class ContinuousBatcher:
         self.model = model
         self.slots = slots
         self.max_len = max_len
+        self._cache_dtype = cache_dtype
         self.caches = [
             SlotKVCache(slots, cfg.num_key_value_heads, max_len,
                         cfg.head_dim, cache_dtype)
@@ -187,6 +190,10 @@ class ContinuousBatcher:
 
     def _admit(self, req: _Request, slot: int):
         T = len(req.prompt)
+        if T >= self.max_len:
+            raise ValueError(
+                f"prompt length {T} >= cache capacity {self.max_len}"
+            )
         P = min(_bucket(T), self.max_len)
         ids = np.zeros((1, P), np.int32)
         ids[0, :T] = req.prompt
@@ -206,13 +213,22 @@ class ContinuousBatcher:
         first = self._sample(np.asarray(jax.device_get(logits)), req.temp)
         self.active[slot] = req
         req.tokens.append(first)
-        if req.on_token:
-            req.on_token(first)
+        self._emit(req, first)
         if first in req.eos_ids or req.max_tokens <= 1:
             self._finish(slot)
             return
         self.cur_tok[slot] = first
         self.pos[slot] = T
+
+    @staticmethod
+    def _emit(req: _Request, tok: int) -> None:
+        """Streaming callback — never let a client callback kill the
+        worker (e.g. writing to a disconnected socket)."""
+        if req.on_token:
+            try:
+                req.on_token(tok)
+            except Exception:
+                req.on_token = None  # stop calling a broken sink
 
     def _finish(self, slot: int):
         req = self.active[slot]
@@ -249,20 +265,34 @@ class ContinuousBatcher:
                 self.steps += 1
                 logits_np = np.asarray(jax.device_get(logits))
             except Exception as e:  # pragma: no cover - defensive
-                # fail every live stream rather than stranding futures
+                # fail every live stream rather than stranding futures, and
+                # rebuild the cache pool: the failed dispatch DONATED the
+                # old buffers, so they are unusable for future requests
                 for slot, req in enumerate(self.active):
                     if req is not None and not req.future.done():
                         req.future.set_exception(e)
                     self.active[slot] = None
                     self.pos[slot] = self.max_len - 1
+                cfg = self.model.config
+                self.caches = [
+                    SlotKVCache(self.slots, cfg.num_key_value_heads,
+                                self.max_len, cfg.head_dim, self._cache_dtype)
+                    for _ in range(cfg.num_hidden_layers)
+                ]
                 continue
             for slot, req in enumerate(self.active):
                 if req is None:
                     continue
-                tok = self._sample(logits_np[slot], req.temp)
+                try:
+                    tok = self._sample(logits_np[slot], req.temp)
+                except Exception as e:  # NaN logits under temp>0, etc.
+                    self.active[slot] = None
+                    self.pos[slot] = self.max_len - 1
+                    if not req.future.done():
+                        req.future.set_exception(e)
+                    continue
                 req.tokens.append(tok)
-                if req.on_token:
-                    req.on_token(tok)
+                self._emit(req, tok)
                 self.pos[slot] += 1
                 self.cur_tok[slot] = tok
                 if (

@@ -62,7 +62,17 @@ class ModelProvider:
 
     def unload(self, model_name: str) -> bool:
         with self._lock:
-            return self._models.pop(model_name, None) is not None
+            model = self._models.pop(model_name, None)
+            if model is None:
+                return False
+            # tear down any serving batcher installed at load time (its
+            # scheduler thread and infer-hook entry hold the model alive)
+            from .serving import get_infer_hook
+
+            hook = get_infer_hook(model)
+            if hook is not None and hasattr(hook, "close"):
+                hook.close()
+            return True
 
 
 model_provider = ModelProvider()
@@ -161,7 +171,11 @@ def transcribe_audio_stream(file_bytes: bytes, payload: dict,
                             provider: ModelProvider = None):
     """NDJSON streaming transcription (reference server.py:364-412 streams
     per-segment lines): yields one JSON line per decoded segment as the
-    seek loop produces it, then a final line with the full text."""
+    seek loop produces it, then a final line with the full text.
+
+    Decoding/validation of the upload happens EAGERLY (before the first
+    yield), so transport code can surface errors as a clean HTTP status
+    instead of corrupting an already-started chunked body."""
     import queue as _q
     import threading as _t
 
@@ -175,6 +189,13 @@ def transcribe_audio_stream(file_bytes: bytes, payload: dict,
 
     if sr != 16000:
         x = resample_audio(x.astype(np.float32), sr, 16000)
+
+    return _stream_transcription(model, x, payload)
+
+
+def _stream_transcription(model, x, payload):
+    import queue as _q
+    import threading as _t
 
     q: "_q.Queue" = _q.Queue()
     DONE = object()
@@ -229,6 +250,7 @@ class RealtimeSTTSession:
         self.buffer = np.zeros(0, np.float32)
         self.silence_run = 0.0
         self.last_partial = 0.0
+        self.speech_seen = False
 
     def _decode(self) -> str:
         result = self.model.generate(self.buffer)
@@ -240,12 +262,19 @@ class RealtimeSTTSession:
         energy = float(np.sqrt((frame**2).mean() + 1e-12)) if len(frame) else 0.0
         if energy > self.energy_threshold:
             self.silence_run = 0.0
+            self.speech_seen = True
         else:
             self.silence_run += len(frame) / self.sample_rate
         self.buffer = np.concatenate([self.buffer, frame])
         buffered = len(self.buffer) / self.sample_rate
 
         events: List[dict] = []
+        if not self.speech_seen:
+            # idle microphone: don't run decodes on pure silence (avoids
+            # wasted dispatches and silence hallucinations); cap the buffer
+            if buffered >= self.max_buffer:
+                self.buffer = self.buffer[-self.sample_rate:]
+            return events
         final = (
             self.silence_run >= self.silence_gap and buffered > self.silence_gap
         ) or buffered >= self.max_buffer
@@ -259,13 +288,14 @@ class RealtimeSTTSession:
                 self.buffer = np.zeros(0, np.float32)
                 self.silence_run = 0.0
                 self.last_partial = 0.0
+                self.speech_seen = False
             else:
                 self.last_partial = buffered
         return events
 
     def finalize(self) -> Optional[dict]:
         """Flush the remaining buffer as a final transcript."""
-        if len(self.buffer) >= self.sample_rate // 10:
+        if self.speech_seen and len(self.buffer) >= self.sample_rate // 10:
             text = self._decode()
             self.buffer = np.zeros(0, np.float32)
             return {"type": "final", "text": text}
@@ -286,7 +316,12 @@ def _parse_multipart(body: bytes, content_type: str):
     fields: Dict[str, str] = {}
     files: Dict[str, bytes] = {}
     for part in body.split(b"--" + boundary):
-        part = part.strip(b"\r\n")
+        # strip exactly the single delimiting CRLF on each side — a blanket
+        # strip would eat trailing 0x0D/0x0A bytes of binary file content
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
         if not part or part == b"--":
             continue
         if b"\r\n\r\n" not in part:
@@ -385,20 +420,39 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Sec-WebSocket-Accept", accept_key(key))
         self.end_headers()
 
+        from .ws import OP_CLOSE
+
         q = parse_qs(urlparse(self.path).query)
         model_name = q.get("model", ["mlx-community/whisper-large-v3-turbo"])[0]
-        conn = WebSocketConnection(self.rfile, self.wfile)
+        conn = WebSocketConnection(self.rfile, self.wfile,
+                                   auto_close_reply=False)
         session = None
+
+        def flush_final():
+            final = session.finalize() if session is not None else None
+            if final:
+                try:
+                    conn.send_text(json.dumps(final))
+                except Exception:
+                    pass
+
         try:
             while True:
                 msg = conn.recv()
                 if msg is None:
                     break
                 opcode, payload = msg
+                if opcode == OP_CLOSE:
+                    # flush the remaining transcript BEFORE completing the
+                    # close handshake (data after our Close would be lost)
+                    flush_final()
+                    session = None
+                    conn.close()
+                    break
                 if opcode != OP_BINARY:
                     # JSON control message: initial config (reference
                     # protocol: config first, then {"status": "ready"}) or
-                    # a finalize command
+                    # a finalize command; unknown commands are ignored
                     try:
                         cmd = json.loads(payload or b"{}")
                     except ValueError:
@@ -409,12 +463,18 @@ class _Handler(BaseHTTPRequestHandler):
                             if event:
                                 conn.send_text(json.dumps(event))
                         continue
-                    model_name = cmd.get("model", model_name)
-                    model = self.provider.load_model(model_name)
-                    session = RealtimeSTTSession(model)
-                    conn.send_text(json.dumps(
-                        {"status": "ready", "message": "Ready to transcribe"}
-                    ))
+                    if cmd.get("command") is not None:
+                        continue  # unknown command: keep the live session
+                    if session is None:
+                        model_name = cmd.get("model", model_name)
+                        model = self.provider.load_model(model_name)
+                        session = RealtimeSTTSession(model)
+                        conn.send_text(json.dumps(
+                            {"status": "ready",
+                             "message": "Ready to transcribe"}
+                        ))
+                    # config while live: ignore (a new session would drop
+                    # the buffered audio)
                     continue
                 if session is None:
                     model = self.provider.load_model(model_name)
@@ -422,12 +482,7 @@ class _Handler(BaseHTTPRequestHandler):
                 for event in session.feed(payload):
                     conn.send_text(json.dumps(event))
         finally:
-            final = session.finalize() if session is not None else None
-            if final:
-                try:
-                    conn.send_text(json.dumps(final))
-                except Exception:
-                    pass
+            flush_final()
             conn.close()
         self.close_connection = True
 
@@ -446,6 +501,9 @@ class _Handler(BaseHTTPRequestHandler):
                 fields, files = _parse_multipart(self._read_body(), ctype)
                 blob = files.get("file", b"")
                 if fields.get("stream") in ("true", "1"):
+                    # validate/decode BEFORE the 200 so errors surface as a
+                    # clean JSON status, not a corrupted chunked body
+                    stream = transcribe_audio_stream(blob, fields, self.provider)
                     # NDJSON: one line per segment as it decodes
                     self.send_response(200)
                     self.send_header("Content-Type", "application/x-ndjson")
@@ -454,9 +512,7 @@ class _Handler(BaseHTTPRequestHandler):
                         "Access-Control-Allow-Origin", ALLOWED_ORIGINS
                     )
                     self.end_headers()
-                    for line in transcribe_audio_stream(
-                        blob, fields, self.provider
-                    ):
+                    for line in stream:
                         self.wfile.write(f"{len(line):x}\r\n".encode())
                         self.wfile.write(line + b"\r\n")
                         self.wfile.flush()
@@ -598,11 +654,35 @@ def create_app(provider: Optional[ModelProvider] = None):
         session = RealtimeSTTSession(model)
         try:
             while True:
-                data = await ws.receive_bytes()
-                for event in session.feed(data):
-                    await ws.send_json(event)
+                msg = await ws.receive()
+                if msg.get("type") == "websocket.disconnect":
+                    break
+                if msg.get("bytes") is not None:
+                    for event in session.feed(msg["bytes"]):
+                        await ws.send_json(event)
+                elif msg.get("text") is not None:
+                    try:
+                        cmd = json.loads(msg["text"])
+                    except ValueError:
+                        cmd = {}
+                    if msg["text"] == "finalize" or cmd.get("command") == "finalize":
+                        event = session.finalize()
+                        if event:
+                            await ws.send_json(event)
+                    elif cmd.get("command") is None:
+                        await ws.send_json(
+                            {"status": "ready",
+                             "message": "Ready to transcribe"}
+                        )
         except Exception:
             pass
+        finally:
+            final = session.finalize()
+            if final:
+                try:
+                    await ws.send_json(final)
+                except Exception:
+                    pass
 
     return app
 

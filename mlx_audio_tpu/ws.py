@@ -48,10 +48,12 @@ class WebSocketConnection:
     mask their frames (`mask_outgoing=True`).
     """
 
-    def __init__(self, rfile, wfile, mask_outgoing: bool = False):
+    def __init__(self, rfile, wfile, mask_outgoing: bool = False,
+                 auto_close_reply: bool = True):
         self.rfile = rfile
         self.wfile = wfile
         self.mask_outgoing = mask_outgoing
+        self.auto_close_reply = auto_close_reply
         self.closed = False
 
     # ---- receive ----
@@ -108,6 +110,10 @@ class WebSocketConnection:
             if opcode == OP_PONG:
                 continue
             if opcode == OP_CLOSE:
+                if not self.auto_close_reply:
+                    # caller wants to flush pending data before completing
+                    # the close handshake; it must call close() afterwards
+                    return OP_CLOSE, payload
                 if not self.closed:
                     self._send_frame(OP_CLOSE, payload[:2])
                     self.closed = True

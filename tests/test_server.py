@@ -2,6 +2,7 @@
 strategy: test_server.py patches the provider)."""
 
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -212,5 +213,38 @@ def test_transcription_endpoint_streaming():
             objs = [json.loads(l) for l in r.read().splitlines() if l.strip()]
         assert objs[-1]["type"] == "done"
         assert len(objs) == 3
+    finally:
+        httpd.shutdown()
+
+
+def test_transcription_streaming_bad_audio_clean_error():
+    """Corrupt upload with stream=true → clean JSON error status, not a
+    corrupted chunked body."""
+
+    class P(srv.ModelProvider):
+        def load_model(self, name):
+            return SegmentedSTT()
+
+    httpd = srv.serve_stdlib("127.0.0.1", 0, P())
+    host, port = httpd.server_address
+    try:
+        boundary = "XB"
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="stream"\r\n\r\n').encode() + b"true\r\n"
+        body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="file"; filename="a.wav"\r\n\r\n').encode()
+        body += b"NOTAWAVFILE" + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/audio/transcriptions", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"},
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected an HTTP error")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()

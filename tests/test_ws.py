@@ -205,3 +205,57 @@ def test_delete_model_body_style():
             assert json.loads(r.read())["status"] == "unloaded"
     finally:
         httpd.shutdown()
+
+
+def test_realtime_session_ignores_pure_silence():
+    """Idle mic: no decodes, no finals until speech has been seen."""
+    stt = SlowSTT()
+    s = srv.RealtimeSTTSession(stt, partial_interval=0.5, silence_gap=0.5)
+    events = []
+    for _ in range(20):
+        events += s.feed(_pcm(0.25, 0.0))
+    assert events == []
+    assert stt.calls == 0
+    # speech arrives → decoding resumes
+    events = []
+    for _ in range(5):
+        events += s.feed(_pcm(0.25, 0.2))
+    assert any(e["type"] == "partial" for e in events)
+
+
+def test_ws_close_flushes_final_before_close_handshake():
+    """Client closes without 'finalize': the remaining transcript arrives
+    BEFORE the server's Close frame (RFC 6455 forbids data after Close)."""
+
+    class P(srv.ModelProvider):
+        def load_model(self, name):
+            return SlowSTT()
+
+    httpd = srv.serve_stdlib("127.0.0.1", 0, P())
+    host, port = httpd.server_address
+    try:
+        sock = socket.create_connection((host, port), timeout=10)
+        req, _ = wsmod.client_handshake_headers(
+            f"{host}:{port}", "/v1/audio/speech/stream?model=m"
+        )
+        sock.sendall(req)
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += sock.recv(4096)
+
+        conn = wsmod.WebSocketConnection(
+            sock.makefile("rb"), sock.makefile("wb"), mask_outgoing=True,
+            auto_close_reply=False,
+        )
+        # short speech burst (below the partial cadence), then Close
+        conn.send_binary(_pcm(0.5, 0.2))
+        conn.close()
+        # first message must be the flushed final TEXT, then the Close echo
+        op, payload = conn.recv()
+        assert op == wsmod.OP_TEXT
+        assert json.loads(payload)["type"] == "final"
+        nxt = conn.recv()
+        assert nxt is None or nxt[0] == wsmod.OP_CLOSE
+        sock.close()
+    finally:
+        httpd.shutdown()
