@@ -19,7 +19,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["flash_attention"]
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_k, kv_len):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_k,
+                  kv_len, kv_valid):
     # refs carry a leading block dim of 1: (1, block_q, d) / (1, kv_len, d)
     block_q = q_ref.shape[1]
     d = q_ref.shape[2]
@@ -37,14 +38,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_k, kv_len)
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-        if causal:
+        if causal or kv_valid < kv_len:
             q_ids = q_offset + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
             k_ids = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
-            s = jnp.where(k_ids <= q_ids, s, -1e30)
+            bad = k_ids >= kv_valid
+            if causal:
+                bad = bad | (k_ids > q_ids)
+            s = jnp.where(bad, -1e30, s)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -67,37 +71,45 @@ def flash_attention(q, k, v, *, causal: bool = False, scale=None,
                     block_q: int = 256, block_k: int = 256):
     """q: (B, H, T, D), k/v: (B, H, S, D) → (B, H, T, D).
 
-    T must be a multiple of block_q and S of block_k (pad before calling).
-    GQA: repeat k/v heads before calling.
+    Arbitrary T/S: inputs are zero-padded to block multiples and padded
+    keys are masked out in-kernel (kv_valid), so results match the exact
+    softmax. GQA: repeat k/v heads before calling.
     """
     B, H, T, D = q.shape
     S = k.shape[2]
     if scale is None:
         scale = D**-0.5
-    assert T % block_q == 0 and S % block_k == 0
+    T_pad = -(-T // block_q) * block_q
+    S_pad = -(-S // block_k) * block_k
+    if T_pad != T:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, T_pad - T), (0, 0)))
+    if S_pad != S:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, S_pad - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, S_pad - S), (0, 0)))
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal, block_k=block_k, kv_len=S
+        _flash_kernel, scale=scale, causal=causal, block_k=block_k,
+        kv_len=S_pad, kv_valid=S,
     )
 
-    grid = (B * H, T // block_q)
-    qf = q.reshape(B * H, T, D)
-    kf = k.reshape(B * H, S, D)
-    vf = v.reshape(B * H, S, D)
+    grid = (B * H, T_pad // block_q)
+    qf = q.reshape(B * H, T_pad, D)
+    kf = k.reshape(B * H, S_pad, D)
+    vf = v.reshape(B * H, S_pad, D)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, T_pad, D), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, S_pad, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, S_pad, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
     )(qf, kf, vf)
-    return out.reshape(B, H, T, D)
+    return out.reshape(B, H, T_pad, D)[:, :, :T]

@@ -70,3 +70,31 @@ def test_relu2_attention_matches_reference():
     with pltpu.force_tpu_interpret_mode():
         got = relu2_attention(q, k, v, 16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+
+
+@pytest.mark.parametrize("T,S", [(150, 150), (300, 150), (1500 % 256 + 256, 200)])
+def test_flash_attention_non_multiple_shapes(T, S):
+    """Whisper-encoder-style shapes: T/S not block multiples — padding +
+    in-kernel kv_valid masking must equal the exact softmax."""
+    rng = np.random.default_rng(1)
+    B, H, D = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, block_q=128, block_k=128)
+    ref = scaled_dot_product_attention(q, k, v)
+    assert out.shape == (B, H, T, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_flash_attention_causal_non_multiple():
+    rng = np.random.default_rng(2)
+    B, H, T, D = 1, 2, 200, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+    ref = scaled_dot_product_attention(q, k, v, mask="causal")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
