@@ -123,9 +123,14 @@ class _Request:
     max_tokens: int
     eos_ids: frozenset
     temp: float
+    top_p: float = 1.0
+    top_k: int = 0
+    rep_penalty: float = 1.0
+    rep_window: int = 64
     future: Future = field(default_factory=Future)
     on_token: Optional[callable] = None
     tokens: list = field(default_factory=list)
+    prompt_tail: tuple = ()  # last rep_window prompt tokens
 
 
 class ContinuousBatcher:
@@ -160,13 +165,20 @@ class ContinuousBatcher:
 
     def submit(self, prompt: Sequence[int], max_tokens: int = 128,
                eos_ids: Sequence[int] = (), temp: float = 0.0,
+               top_p: float = 1.0, top_k: int = 0,
+               repetition_penalty: float = 1.0,
+               repetition_context_size: int = 64,
                on_token=None) -> Future:
         """Queue a generation request; resolves to the token list
         (EOS included when hit)."""
+        prompt = list(prompt)
         req = _Request(
-            prompt=np.asarray(list(prompt), np.int32),
+            prompt=np.asarray(prompt, np.int32),
             max_tokens=max_tokens, eos_ids=frozenset(int(e) for e in eos_ids),
-            temp=temp, on_token=on_token,
+            temp=temp, top_p=top_p, top_k=top_k,
+            rep_penalty=repetition_penalty,
+            rep_window=repetition_context_size, on_token=on_token,
+            prompt_tail=tuple(prompt[-repetition_context_size:]),
         )
         self._joinq.put(req)
         self._wake.set()
@@ -179,11 +191,33 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
 
-    def _sample(self, logits_row: np.ndarray, temp: float) -> int:
-        if temp == 0.0:
-            return int(np.argmax(logits_row))
-        z = logits_row / temp
-        z = z - z.max()
+    def _sample(self, logits_row: np.ndarray, req: "_Request") -> int:
+        """Host-side sampler mirroring lm.sample semantics (rep penalty over
+        a sliding window, top-k, top-p nucleus, temperature)."""
+        z = logits_row.astype(np.float64).copy()
+        if req.rep_penalty != 1.0:
+            window = (list(req.prompt_tail) + req.tokens)[-req.rep_window:]
+            idx = np.unique(np.asarray(window, np.int64))
+            idx = idx[(idx >= 0) & (idx < z.shape[0])]
+            pos = z[idx] > 0
+            z[idx[pos]] /= req.rep_penalty
+            z[idx[~pos]] *= req.rep_penalty
+        if req.temp == 0.0:
+            return int(np.argmax(z))
+        if req.top_k > 0 and req.top_k < z.shape[0]:
+            kth = np.partition(z, -req.top_k)[-req.top_k]
+            z[z < kth] = -np.inf
+        if req.top_p < 1.0:
+            order = np.argsort(z)[::-1]
+            zs = z[order]
+            probs = np.exp(zs - zs.max())
+            probs /= probs.sum()
+            cum = np.cumsum(probs)
+            keep = (cum - probs) < req.top_p  # always keeps top-1
+            cutoff = zs[keep][-1]
+            z[z < cutoff] = -np.inf
+        z = z / req.temp
+        z -= z.max()
         p = np.exp(z)
         p /= p.sum()
         return int(self._rng.choice(len(p), p=p))
@@ -210,7 +244,7 @@ class ContinuousBatcher:
         self.caches = _install_slot(
             self.caches, single, slot, jnp.asarray(T, jnp.int32)
         )
-        first = self._sample(np.asarray(jax.device_get(logits)), req.temp)
+        first = self._sample(np.asarray(jax.device_get(logits)), req)
         self.active[slot] = req
         req.tokens.append(first)
         self._emit(req, first)
@@ -284,7 +318,7 @@ class ContinuousBatcher:
                 if req is None:
                     continue
                 try:
-                    tok = self._sample(logits_np[slot], req.temp)
+                    tok = self._sample(logits_np[slot], req)
                 except Exception as e:  # NaN logits under temp>0, etc.
                     self.active[slot] = None
                     self.pos[slot] = self.max_len - 1

@@ -27,6 +27,7 @@ __all__ = [
     "BatchScheduler",
     "KokoroBatcher",
     "WhisperBatcher",
+    "LMContinuousBatcher",
     "register_infer_hook",
     "unregister_infer_hook",
     "get_infer_hook",
@@ -184,6 +185,34 @@ class KokoroBatcher:
     @property
     def dispatch_count(self) -> int:
         return self.sched.dispatch_count
+
+
+class LMContinuousBatcher:
+    """Continuous batching for AR token-stream models (Orpheus/Vyvo-style
+    SNAC LMs): concurrent requests' decodes run in lock-step via
+    `lm.ContinuousBatcher`; models route through `hook.submit(...)`."""
+
+    def __init__(self, model, slots: int = 4, max_len: int = 4096, **kwargs):
+        from .lm.continuous import ContinuousBatcher
+
+        self.model = model
+        self.cb = ContinuousBatcher(model, slots=slots, max_len=max_len,
+                                    **kwargs)
+
+    def submit(self, *args, **kwargs):
+        return self.cb.submit(*args, **kwargs)
+
+    def install(self):
+        register_infer_hook(self.model, self)
+        return self
+
+    def close(self):
+        unregister_infer_hook(self.model)
+        self.cb.close()
+
+    @property
+    def dispatch_count(self) -> int:
+        return self.cb.steps
 
 
 # ---------------------------------------------------------------------------

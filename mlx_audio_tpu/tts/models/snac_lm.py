@@ -143,6 +143,13 @@ class SnacARModel(CausalLM):
         n = (len(toks) // 7) * 7
         return [t - self.AUDIO_TOKENS_START for t in toks[:n]]
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: continuous (slot-based) batching of concurrent
+        token streams — one lock-step device decode for all live requests."""
+        from ...serving import LMContinuousBatcher
+
+        return LMContinuousBatcher(self, **kwargs)
+
     def decode_audio(self, code_list: List[int]) -> Optional[np.ndarray]:
         if len(code_list) < 7:
             return None
@@ -179,20 +186,38 @@ class SnacARModel(CausalLM):
             else None
         )
 
+        # Under a running server a ContinuousBatcher may be installed:
+        # concurrent requests' token streams then decode in lock-step.
+        from ...serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+
         for segment_idx, segment in enumerate(prompts):
             t0 = time.perf_counter()
             ids = self.prepare_input_ids(segment, voice, zeroprompt)
-            toks, n = generate_tokens(
-                self,
-                jnp.asarray(ids, jnp.int32),
-                max_tokens=max_tokens,
-                temp=temperature,
-                top_p=top_p,
-                top_k=kwargs.get("top_k", 0),
-                repetition_penalty=kwargs.get("repetition_penalty", 1.3),
-                repetition_context_size=kwargs.get("repetition_context_size", 20),
-                eos_token_ids=(self.END_OF_SPEECH,),
-            )
+            if hook is not None:
+                out_tokens = hook.submit(
+                    ids, max_tokens=max_tokens, temp=temperature,
+                    top_p=top_p, top_k=kwargs.get("top_k", 0),
+                    repetition_penalty=kwargs.get("repetition_penalty", 1.3),
+                    repetition_context_size=kwargs.get(
+                        "repetition_context_size", 20),
+                    eos_ids=(self.END_OF_SPEECH,),
+                ).result()
+                toks = np.asarray([out_tokens], np.int32)
+                n = len(out_tokens)
+            else:
+                toks, n = generate_tokens(
+                    self,
+                    jnp.asarray(ids, jnp.int32),
+                    max_tokens=max_tokens,
+                    temp=temperature,
+                    top_p=top_p,
+                    top_k=kwargs.get("top_k", 0),
+                    repetition_penalty=kwargs.get("repetition_penalty", 1.3),
+                    repetition_context_size=kwargs.get("repetition_context_size", 20),
+                    eos_token_ids=(self.END_OF_SPEECH,),
+                )
             codes = self.parse_output(toks[0])
             audio = self.decode_audio(codes)
             if audio is None:

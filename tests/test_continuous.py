@@ -96,3 +96,61 @@ def test_streaming_callback(lm):
     finally:
         cb.close()
     assert seen == out
+
+
+def test_top_p_and_repetition_penalty_sampling(lm):
+    """Batcher host sampler honors top_p/rep-penalty (smoke: no crash,
+    deterministic seed, tokens in range)."""
+    rng = np.random.default_rng(5)
+    prompt = list(rng.integers(1, 97, 6))
+    cb = ContinuousBatcher(lm, slots=1, max_len=128, cache_dtype=np.float32)
+    try:
+        out = cb.submit(prompt, max_tokens=8, temp=0.8, top_p=0.9,
+                        repetition_penalty=1.3,
+                        repetition_context_size=16).result(timeout=300)
+    finally:
+        cb.close()
+    assert len(out) == 8
+    assert all(0 <= t < 97 for t in out)
+
+
+def test_snac_lm_routes_through_installed_batcher():
+    """Orpheus-style model + installed LMContinuousBatcher: generate()
+    decodes via lock-step batched steps."""
+    from mlx_audio_tpu.serving import get_infer_hook
+    from mlx_audio_tpu.tts.models.llama import Model, ModelConfig
+
+    cfg = ModelConfig(
+        hidden_size=64, num_hidden_layers=1, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=130000,
+    )
+    model = Model(cfg)
+
+    class Enc:
+        def __init__(self, ids):
+            self.input_ids = ids
+
+    class Tok:
+        def __call__(self, text, **kw):
+            return Enc([(ord(c) % 90) + 10 for c in text[:16]])
+
+    class FakeSnac:
+        sample_rate = 24000
+
+        def decode(self, layers):
+            n = sum(np.asarray(l).size for l in layers)
+            return np.zeros(max(n, 1) * 512, np.float32)
+
+    model.set_runtime(tokenizer=Tok(), codec=FakeSnac())
+    batcher = model.make_batcher(slots=2, max_len=512,
+                                 cache_dtype=np.float32).install()
+    try:
+        assert get_infer_hook(model) is batcher
+        results = list(model.generate("hello world", max_tokens=16,
+                                      temperature=0.0))
+        assert batcher.dispatch_count > 0
+        for r in results:
+            assert r.sample_rate == 24000
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None
