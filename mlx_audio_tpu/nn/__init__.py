@@ -1,4 +1,5 @@
 from .module import Module, flatten_params, load_weights, path_str
+from .layers import seed_rng
 from .layers import (
     AvgPool1d,
     BatchNorm,

@@ -46,6 +46,13 @@ def _he_uniform(key, shape, fan_in, dtype=jnp.float32):
 _KEY = [jax.random.PRNGKey(0)]
 
 
+def seed_rng(seed: int = 0) -> None:
+    """Reset the global init-RNG stream. Weight init draws from a shared
+    counter, so tests asserting exact numerics should pin it (otherwise
+    model weights depend on how many layers were built earlier)."""
+    _KEY[0] = jax.random.PRNGKey(seed)
+
+
 def _next_key():
     _KEY[0], k = jax.random.split(_KEY[0])
     return k

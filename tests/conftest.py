@@ -17,3 +17,25 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _seed_init_rng(request):
+    """Weight init draws from a shared global counter (nn.layers._KEY), so a
+    module's model weights would otherwise depend on every module that ran
+    before it — making near-tie assertions order-dependent. Reseed per
+    module for order independence."""
+    import zlib
+
+    from mlx_audio_tpu.nn import seed_rng
+
+    # stable across processes (str hash() is randomized per interpreter)
+    seed_rng(zlib.crc32(request.module.__name__.encode()) % (2**31))
+    yield
+    # Release compiled executables between modules: a single-process run of
+    # the whole suite otherwise accumulates >12 GB of jit caches and the
+    # XLA CPU compiler eventually segfaults under memory pressure.
+    jax.clear_caches()

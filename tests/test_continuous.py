@@ -11,6 +11,9 @@ from mlx_audio_tpu.lm.generate import generate_tokens
 
 @pytest.fixture(scope="module")
 def lm():
+    from mlx_audio_tpu.nn import seed_rng
+
+    seed_rng(0)  # exact-token assertions need order-independent weights
     cfg = LMConfig(
         hidden_size=64,
         num_hidden_layers=2,
@@ -120,6 +123,9 @@ def test_snac_lm_routes_through_installed_batcher():
     from mlx_audio_tpu.serving import get_infer_hook
     from mlx_audio_tpu.tts.models.llama import Model, ModelConfig
 
+    from mlx_audio_tpu.nn import seed_rng
+
+    seed_rng(1)
     cfg = ModelConfig(
         hidden_size=64, num_hidden_layers=1, intermediate_size=128,
         num_attention_heads=4, num_key_value_heads=2, vocab_size=130000,
