@@ -178,7 +178,10 @@ class ContinuousBatcher:
             temp=temp, top_p=top_p, top_k=top_k,
             rep_penalty=repetition_penalty,
             rep_window=repetition_context_size, on_token=on_token,
-            prompt_tail=tuple(prompt[-repetition_context_size:]),
+            prompt_tail=(
+                tuple(prompt[-repetition_context_size:])
+                if repetition_context_size > 0 else ()
+            ),
         )
         self._joinq.put(req)
         self._wake.set()
@@ -188,6 +191,17 @@ class ContinuousBatcher:
         self._stop.set()
         self._wake.set()
         self._thread.join(timeout=10)
+        # fail anything still waiting for a slot — blocked futures would
+        # otherwise hang forever
+        while True:
+            try:
+                req = self._joinq.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(
+                    RuntimeError("ContinuousBatcher closed")
+                )
 
     # ------------------------------------------------------------------
 
@@ -195,7 +209,7 @@ class ContinuousBatcher:
         """Host-side sampler mirroring lm.sample semantics (rep penalty over
         a sliding window, top-k, top-p nucleus, temperature)."""
         z = logits_row.astype(np.float64).copy()
-        if req.rep_penalty != 1.0:
+        if req.rep_penalty != 1.0 and req.rep_window > 0:
             window = (list(req.prompt_tail) + req.tokens)[-req.rep_window:]
             idx = np.unique(np.asarray(window, np.int64))
             idx = idx[(idx >= 0) & (idx < z.shape[0])]
@@ -204,6 +218,7 @@ class ContinuousBatcher:
             z[idx[~pos]] *= req.rep_penalty
         if req.temp == 0.0:
             return int(np.argmax(z))
+        z = z / req.temp  # scale BEFORE filtering (lm.sample order)
         if req.top_k > 0 and req.top_k < z.shape[0]:
             kth = np.partition(z, -req.top_k)[-req.top_k]
             z[z < kth] = -np.inf
@@ -216,7 +231,6 @@ class ContinuousBatcher:
             keep = (cum - probs) < req.top_p  # always keeps top-1
             cutoff = zs[keep][-1]
             z[z < cutoff] = -np.inf
-        z = z / req.temp
         z -= z.max()
         p = np.exp(z)
         p /= p.sum()

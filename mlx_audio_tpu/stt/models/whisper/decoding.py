@@ -62,7 +62,7 @@ def compression_ratio(text: str) -> float:
     static_argnames=(
         "decoder_step", "sample_len", "n_ctx", "eot", "timestamp_begin",
         "no_timestamps", "blank", "no_speech", "without_timestamps",
-        "max_initial_ts_index", "temperature",
+        "max_initial_ts_index", "temperature", "sot_index",
     ),
     donate_argnames=("caches",),
 )
@@ -84,6 +84,7 @@ def _decode_loop(
     without_timestamps: bool,
     max_initial_ts_index: int,
     temperature: float,
+    sot_index: int = 0,
 ):
     B, Tp = prompt.shape
     V = suppress_mask.shape[0]
@@ -93,7 +94,9 @@ def _decode_loop(
     # ---- prefill ----
     logits, caches = decoder_step(model, prompt, 0, caches, cross_kv)
     last_logits = logits[:, -1, :].astype(jnp.float32)
-    sot_probs = jax.nn.softmax(logits[:, 0 if Tp == 1 else -1, :].astype(jnp.float32))
+    # P(<|nospeech|>) is read at the SOT position, as the reference does —
+    # the output distribution after consuming <|startoftranscript|>
+    sot_probs = jax.nn.softmax(logits[:, sot_index, :].astype(jnp.float32))
     no_speech_prob = sot_probs[:, no_speech]
 
     tokens_buf = jnp.full((B, n_ctx), eot, jnp.int32)
@@ -210,8 +213,8 @@ def decode_window_batch(
     prompt = jnp.asarray(rows, jnp.int32)
 
     suppress = np.zeros((n_vocab,), bool)
+    ids: List[int] = []
     if options.suppress_tokens:
-        ids: List[int] = []
         st = options.suppress_tokens
         if isinstance(st, str):
             ids = [int(t) for t in st.split(",") if t.strip() and t != "-1"]
@@ -219,23 +222,28 @@ def decode_window_batch(
                 ids.extend(tokenizer.non_speech_tokens)
         else:
             ids = list(st)
-        ids.extend(
-            [tokenizer.transcribe, tokenizer.translate, tokenizer.sot,
-             tokenizer.sot_prev, getattr(tokenizer, "sot_lm", tokenizer.sot_prev)]
-        )
-        for i in ids:
-            if 0 <= i < n_vocab:
-                suppress[i] = True
+    # control tokens are ALWAYS suppressed (reference behavior), even when
+    # the caller passes suppress_tokens=None/""
+    ids.extend(
+        [tokenizer.transcribe, tokenizer.translate, tokenizer.sot,
+         tokenizer.sot_prev, getattr(tokenizer, "sot_lm", tokenizer.sot_prev)]
+    )
+    for i in ids:
+        if 0 <= i < n_vocab:
+            suppress[i] = True
     suppress[tokenizer.no_speech] = True
 
     blank_ids = tokenizer.encode(" ")
     blank = blank_ids[0] if blank_ids else tokenizer.eot
     precision = 0.02
-    max_init = (
-        round(options.max_initial_timestamp / precision)
-        if options.max_initial_timestamp
-        else 50
-    )
+    if options.max_initial_timestamp is None:
+        max_init = n_vocab  # uncapped (reference: index left unset)
+    else:
+        max_init = round(options.max_initial_timestamp / precision)
+
+    Tp = prompt.shape[1]
+    # never write past tokens_buf/KV capacity (the reference stops at n_ctx)
+    sample_len = max(1, min(sample_len, n_ctx - Tp - 1))
 
     # make_caches may be batch-aware (preferred) or a legacy 0-arg thunk
     try:
@@ -251,6 +259,14 @@ def decode_window_batch(
         no_speech=tokenizer.no_speech,
         without_timestamps=options.without_timestamps,
         max_initial_ts_index=max_init, temperature=float(options.temperature),
+        # index of <|startoftranscript|> in the prompt: the sot sequence
+        # sits at the END (possibly followed by <|notimestamps|>)
+        sot_index=max(
+            0,
+            Tp
+            - len(list(tokenizer.sot_sequence))
+            - (1 if options.without_timestamps else 0),
+        ),
     )
     toks, n_steps, sum_lp, nsp = jax.device_get(
         (tokens_buf, n_steps, sum_lp, no_speech_prob)

@@ -526,15 +526,26 @@ class Model(Module):
                         make_caches=self._make_caches,
                     )
                 ok = True
-                if result.compression_ratio > compression_ratio_threshold:
+                if (
+                    compression_ratio_threshold is not None
+                    and result.compression_ratio > compression_ratio_threshold
+                ):
                     ok = False
-                if result.avg_logprob < logprob_threshold:
+                if (
+                    logprob_threshold is not None
+                    and result.avg_logprob < logprob_threshold
+                ):
                     ok = False
                 if ok:
                     break
 
             # no-speech skip
-            if no_speech_threshold is not None and result.no_speech_prob > no_speech_threshold and result.avg_logprob < logprob_threshold:
+            if (
+                no_speech_threshold is not None
+                and result.no_speech_prob > no_speech_threshold
+                and (logprob_threshold is None
+                     or result.avg_logprob < logprob_threshold)
+            ):
                 seek += A.N_FRAMES
                 continue
 

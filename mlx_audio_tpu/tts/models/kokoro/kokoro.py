@@ -60,7 +60,10 @@ def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    # beyond the table: round up (never truncate — clamping would cut audio
+    # mid-utterance and corrupt masked-norm valid fractions)
+    step = buckets[-1] // 2 or buckets[-1]
+    return -(-n // step) * step
 
 
 _PIPELINE_CACHE: dict = {}
@@ -320,7 +323,19 @@ class Model(Module):
         # Pipelines hold a back-reference to the model, so they are cached in
         # a module-level registry instead of on the pytree (avoids a flatten
         # cycle and keeps the jit treedef clean).
-        cache = _PIPELINE_CACHE.setdefault(id(self), {})
+        key = id(self)
+        if key not in _PIPELINE_CACHE:
+            _PIPELINE_CACHE[key] = {}
+            # evict when the model dies — the pipeline back-references the
+            # model, so an unbounded id-keyed cache would keep every model
+            # (and its jit caches) immortal across server reloads
+            import weakref
+
+            try:
+                weakref.finalize(self, _PIPELINE_CACHE.pop, key, None)
+            except TypeError:
+                pass  # non-weakref-able object: fall back to unbounded cache
+        cache = _PIPELINE_CACHE[key]
         if lang_code not in cache:
             from .pipeline import KokoroPipeline
 

@@ -190,3 +190,13 @@ def test_fused_forward_matches_two_stage(tiny_model):
     # overflow path: tiny fused budget → falls back, still exact length
     fb = tiny_model(ps, ref_s, return_output=True, fused_frames=1)
     assert len(fb.audio) == len(two.audio)
+
+
+def test_frame_bucket_overflow_rounds_up():
+    """Totals beyond the bucket table round UP (never clamp → no audio
+    truncation, valid_frac stays <= 1)."""
+    from mlx_audio_tpu.tts.models.kokoro.kokoro import FRAME_BUCKETS, _bucket
+
+    assert _bucket(3072, FRAME_BUCKETS) == 3072
+    assert _bucket(3073, FRAME_BUCKETS) >= 3073
+    assert _bucket(5000, FRAME_BUCKETS) >= 5000
