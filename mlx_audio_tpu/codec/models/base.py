@@ -16,6 +16,15 @@ def fold_weight_norm_pairs(weights: dict) -> dict:
     (descript/nn/layers.py:7-113).
     """
     out = dict(weights)
+    # torch >=2.1 parametrize-style weight norm:
+    # <mod>.parametrizations.weight.original0 (g) / original1 (v)
+    for k in [k for k in weights if k.endswith("parametrizations.weight.original0")]:
+        base = k[: -len("parametrizations.weight.original0")]
+        out[base + "weight_g"] = out.pop(k)
+        vk = base + "parametrizations.weight.original1"
+        if vk in out:
+            out[base + "weight_v"] = out.pop(vk)
+    weights = dict(out)
     for gkey in [k for k in weights if k.endswith("weight_g")]:
         vkey = gkey[:-1] + "v"
         if vkey not in weights:

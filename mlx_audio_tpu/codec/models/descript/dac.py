@@ -203,6 +203,74 @@ class ResidualVectorQuantize(Module):
         return z_q, jnp.concatenate(z_p, axis=-1), codes
 
 
+def _hf_to_descript(weights: dict) -> dict:
+    """Map transformers ``DacModel`` state-dict names → descript-style names
+    (the layout this module uses, matching reference codec/models/descript/).
+
+    HF encoder: conv1, block.{i}(res_unit1..3, snake1, conv1), snake1, conv2.
+    HF decoder: conv1, block.{i}(snake1, conv_t1, res_unit1..3), snake1, conv2.
+    """
+    import re
+
+    n_enc = 1 + max(
+        (int(m.group(1)) for k in weights
+         if (m := re.match(r"encoder\.block\.(\d+)\.", k))),
+        default=-1,
+    )
+
+    def map_res_unit(j: int, rest: str) -> str:
+        # res_unit{j}: snake1→block.0, conv1→block.1, snake2→block.2, conv2→block.3
+        part, leaf = rest.split(".", 1)
+        idx = {"snake1": 0, "conv1": 1, "snake2": 2, "conv2": 3}[part]
+        return f"block.{idx}.{leaf}"
+
+    out = {}
+    for k, v in weights.items():
+        nk = k
+        if k.startswith("encoder."):
+            rest = k[len("encoder."):]
+            if rest.startswith("conv1."):
+                nk = "encoder.block.0." + rest[len("conv1."):]
+            elif rest.startswith("snake1."):
+                nk = f"encoder.block.{n_enc + 1}." + rest[len("snake1."):]
+            elif rest.startswith("conv2."):
+                nk = f"encoder.block.{n_enc + 2}." + rest[len("conv2."):]
+            elif (m := re.match(r"block\.(\d+)\.(.*)$", rest)):
+                i, sub = int(m.group(1)), m.group(2)
+                if (mu := re.match(r"res_unit(\d)\.(.*)$", sub)):
+                    j = int(mu.group(1))
+                    nk = (f"encoder.block.{i + 1}.block.{j - 1}."
+                          + map_res_unit(j, mu.group(2)))
+                elif sub.startswith("snake1."):
+                    nk = f"encoder.block.{i + 1}.block.3." + sub[len("snake1."):]
+                elif sub.startswith("conv1."):
+                    nk = f"encoder.block.{i + 1}.block.4." + sub[len("conv1."):]
+        elif k.startswith("decoder."):
+            rest = k[len("decoder."):]
+            n_dec = 1 + max(
+                int(m.group(1)) for kk in weights
+                if (m := re.match(r"decoder\.block\.(\d+)\.", kk))
+            )
+            if rest.startswith("conv1."):
+                nk = "decoder.model.0." + rest[len("conv1."):]
+            elif rest.startswith("snake1."):
+                nk = f"decoder.model.{n_dec + 1}." + rest[len("snake1."):]
+            elif rest.startswith("conv2."):
+                nk = f"decoder.model.{n_dec + 2}." + rest[len("conv2."):]
+            elif (m := re.match(r"block\.(\d+)\.(.*)$", rest)):
+                i, sub = int(m.group(1)), m.group(2)
+                if (mu := re.match(r"res_unit(\d)\.(.*)$", sub)):
+                    j = int(mu.group(1))
+                    nk = (f"decoder.model.{i + 1}.block.{j + 1}."
+                          + map_res_unit(j, mu.group(2)))
+                elif sub.startswith("snake1."):
+                    nk = f"decoder.model.{i + 1}.block.0." + sub[len("snake1."):]
+                elif sub.startswith("conv_t1."):
+                    nk = f"decoder.model.{i + 1}.block.1." + sub[len("conv_t1."):]
+        out[nk] = v
+    return out
+
+
 class DAC(Module):
     def __init__(self, encoder_dim: int = 64, encoder_rates: List[int] = [2, 4, 5, 8],
                  latent_dim: Optional[int] = None, decoder_dim: int = 1536,
@@ -284,6 +352,8 @@ class DAC(Module):
         from ....nn.sanitize import orient_weights_to_model
 
         weights = fold_weight_norm_pairs(weights)
+        if any(".res_unit" in k for k in weights):
+            weights = _hf_to_descript(weights)
         return orient_weights_to_model(self, weights)
 
     @classmethod

@@ -10,6 +10,7 @@ everything is channels-last and jitted end-to-end.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional, Tuple, Union
@@ -272,8 +273,9 @@ class EncodecResidualVectorQuantizer(Module):
         self.codebook_size = config.codebook_size
         hop_length = int(np.prod(config.upsampling_ratios))
         self.frame_rate = math.ceil(config.sampling_rate / hop_length)
+        nbits = math.ceil(math.log2(config.codebook_size))
         self.num_quantizers = max(
-            1, int(1000 * config.target_bandwidths[-1] // (self.frame_rate * 10))
+            1, int(1000 * config.target_bandwidths[-1] // (self.frame_rate * nbits))
         )
         self.layers = [
             EncodecVectorQuantization(config) for _ in range(self.num_quantizers)
@@ -392,17 +394,22 @@ class Encodec(Module):
 
         weights = fold_weight_norm_pairs(weights)
         out = {}
+        # HF packs both LSTM layers into one torch nn.LSTM:
+        # <prefix>.lstm.weight_ih_l{i} → our <prefix>.lstm.{i}.Wx, etc.
         lstm_map = {
-            "weight_ih_l0": "Wx", "weight_hh_l0": "Wh",
-            "bias_ih_l0": "bias_ih", "bias_hh_l0": "bias_hh",
+            "weight_ih": "Wx", "weight_hh": "Wh",
+            "bias_ih": "bias_ih", "bias_hh": "bias_hh",
         }
+        lstm_re = re.compile(r"\.lstm\.(weight_ih|weight_hh|bias_ih|bias_hh)_l(\d+)$")
         for k, v in weights.items():
-            nk = k
-            for suffix, repl in lstm_map.items():
-                if k.endswith(suffix):
-                    nk = k[: -len(suffix)] + repl
-                    break
-            # HF: encoder.layers.N.lstm named differently; keep simple remaps
+            if k.endswith((".inited", ".cluster_size", ".embed_avg")):
+                continue  # VQ EMA training buffers — inference uses `embed` only
+            m = lstm_re.search(k)
+            nk = (
+                f"{k[: m.start()]}.lstm.{m.group(2)}.{lstm_map[m.group(1)]}"
+                if m
+                else k
+            )
             out[nk] = v
         return orient_weights_to_model(self, out)
 

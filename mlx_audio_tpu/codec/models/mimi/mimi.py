@@ -18,6 +18,7 @@ Streaming step granularity is one 12.5 Hz frame (1920 samples @ 24 kHz).
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional
@@ -607,6 +608,65 @@ class SplitResidualVectorQuantizer(Module):
 # ---------------------------------------------------------------------------
 
 
+def _hf_mimi_to_kyutai(weights: dict) -> dict:
+    """transformers ``MimiModel`` state-dict names → kyutai-style names that
+    the main sanitize loop understands. Also packs split q/k/v projections
+    into the fused in_proj and squeezes 1×1-conv quantizer projections."""
+    out = {}
+    qkv = {}
+    for k, v in weights.items():
+        v = np.asarray(v)
+        nk = (
+            k.replace("encoder.layers.", "encoder.model.")
+            .replace("decoder.layers.", "decoder.model.")
+            .replace(
+                "quantizer.semantic_residual_vector_quantizer.",
+                "quantizer.rvq_first.",
+            )
+            .replace(
+                "quantizer.acoustic_residual_vector_quantizer.",
+                "quantizer.rvq_rest.",
+            )
+            .replace(".codebook.embed_sum", ".codebook.embedding_sum")
+            .replace("_transformer.layers.", "_transformer.transformer_layers.")
+            .replace(".self_attn.o_proj.", ".self_attn.out_proj.")
+            .replace(".mlp.fc1.", ".linear1.")  # main loop adds .gating.
+            .replace(".mlp.fc2.", ".linear2.")
+            .replace(".input_layernorm.", ".norm1.")
+            .replace(".post_attention_layernorm.", ".norm2.")
+            .replace(".self_attn_layer_scale.", ".layer_scale_1.")
+            .replace(".mlp_layer_scale.", ".layer_scale_2.")
+            .replace("upsample.conv.", "upsample.convtr.")
+        )
+        # seanet decoder transposed convs are `.conv` in HF, `.convtr` in
+        # kyutai naming: indices 2, 5, 8, … of the flat decoder list.
+        m = re.match(r"decoder\.model\.(\d+)\.conv\.(.*)$", nk)
+        if m and int(m.group(1)) >= 2 and (int(m.group(1)) - 2) % 3 == 0:
+            dec_idxs = [
+                int(mm.group(1)) for kk in weights
+                if (mm := re.match(r"decoder\.layers\.(\d+)\.", kk))
+            ]
+            if int(m.group(1)) < max(dec_idxs):  # not the final conv
+                nk = f"decoder.model.{m.group(1)}.convtr.{m.group(2)}"
+        if ".self_attn." in nk and any(
+            f".{p}_proj." in nk for p in ("q", "k", "v")
+        ):
+            qkv[nk] = v
+            continue
+        if (".input_proj." in nk or ".output_proj." in nk) and v.ndim == 3:
+            v = v[..., 0]  # HF 1×1 conv → our Linear
+        if nk.endswith(".codebook.initialized"):
+            v = v.reshape((1,)).astype(np.float32)
+        out[nk] = v
+    for qk in [k for k in qkv if ".q_proj." in k]:
+        stacked = np.concatenate(
+            [qkv[qk], qkv[qk.replace(".q_proj.", ".k_proj.")],
+             qkv[qk.replace(".q_proj.", ".v_proj.")]], axis=0
+        )
+        out[qk.replace(".q_proj.", ".in_proj.")] = stacked
+    return out
+
+
 class Mimi(Module):
     def __init__(self, cfg: MimiConfig):
         dim = cfg.seanet.dimension
@@ -737,9 +797,13 @@ class Mimi(Module):
 
     def sanitize(self, weights: dict) -> dict:
         """Map kyutai/moshi-style torch keys → ours. Handles the reference's
-        hardcoded index mapping (mimi.py:193-240) plus layout transposes."""
+        hardcoded index mapping (mimi.py:193-240) plus layout transposes.
+        Also accepts transformers ``MimiModel`` state dicts (hf-format repos
+        like kyutai/mimi)."""
         from ....nn.sanitize import orient_weights_to_model
 
+        if any("semantic_residual_vector_quantizer" in k for k in weights):
+            weights = _hf_mimi_to_kyutai(weights)
         out = {}
         for k, v in weights.items():
             k = ".".join(s.removeprefix("_") for s in k.split("."))

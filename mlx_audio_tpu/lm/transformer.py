@@ -53,6 +53,9 @@ class LMConfig(BaseModelArgs):
             self.head_dim = self.hidden_size // self.num_attention_heads
         if self.model_type in ("qwen3", "qwen3_moe") and not self.qk_norm:
             self.qk_norm = True
+        if self.model_type == "qwen2":
+            # HF Qwen2 hardcodes q/k/v bias (o_proj bias-free)
+            self.attention_bias = True
 
 
 class CausalSelfAttention(Module):

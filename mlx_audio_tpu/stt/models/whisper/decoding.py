@@ -57,6 +57,35 @@ def compression_ratio(text: str) -> float:
     return len(b) / len(zlib.compress(b))
 
 
+def verify_options(options: DecodingOptions) -> None:
+    """Validate decoding options like the reference (decoding.py:505-520):
+    unsupported/inconsistent combinations raise instead of being silently
+    ignored."""
+    if options.beam_size is not None:
+        # the reference's beam search path itself raises (decoding.py:482)
+        raise NotImplementedError("beam search is not yet implemented")
+    if options.best_of is not None and options.temperature == 0:
+        raise ValueError("best_of with greedy sampling (t=0) is not compatible")
+    if options.patience is not None:
+        raise ValueError("patience requires beam_size to be given")
+    if options.length_penalty is not None and not (
+        0 <= options.length_penalty <= 1
+    ):
+        raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+
+
+def rank_score(
+    sum_logprob: float, length: int, length_penalty: Optional[float]
+) -> float:
+    """MaximumLikelihoodRanker score (reference decoding.py:462-478): total
+    logprob normalized by the Google-NMT length penalty (or plain length)."""
+    if length_penalty is None:
+        penalty = float(max(length, 1))
+    else:
+        penalty = ((5.0 + length) / 6.0) ** length_penalty
+    return sum_logprob / penalty
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -207,10 +236,25 @@ def decode_window_batch(
     batch-polymorphic; rows are independent, so the serving scheduler can
     fuse concurrent requests' windows). All rows must share the prompt
     length and decoding options; cross_kv carries the batched encoder
-    output. Fetches tokens once."""
+    output. Fetches tokens once.
+
+    With ``options.best_of=N`` (requires temperature > 0), each window is
+    decoded as N independent sample rows IN THE SAME device program and the
+    winner is picked by likelihood ranking with the reference's length
+    penalty (decoding.py:462-478) — N× the work but still one dispatch."""
+    verify_options(options)
     rows = [list(p) for p in prompt_rows]
     assert len({len(r) for r in rows}) == 1, "prompt rows must share a length"
     prompt = jnp.asarray(rows, jnp.int32)
+
+    n_group = 1
+    if options.best_of is not None and options.temperature > 0:
+        n_group = int(options.best_of)
+    if n_group > 1:
+        prompt = jnp.repeat(prompt, n_group, axis=0)
+        cross_kv = jax.tree.map(
+            lambda x: jnp.repeat(x, n_group, axis=0), cross_kv
+        )
 
     suppress = np.zeros((n_vocab,), bool)
     ids: List[int] = []
@@ -247,7 +291,7 @@ def decode_window_batch(
 
     # make_caches may be batch-aware (preferred) or a legacy 0-arg thunk
     try:
-        caches = make_caches(len(rows))
+        caches = make_caches(len(rows) * n_group)
     except TypeError:
         caches = make_caches()
     tokens_buf, n_steps, sum_lp, no_speech_prob = _decode_loop(
@@ -272,8 +316,8 @@ def decode_window_batch(
         (tokens_buf, n_steps, sum_lp, no_speech_prob)
     )
     Tp = prompt.shape[1]
-    results = []
-    for b in range(len(rows)):
+
+    def row_result(b: int) -> DecodingResult:
         seq = []
         for t in toks[b, Tp : Tp + int(n_steps)]:
             if t == tokenizer.eot:
@@ -281,17 +325,27 @@ def decode_window_batch(
             seq.append(int(t))
         text = tokenizer.decode(seq).strip()
         n_tok = len(seq) + 1
-        results.append(
-            DecodingResult(
-                tokens=seq,
-                text=text,
-                avg_logprob=float(sum_lp[b]) / max(n_tok, 1),
-                no_speech_prob=float(nsp[b]),
-                temperature=options.temperature,
-                compression_ratio=compression_ratio(text),
-                language=options.language,
-            )
+        return DecodingResult(
+            tokens=seq,
+            text=text,
+            avg_logprob=float(sum_lp[b]) / max(n_tok, 1),
+            no_speech_prob=float(nsp[b]),
+            temperature=options.temperature,
+            compression_ratio=compression_ratio(text),
+            language=options.language,
         )
+
+    results = []
+    for g in range(len(rows)):
+        idxs = range(g * n_group, (g + 1) * n_group)
+        group = [(row_result(b), float(sum_lp[b])) for b in idxs]
+        best, _ = max(
+            group,
+            key=lambda rl: rank_score(
+                rl[1], len(rl[0].tokens), options.length_penalty
+            ),
+        )
+        results.append(best)
     return results
 
 

@@ -296,8 +296,8 @@ class Model(Module):
             weights = _hf_to_native(weights)
         out = {}
         for k, v in weights.items():
-            if "positional_embedding" in k and "token" not in k and k.startswith(
-                "encoder"
+            if k.startswith("encoder") and "token" not in k and (
+                "positional_embedding" in k or "embed_positions" in k
             ):
                 continue  # encoder sinusoids are recomputed
             if k.endswith("conv1.weight") or k.endswith("conv2.weight"):
@@ -413,6 +413,24 @@ class Model(Module):
 
     # ---- transcription ----
 
+    def _check_fp16_option(self, decode_options: dict) -> None:
+        """Half precision on TPU means bf16 fixed at load time (weights
+        dtype), not a per-call autocast like the reference's fp16 flag
+        (decoding.py:520). If the caller's explicit fp16 request conflicts
+        with the loaded dtype, say so instead of silently ignoring it."""
+        if "fp16" not in decode_options:
+            return
+        import warnings
+
+        param = self.decoder.token_embedding.weight
+        half = param.dtype in (jnp.bfloat16, jnp.float16)
+        if bool(decode_options["fp16"]) != half:
+            warnings.warn(
+                f"fp16={decode_options['fp16']} requested but model weights "
+                f"are {param.dtype}; on TPU the compute precision is set at "
+                f"load time (load dtype bf16 for half precision)."
+            )
+
     def generate(
         self,
         audio,
@@ -433,6 +451,12 @@ class Model(Module):
         **decode_options,
     ) -> STTOutput:
         start_t = time.perf_counter()
+        unknown = set(decode_options) - set(DecodingOptions.__dataclass_fields__)
+        if unknown:
+            # the reference TypeErrors via DecodingOptions(**kwargs); don't
+            # silently swallow misspelled options
+            raise TypeError(f"unknown decode options: {sorted(unknown)}")
+        self._check_fp16_option(decode_options)
         if isinstance(audio, (str,)) or hasattr(audio, "__fspath__"):
             from ...utils import load_audio
 
@@ -509,12 +533,20 @@ class Model(Module):
 
             result = None
             for t in temps:
+                # reference decode_with_fallback (whisper.py:904-940): beam
+                # options apply only at t=0, best_of only at t>0
+                kw = {
+                    k: v for k, v in decode_options.items()
+                    if k in DecodingOptions.__dataclass_fields__
+                }
+                if t > 0:
+                    kw.pop("beam_size", None)
+                    kw.pop("patience", None)
+                else:
+                    kw.pop("best_of", None)
                 opts = DecodingOptions(
                     task=task, language=detected_language, temperature=float(t),
-                    without_timestamps=without_timestamps, **{
-                        k: v for k, v in decode_options.items()
-                        if k in DecodingOptions.__dataclass_fields__
-                    },
+                    without_timestamps=without_timestamps, **kw,
                 )
                 if hook is not None:
                     result = hook(window, prompt, opts, tokenizer)
@@ -657,6 +689,10 @@ class Model(Module):
         several times faster than the seek loop on long audio.
         """
         start_t = time.perf_counter()
+        unknown = set(decode_options) - set(DecodingOptions.__dataclass_fields__)
+        if unknown:
+            raise TypeError(f"unknown decode options: {sorted(unknown)}")
+        self._check_fp16_option(decode_options)
         if isinstance(audio, (str,)) or hasattr(audio, "__fspath__"):
             from ...utils import load_audio
 
@@ -696,7 +732,7 @@ class Model(Module):
             if without_timestamps
             else tokenizer.sot_sequence
         )
-        from .decoding import DecodingOptions, decode_window_batch
+        from .decoding import decode_window_batch
 
         opts = DecodingOptions(
             task=task, language=language, temperature=float(temperature),

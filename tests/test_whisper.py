@@ -188,3 +188,74 @@ def test_generate_chunked_matches_structure(tiny):
     assert out.segments[1]["seek"] == 3000
     assert out.extra["mode"] == "chunked"
     assert abs(out.duration - 40.0) < 0.1
+
+
+def test_best_of_sampling_and_ranking(tiny):
+    """best_of at T>0 runs N sample rows in one program and picks the
+    likelihood-ranked winner (reference decoding.py:462,478,686)."""
+    import jax.numpy as jnp
+    from mlx_audio_tpu.stt.models.whisper.decoding import (
+        DecodingOptions,
+        decode_window,
+        rank_score,
+    )
+
+    model, tok = tiny
+    mel = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, N_FRAMES, 80)), jnp.float32
+    ) * 0.1
+    _, cross_kv = Model._encode(model, mel)
+    kw = dict(
+        n_ctx=448, n_vocab=2000, decoder_step=Model._decoder_step,
+        make_caches=model._make_caches, sample_len=16,
+    )
+    best = decode_window(
+        model, cross_kv, tok, list(tok.sot_sequence),
+        DecodingOptions(temperature=0.8, best_of=4, length_penalty=0.6), **kw
+    )
+    assert np.isfinite(best.avg_logprob)
+    # the winner must score at least as high as a single-sample decode
+    single = decode_window(
+        model, cross_kv, tok, list(tok.sot_sequence),
+        DecodingOptions(temperature=0.8), **kw
+    )
+    s_best = rank_score(
+        best.avg_logprob * (len(best.tokens) + 1), len(best.tokens), 0.6
+    )
+    s_single = rank_score(
+        single.avg_logprob * (len(single.tokens) + 1), len(single.tokens), 0.6
+    )
+    assert s_best >= s_single - 1e-6
+
+
+def test_decode_option_validation(tiny):
+    """Unsupported/inconsistent options raise like the reference
+    (decoding.py:482,511-517) instead of being silently ignored."""
+    import jax.numpy as jnp
+    from mlx_audio_tpu.stt.models.whisper.decoding import (
+        DecodingOptions,
+        decode_window,
+        verify_options,
+    )
+
+    with pytest.raises(NotImplementedError):
+        verify_options(DecodingOptions(beam_size=5))
+    with pytest.raises(ValueError):
+        verify_options(DecodingOptions(best_of=3, temperature=0.0))
+    with pytest.raises(ValueError):
+        verify_options(DecodingOptions(patience=2.0))
+    with pytest.raises(ValueError):
+        verify_options(DecodingOptions(length_penalty=3.0))
+    verify_options(DecodingOptions(best_of=3, temperature=0.5, length_penalty=0.5))
+
+    model, tok = tiny
+    audio = np.zeros(16000, np.float32)
+    with pytest.raises(TypeError, match="unknown decode options"):
+        model.generate(audio, tokenizer=tok, language="en", bogus_option=1)
+    # fallback loop strips best_of at t=0 / beam at t>0 like the reference,
+    # so a mixed request with the full temperature schedule still works
+    out = model.generate(
+        audio, tokenizer=tok, language="en", best_of=2,
+        condition_on_previous_text=False, no_speech_threshold=None,
+    )
+    assert out is not None
