@@ -1,10 +1,19 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line with the headline metric.
+"""Benchmark harness — prints one JSON line PER headline metric.
 
-Headline: Kokoro-82M (real architecture config, random weights) TTS
-real-time factor on the available accelerator. BASELINE.json north-star
-target: RTF < 0.05 on 1 TPU v5e chip. `vs_baseline` = target_rtf /
-measured_rtf (>1 ⇒ beats target).
+Line 1: Kokoro-82M (real architecture config, random weights) TTS real-time
+factor. BASELINE.json north-star target: RTF < 0.05 on 1 TPU v5e chip.
+Line 2: Whisper-large-v3-turbo chunked transcription throughput (xRT).
+BASELINE target: > 40x real time on 1 chip.
+
+`vs_baseline` = target/measured for RTF (>1 beats target) and
+measured/target for xRT (>1 beats target).
+
+Random weights at real architecture dims: throughput depends on the program,
+not the weight values — but random weights mean the Whisper decoder never
+emits EOT early, so every window decodes to the sample cap. Real checkpoints
+stop at EOT after ~50-120 tokens/window for typical speech, so the cap-224
+number is a LOWER bound; `detail.sample_len` records the cap used.
 """
 
 import json
@@ -57,7 +66,7 @@ PHONEMES = (
 ) * 5
 
 
-def main():
+def bench_kokoro():
     from mlx_audio_tpu.nn.module import cast_floats
     from mlx_audio_tpu.tts.models.kokoro import Model, ModelConfig
 
@@ -85,7 +94,6 @@ def main():
     audio = model(ps, ref_s)
     compile_time = time.perf_counter() - t0
 
-    # Timed runs
     runs = 5
     t0 = time.perf_counter()
     for _ in range(runs):
@@ -111,8 +119,71 @@ def main():
                     "phoneme_len": len(ps),
                 },
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def bench_whisper(seconds: float = 120.0, sample_len: int = 224, runs: int = 2):
+    from mlx_audio_tpu.nn.module import cast_floats
+    from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
+    from mlx_audio_tpu.stt.models.whisper.tokenizer import DummyTokenizer
+
+    # large-v3-turbo dims (config.json of openai/whisper-large-v3-turbo)
+    dims = ModelDimensions(
+        n_mels=128, n_audio_ctx=1500, n_audio_state=1280, n_audio_head=20,
+        n_audio_layer=32, n_vocab=51866, n_text_ctx=448, n_text_state=1280,
+        n_text_head=20, n_text_layer=4,
+    )
+    model = cast_floats(Model(dims))
+    tok = DummyTokenizer(n_vocab=51866)
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(int(16000 * seconds)) * 0.05).astype(np.float32)
+
+    def run_once():
+        return model.generate_chunked(
+            audio, language="en", temperature=0.0, tokenizer=tok,
+            without_timestamps=True,
+        )
+
+    t0 = time.perf_counter()
+    run_once()
+    compile_wall = time.perf_counter() - t0
+
+    walls = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        run_once()
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    xrt = seconds / wall
+    target = 40.0
+    print(
+        json.dumps(
+            {
+                "metric": "whisper_large_v3_turbo_xrt",
+                "value": round(xrt, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(xrt / target, 3),
+                "detail": {
+                    "mode": "chunked",
+                    "audio_seconds": seconds,
+                    "wall_seconds": round(wall, 3),
+                    "compile_seconds": round(compile_wall, 1),
+                    "sample_len": sample_len,
+                    "weights": "random (no early EOT; lower bound)",
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+def main():
+    bench_kokoro()
+    bench_whisper()
 
 
 if __name__ == "__main__":

@@ -193,13 +193,23 @@ def _decode_ffmpeg(data: bytes) -> Tuple[np.ndarray, int]:
         sr_s, ch_s = probe.stdout.decode().strip().split(",")[:2]
         sr, ch = int(sr_s), int(ch_s)
     except Exception:
-        sr, ch = 44100, 2
+        # guessing a sample rate here would silently corrupt everything
+        # downstream (wrong playback speed, wrong mel frames)
+        raise RuntimeError(
+            "ffprobe could not determine sample_rate/channels for this "
+            f"stream (stderr: {probe.stderr.decode(errors='replace')[:200]!r})"
+        )
     proc = subprocess.run(
         ["ffmpeg", "-v", "quiet", "-i", "pipe:0", "-f", "f32le", "-acodec",
          "pcm_f32le", "-ac", str(ch), "-ar", str(sr), "pipe:1"],
         input=data,
         capture_output=True,
     )
+    if proc.returncode != 0 or not proc.stdout:
+        raise RuntimeError(
+            f"ffmpeg decode failed (rc={proc.returncode}, "
+            f"{len(proc.stdout)} bytes out)"
+        )
     x = np.frombuffer(proc.stdout, dtype="<f4").astype(np.float32)
     if ch > 1:
         x = x[: (len(x) // ch) * ch].reshape(-1, ch)

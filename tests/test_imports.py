@@ -1,0 +1,55 @@
+"""Import hygiene (reference mlx_audio/tests/test_lazy_imports.py): the
+package root and the loader modules must not pull heavy optional deps
+(torch, transformers, scipy) at import time, and the packaging metadata
+must expose the reference's console entry points (pyproject.toml:88-92)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+CHECK = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import mlx_audio_tpu
+import mlx_audio_tpu.utils
+import mlx_audio_tpu.dsp
+import mlx_audio_tpu.audio_io
+heavy = [m for m in ("torch", "transformers", "scipy") if m in sys.modules]
+assert not heavy, f"heavy deps imported eagerly: {{heavy}}"
+print("OK")
+"""
+
+
+def test_no_heavy_imports_at_package_import():
+    out = subprocess.run(
+        [sys.executable, "-c", CHECK.format(repo=str(REPO))],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
+
+
+def test_console_entry_points_declared():
+    text = (REPO / "pyproject.toml").read_text()
+    for script in (
+        "mlx_audio_tpu.convert",
+        "mlx_audio_tpu.stt.generate",
+        "mlx_audio_tpu.tts.generate",
+        "mlx_audio_tpu.server",
+    ):
+        assert f'"{script}"' in text, f"missing console script {script}"
+
+
+def test_entry_point_mains_importable():
+    from mlx_audio_tpu import convert, server
+    from mlx_audio_tpu.stt import generate as stt_gen
+    from mlx_audio_tpu.tts import generate as tts_gen
+
+    for mod in (convert, server, stt_gen, tts_gen):
+        assert callable(getattr(mod, "main"))
