@@ -25,6 +25,9 @@ class GenerationResult:
     audio_samples: dict = field(default_factory=dict)
     processing_time_seconds: float = 0.0
     peak_memory_usage: float = 0.0
+    # streaming flags (reference tts/models/base.py:72-88)
+    is_streaming_chunk: bool = False
+    is_final_chunk: bool = False
 
     def __post_init__(self):
         # 0.0 is the "unknown" sentinel models pass — fill with the real HBM

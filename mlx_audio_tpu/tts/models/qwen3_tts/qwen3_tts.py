@@ -59,40 +59,14 @@ def _sample(logits, key, temp, top_k, top_p):
     return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("max_tokens", "temp", "top_k", "top_p", "rep_penalty"),
-    donate_argnames=("caches",),
-)
-def _generate_codes(
+@partial(jax.jit, donate_argnames=("caches",))
+def _prefill(
     talker: Qwen3TTSTalkerForConditionalGeneration,
     caches,
     input_embeds,  # (1, Tp, D) prefill embeddings (bucketed)
     prefill_len,  # scalar — valid length of input_embeds
-    trailing,  # (1, Ttr, D) trailing text hidden (padded)
-    trailing_len,
-    tts_pad_embed,  # (1, 1, D)
-    key,
-    max_tokens: int,
-    temp: float,
-    top_k: int,
-    top_p: float,
-    rep_penalty: float,
 ):
-    cfg = talker.config
-    K = cfg.num_code_groups
-    eos = cfg.codec_eos_token_id
-    V = cfg.vocab_size
-
-    # suppress specials [V-1024, V) except EOS
-    vocab_idx = jnp.arange(V)
-    suppress = (vocab_idx >= V - 1024) & (vocab_idx != eos)
-
-    # stacked code-predictor params for traced-index access
-    E_codes = jnp.stack([e.weight for e in talker.code_predictor.codec_embedding])
-    W_heads = jnp.stack([h.weight for h in talker.code_predictor.lm_head])
-
-    # prefill (mask covers the full cache key length; bucket padding excluded)
+    """Run the prompt through the talker; return resumable decode state."""
     Tp = input_embeds.shape[1]
     S_cache = caches[0].max_len
     q_idx = jnp.arange(Tp)[:, None]
@@ -101,14 +75,65 @@ def _generate_codes(
     prefill_mask = jnp.where(prefill_ok, 0.0, -jnp.inf)[None, None]
     logits_seq, hidden_seq, caches = talker(input_embeds, caches, prefill_mask)
     last = jnp.clip(prefill_len - 1, 0, Tp - 1)
-    logits0 = logits_seq[:, last].astype(jnp.float32)
-    hidden0 = hidden_seq[:, last]
+    return caches, logits_seq[:, last].astype(jnp.float32), hidden_seq[:, last]
 
-    out = jnp.zeros((max_tokens, K), jnp.int32)
-    hist = jnp.full((1, 64), -1, jnp.int32)
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk_tokens", "bucket_len", "temp", "top_k", "top_p",
+                     "rep_penalty"),
+    donate_argnames=("state",),
+)
+def _generate_chunk(
+    talker: Qwen3TTSTalkerForConditionalGeneration,
+    state,  # (step, caches, logits, hidden, done, tr_idx, hist, key)
+    trailing,  # (1, Ttr, D) trailing text hidden (padded)
+    trailing_len,
+    tts_pad_embed,  # (1, 1, D)
+    prefill_len,  # scalar — true prompt length
+    max_tokens,  # scalar — global token cap
+    chunk_tokens: int,
+    bucket_len: int,  # static — bucketed prefill width Tp
+    temp: float,
+    top_k: int,
+    top_p: float,
+    rep_penalty: float,
+):
+    """Generate up to `chunk_tokens` codec frames, resuming from `state`.
+
+    The nested AR — talker step, suppression + repetition penalty, the
+    (K-1)-step code-predictor inner loop, next-frame embedding assembly,
+    EOS — is one `lax.while_loop`; calling this repeatedly with carried
+    state gives streaming at one dispatch per chunk (reference runs ~(1+15)
+    python-level forwards per 80 ms frame; qwen3_tts.py:869-1010)."""
+    cfg = talker.config
+    K = cfg.num_code_groups
+    eos = cfg.codec_eos_token_id
+    V = cfg.vocab_size
+    Tp = bucket_len
+
+    # Suppress the specials block at the top of the vocab, except EOS
+    # (reference qwen3_tts.py:855-858 uses [V-1024, V); for tiny test
+    # configs with V <= 1024 that range covers the whole vocab, so fall
+    # back to the lowest configured special id as the block start).
+    specials_lo = V - 1024
+    if specials_lo <= 0:
+        specials_lo = min(
+            eos, cfg.codec_think_id, cfg.codec_nothink_id,
+            cfg.codec_think_bos_id, cfg.codec_think_eos_id,
+            cfg.codec_pad_id, cfg.codec_bos_id,
+        )
+    vocab_idx = jnp.arange(V)
+    suppress = (vocab_idx >= specials_lo) & (vocab_idx != eos)
+
+    # stacked code-predictor params for traced-index access
+    E_codes = jnp.stack([e.weight for e in talker.code_predictor.codec_embedding])
+    W_heads = jnp.stack([h.weight for h in talker.code_predictor.lm_head])
+
+    out = jnp.zeros((chunk_tokens, K), jnp.int32)
 
     def code_predictor_frame(hidden_last, c0, key):
-        """15-step inner AR over codebooks (fresh caches per frame)."""
+        """(K-1)-step inner AR over codebooks (fresh caches per frame)."""
         cp = talker.code_predictor
         dec_caches = cp.model.make_caches(1, K + 2)
         c0_embed = talker.model.codec_embedding.weight[c0][None]  # (1, 1, D)
@@ -137,11 +162,11 @@ def _generate_codes(
         return codes, emb_sum, key
 
     def cond(s):
-        step, done = s[0], s[5]
-        return (step < max_tokens) & ~done
+        i, step, done = s[0], s[1], s[6]
+        return (i < chunk_tokens) & (step < max_tokens) & ~done
 
     def body(s):
-        step, caches, logits, hidden, out, done, tr_idx, hist, key = s
+        i, step, caches, logits, hidden, out, done, tr_idx, hist, key = s
         lg = jnp.where(suppress[None, :], -jnp.inf, logits)
         if rep_penalty != 1.0:
             from ....lm.sample import apply_repetition_penalty
@@ -153,7 +178,7 @@ def _generate_codes(
         done = done | is_eos
 
         codes, emb_sum, key = code_predictor_frame(hidden, c0, key)
-        out = jnp.where(done, out, out.at[step].set(codes))
+        out = jnp.where(done, out, out.at[i].set(codes))
         hist = jnp.concatenate([hist[:, 1:], c0[:, None]], axis=1)
 
         # next-frame input: trailing text (or pad) + summed codec embeddings
@@ -179,14 +204,19 @@ def _generate_codes(
         new_logits, new_hidden, caches = talker(
             next_embed, caches, mask=dec_mask, positions=q_pos[None, None]
         )
+        i = jnp.where(done, i, i + 1)
         step = jnp.where(done, step, step + 1)
-        return (step, caches, new_logits[:, -1].astype(jnp.float32),
+        return (i, step, caches, new_logits[:, -1].astype(jnp.float32),
                 new_hidden[:, -1], out, done, tr_idx + 1, hist, key)
 
-    state = (0, caches, logits0, hidden0, out, jnp.array(False),
-             jnp.array(0, jnp.int32), hist, key)
-    step, caches, _, _, out, done, _, _, _ = jax.lax.while_loop(cond, body, state)
-    return out, step
+    step, caches, logits, hidden, done, tr_idx, hist, key = state
+    s = (jnp.array(0, jnp.int32), step, caches, logits, hidden, out, done,
+         tr_idx, hist, key)
+    i, step, caches, logits, hidden, out, done, tr_idx, hist, key = (
+        jax.lax.while_loop(cond, body, s)
+    )
+    new_state = (step, caches, logits, hidden, done, tr_idx, hist, key)
+    return out, i, new_state
 
 
 class Model(Module):
@@ -308,6 +338,147 @@ class Model(Module):
         return input_embeds, trailing, tts_pad
 
     # ------------------------------------------------------------------
+    # AR core: resumable chunked code generation (one dispatch per chunk)
+
+    def _run_codes(self, input_embeds, trailing, tts_pad, *, max_tokens: int,
+                   chunk_tokens: int, temperature: float, top_k: int,
+                   top_p: float, repetition_penalty: float, seed: int = 0):
+        """Yield ``(codes (n, K) np.ndarray)`` chunks until EOS or cap."""
+        def bucket(n, step=32):
+            return ((n + step - 1) // step) * step
+
+        Tp = input_embeds.shape[1]
+        D = input_embeds.shape[-1]
+        Tp_pad = bucket(Tp)
+        inp = jnp.zeros((1, Tp_pad, D), input_embeds.dtype)
+        inp = inp.at[:, :Tp].set(input_embeds)
+        Ttr = trailing.shape[1]
+        Ttr_pad = bucket(max(Ttr, 1))
+        tr = jnp.zeros((1, Ttr_pad, D), trailing.dtype)
+        tr = tr.at[:, :Ttr].set(trailing)
+
+        caches = self.talker.model.make_caches(1, Tp_pad + max_tokens + 2)
+        caches, logits0, hidden0 = _prefill(
+            self.talker, caches, inp, jnp.asarray(Tp)
+        )
+        state = (
+            jnp.array(0, jnp.int32), caches, logits0, hidden0,
+            jnp.array(False), jnp.array(0, jnp.int32),
+            jnp.full((1, 64), -1, jnp.int32), jax.random.PRNGKey(seed),
+        )
+        while True:
+            out, n_chunk, state = _generate_chunk(
+                self.talker, state, tr, jnp.asarray(Ttr), tts_pad,
+                jnp.asarray(Tp), jnp.asarray(max_tokens),
+                chunk_tokens=int(chunk_tokens), bucket_len=Tp_pad,
+                temp=float(temperature), top_k=int(top_k),
+                top_p=float(top_p), rep_penalty=float(repetition_penalty),
+            )
+            out_np, n_np, done_np, step_np = jax.device_get(
+                (out, n_chunk, state[4], state[0])
+            )
+            n = int(n_np)
+            if n > 0:
+                yield out_np[:n]
+            if bool(done_np) or int(step_np) >= max_tokens or n == 0:
+                return
+
+    def _decode_codes(self, codes_nk: np.ndarray) -> np.ndarray:
+        """codes (n, K) → waveform (samples,)."""
+        codes_arr = jnp.asarray(codes_nk.T[None])  # (1, K, n)
+        return self.speech_tokenizer.chunked_decode(codes_arr).reshape(-1)
+
+    def _result(self, audio, n_tokens, segment_idx, elapsed, **flags):
+        dur = len(audio) / self.sample_rate
+        return GenerationResult(
+            audio=np.asarray(audio), samples=len(audio),
+            sample_rate=self.sample_rate, segment_idx=segment_idx,
+            token_count=n_tokens, audio_duration=format_duration(dur),
+            real_time_factor=round(elapsed / max(dur, 1e-9), 3),
+            prompt={"tokens": n_tokens,
+                    "tokens-per-sec": round(n_tokens / max(elapsed, 1e-9), 2)},
+            audio_samples={"samples": len(audio),
+                           "samples-per-sec": round(len(audio) / max(elapsed, 1e-9), 2)},
+            processing_time_seconds=elapsed,
+            peak_memory_usage=0.0,
+            **flags,
+        )
+
+    def _generate_segment(self, input_embeds, trailing, tts_pad, *,
+                          segment_idx: int, stream: bool,
+                          streaming_interval: float, max_tokens: int,
+                          temperature: float, top_k: int, top_p: float,
+                          repetition_penalty: float, seed: int = 0,
+                          ref_codes=None):
+        """Run one AR segment; yields streaming chunks (25-token decode
+        context, reference qwen3_tts.py:963-985) or one final result.
+
+        ``ref_codes`` (ICL): reference codes (1, K, Tref) prepended before
+        the full decode, then proportionally trimmed (reference :1490-1515).
+        """
+        t0 = time.perf_counter()
+        context = 25
+        up = self.speech_tokenizer.decode_upsample_rate
+        chunk_size = (
+            max(1, int(streaming_interval * 12.5)) if stream else max_tokens
+        )
+        run = self._run_codes(
+            input_embeds, trailing, tts_pad, max_tokens=max_tokens,
+            chunk_tokens=chunk_size, temperature=temperature, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
+        )
+        if not stream:
+            chunks = list(run)
+            if not chunks:
+                return
+            codes = np.concatenate(chunks, axis=0)  # (n, K)
+            n = codes.shape[0]
+            if ref_codes is not None:
+                ref_t = np.asarray(ref_codes)[0].T  # (Tref, K)
+                full = np.concatenate([ref_t, codes], axis=0)
+                audio = self._decode_codes(full)
+                # proportional trim of the reference portion (reference :1513)
+                cut = int(ref_t.shape[0] / max(full.shape[0], 1) * len(audio))
+                audio = audio[cut:] if 0 < cut < len(audio) else audio
+            else:
+                audio = self._decode_codes(codes)
+            yield self._result(
+                audio, n, segment_idx, time.perf_counter() - t0
+            )
+            return
+
+        # streaming: decode each chunk with left context, lookahead to set
+        # the final-chunk flag on the last yield
+        all_codes: List[np.ndarray] = []
+        decoded_tokens = 0
+        pending = None
+        for chunk in run:
+            all_codes.append(chunk)
+            total = sum(c.shape[0] for c in all_codes)
+            start_idx = max(0, decoded_tokens - context)
+            window = np.concatenate(all_codes, axis=0)[start_idx:]
+            audio = self._decode_codes(window)
+            trim = (decoded_tokens - start_idx) * up
+            if 0 < trim < len(audio):
+                audio = audio[trim:]
+            new_tokens = total - decoded_tokens
+            decoded_tokens = total
+            if pending is not None:
+                yield pending
+            pending = self._result(
+                audio, new_tokens, segment_idx, time.perf_counter() - t0,
+                is_streaming_chunk=True,
+            )
+        if pending is not None:
+            pending.is_final_chunk = True
+            yield pending
+
+    # ------------------------------------------------------------------
+    # Public generation modes (reference qwen3_tts.py:687-814)
+
+    @property
+    def supported_speakers(self) -> List[str]:
+        return sorted((self.config.talker_config.spk_id or {}).keys())
 
     def generate(self, text: str, voice: Optional[str] = None,
                  lang_code: str = "auto", instruct: Optional[str] = None,
@@ -316,59 +487,255 @@ class Model(Module):
                  split_pattern: str = "\n", ref_audio=None,
                  ref_text: Optional[str] = None, stream: bool = False,
                  streaming_interval: float = 2.0, **kwargs):
+        """Routes by model type like the reference (qwen3_tts.py:739-814):
+        voice_design → instruct-described voice; custom_voice → named
+        speaker (+optional instruct); base → speaker-embedding synthesis,
+        or ICL voice cloning when ref_audio+ref_text are given."""
         from ....utils import load_audio
 
         if ref_audio is not None and isinstance(ref_audio, str):
             ref_audio = load_audio(ref_audio, sample_rate=self.sample_rate)
 
+        common = dict(
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty, max_tokens=max_tokens,
+            stream=stream, streaming_interval=streaming_interval,
+            seed=kwargs.get("seed", 0),
+        )
+        tts_model_type = getattr(self.config, "tts_model_type", "base")
+        if tts_model_type == "voice_design":
+            if not instruct:
+                raise ValueError(
+                    "VoiceDesign model requires 'instruct' to describe the "
+                    "voice (e.g. 'A cheerful young female voice')"
+                )
+            yield from self.generate_voice_design(
+                text=text, instruct=instruct, language=lang_code, **common
+            )
+            return
+        if tts_model_type == "custom_voice":
+            if not voice:
+                raise ValueError(
+                    "CustomVoice model requires 'voice' (speaker name); "
+                    f"available: {self.supported_speakers}"
+                )
+            yield from self.generate_custom_voice(
+                text=text, speaker=voice, language=lang_code,
+                instruct=instruct, **common
+            )
+            return
+
+        # base model: ICL voice cloning when both reference inputs exist
+        use_icl = (
+            ref_audio is not None and ref_text is not None
+            and hasattr(self.speech_tokenizer, "encoder")
+        )
+        if use_icl:
+            # ICL needs a stronger repetition penalty to prevent code
+            # degeneration on long reference prefills (reference :797-799)
+            common["repetition_penalty"] = max(repetition_penalty, 1.5)
+            yield from self._generate_icl(
+                text=text, ref_audio=ref_audio, ref_text=ref_text,
+                language=lang_code, **common
+            )
+            return
+
         segments = [s.strip() for s in text.split(split_pattern) if s.strip()]
         for segment_idx, segment in enumerate(segments):
-            t0 = time.perf_counter()
             input_embeds, trailing, tts_pad = self._prepare_generation_inputs(
                 segment, language=lang_code, speaker=voice, ref_audio=ref_audio,
                 instruct=instruct,
             )
-            Tp = input_embeds.shape[1]
-            # bucket prefill/trailing lengths to bound compiles
-            def bucket(n, step=32):
-                return ((n + step - 1) // step) * step
-
-            D = input_embeds.shape[-1]
-            Tp_pad = bucket(Tp)
-            inp = jnp.zeros((1, Tp_pad, D), input_embeds.dtype)
-            inp = inp.at[:, :Tp].set(input_embeds)
-            Ttr = trailing.shape[1]
-            Ttr_pad = bucket(max(Ttr, 1))
-            tr = jnp.zeros((1, Ttr_pad, D), trailing.dtype)
-            tr = tr.at[:, :Ttr].set(trailing)
-
-            caches = self.talker.model.make_caches(1, Tp_pad + max_tokens + 2)
-            codes, n = _generate_codes(
-                self.talker, caches, inp, jnp.asarray(Tp), tr, jnp.asarray(Ttr),
-                tts_pad, jax.random.PRNGKey(kwargs.get("seed", 0)),
-                int(max_tokens), float(temperature), int(top_k), float(top_p),
-                float(repetition_penalty),
+            yield from self._generate_segment(
+                input_embeds, trailing, tts_pad, segment_idx=segment_idx,
+                **common,
             )
-            codes, n = jax.device_get((codes, n))
-            n = int(n)
-            if n == 0:
-                continue
-            codes_arr = jnp.asarray(codes[:n].T[None])  # (1, K, n)
-            audio = self.speech_tokenizer.chunked_decode(codes_arr).reshape(-1)
 
-            elapsed = time.perf_counter() - t0
-            dur = len(audio) / self.sample_rate
-            yield GenerationResult(
-                audio=np.asarray(audio), samples=len(audio),
-                sample_rate=self.sample_rate, segment_idx=segment_idx,
-                token_count=n, audio_duration=format_duration(dur),
-                real_time_factor=round(elapsed / max(dur, 1e-9), 3),
-                prompt={"tokens": n, "tokens-per-sec": round(n / elapsed, 2)},
-                audio_samples={"samples": len(audio),
-                               "samples-per-sec": round(len(audio) / elapsed, 2)},
-                processing_time_seconds=elapsed,
-                peak_memory_usage=0.0,
+    def _effective_max_tokens(self, text: str, max_tokens: int) -> int:
+        """Cap generation length from target text length (~3-5 codec tokens
+        per text token at 12.5 Hz; factor 6 gives margin — reference
+        :1286-1291) so runaway generation can't happen when EOS never
+        dominates."""
+        n_text = len(self.tokenizer.encode(text))
+        return min(max_tokens, max(75, n_text * 6))
+
+    def generate_custom_voice(self, text: str, speaker: str,
+                              language: str = "auto",
+                              instruct: Optional[str] = None, **kw):
+        """CustomVoice models: predefined speaker + optional emotion/style
+        instruction (reference qwen3_tts.py:1112-1187)."""
+        if self.config.tts_model_type != "custom_voice":
+            raise ValueError(
+                f"Model type '{self.config.tts_model_type}' does not support "
+                "generate_custom_voice (use a CustomVoice checkpoint)."
             )
+        if speaker.lower() not in [s.lower() for s in self.supported_speakers]:
+            raise ValueError(
+                f"Speaker '{speaker}' not supported. "
+                f"Available: {self.supported_speakers}"
+            )
+        yield from self._generate_with_instruct(
+            text=text, speaker=speaker, language=language, instruct=instruct,
+            **kw,
+        )
+
+    def generate_voice_design(self, text: str, instruct: str,
+                              language: str = "auto", **kw):
+        """VoiceDesign models: the voice is described entirely by `instruct`
+        (reference qwen3_tts.py:1189-1248)."""
+        if self.config.tts_model_type != "voice_design":
+            raise ValueError(
+                f"Model type '{self.config.tts_model_type}' does not support "
+                "generate_voice_design (use a VoiceDesign checkpoint)."
+            )
+        yield from self._generate_with_instruct(
+            text=text, speaker=None, language=language, instruct=instruct,
+            **kw,
+        )
+
+    def _generate_with_instruct(self, text: str, speaker: Optional[str],
+                                language: str, instruct: Optional[str],
+                                temperature: float = 0.9, top_k: int = 50,
+                                top_p: float = 1.0,
+                                repetition_penalty: float = 1.05,
+                                max_tokens: int = 4096, stream: bool = False,
+                                streaming_interval: float = 2.0,
+                                seed: int = 0, **_):
+        """Shared instruct-mode generation (reference :1550-1613)."""
+        input_embeds, trailing, tts_pad = self._prepare_generation_inputs(
+            text, language=language, speaker=speaker, instruct=instruct,
+        )
+        yield from self._generate_segment(
+            input_embeds, trailing, tts_pad, segment_idx=0, stream=stream,
+            streaming_interval=streaming_interval,
+            max_tokens=self._effective_max_tokens(text, max_tokens),
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty, seed=seed,
+        )
+
+    def _prepare_icl_generation_inputs(self, text: str, ref_audio,
+                                       ref_text: str, language: str = "auto"):
+        """Build the ICL voice-cloning prefill (reference :406-590):
+        role + codec prefix (think/speaker/pad/bos) + [all text ⊕ codec_pad]
+        + [codec_bos + Σ codebook embeddings of ref codes ⊕ tts_pad]."""
+        cfg = self.config.talker_config
+
+        ra = np.asarray(ref_audio, np.float32).reshape(-1)
+        ref_codes = self.speech_tokenizer.encode(
+            jnp.asarray(ra)[None, None, :]
+        )  # (1, K, Tref)
+        ref_codes = jax.device_get(ref_codes)
+
+        ref_ids = self.tokenizer.encode(
+            f"<|im_start|>assistant\n{ref_text}<|im_end|>\n"
+        )
+        ref_text_ids = ref_ids[3:-2]
+        target_ids = self.tokenizer.encode(
+            f"<|im_start|>assistant\n{text}<|im_end|>\n<|im_start|>assistant\n"
+        )
+        text_ids = target_ids[3:-5]
+
+        tts_embeds = self._text_embed([
+            self.config.tts_bos_token_id, self.config.tts_eos_token_id,
+            self.config.tts_pad_token_id,
+        ])
+        tts_bos, tts_eos, tts_pad = (
+            tts_embeds[:, 0:1], tts_embeds[:, 1:2], tts_embeds[:, 2:3]
+        )
+
+        text_embed = jnp.concatenate(
+            [self._text_embed(list(ref_text_ids) + list(text_ids)), tts_eos],
+            axis=1,
+        )
+        text_lens = text_embed.shape[1]
+
+        # codec side: Σ over codebooks of the reference codes' embeddings
+        codes = jnp.asarray(ref_codes, jnp.int32)
+        ref_codec_embed = self.talker.model.codec_embedding(codes[:, 0])
+        for i in range(cfg.num_code_groups - 1):
+            ref_codec_embed = ref_codec_embed + (
+                self.talker.code_predictor.codec_embedding[i](codes[:, i + 1])
+            )
+        codec_bos = self.talker.model.codec_embedding(
+            jnp.asarray([[cfg.codec_bos_id]], jnp.int32)
+        )
+        codec_embed_icl = jnp.concatenate([codec_bos, ref_codec_embed], axis=1)
+        codec_lens = codec_embed_icl.shape[1]
+
+        # non-streaming overlay: all text (⊕ codec_pad) then all codec (⊕ tts_pad)
+        codec_pad = self.talker.model.codec_embedding(
+            jnp.asarray([[cfg.codec_pad_id]], jnp.int32)
+        )
+        icl_embed = jnp.concatenate(
+            [
+                text_embed + jnp.broadcast_to(
+                    codec_pad, (1, text_lens, codec_pad.shape[-1])
+                ),
+                codec_embed_icl + jnp.broadcast_to(
+                    tts_pad, (1, codec_lens, tts_pad.shape[-1])
+                ),
+            ],
+            axis=1,
+        )
+
+        language_id = None
+        if language.lower() != "auto" and cfg.codec_language_id:
+            language_id = cfg.codec_language_id.get(language.lower())
+        speaker_embed = None
+        if hasattr(self, "speaker_encoder"):
+            speaker_embed = self.extract_speaker_embedding(ra)
+        if language_id is None:
+            prefill = [cfg.codec_nothink_id, cfg.codec_think_bos_id,
+                       cfg.codec_think_eos_id]
+        else:
+            prefill = [cfg.codec_think_id, cfg.codec_think_bos_id, language_id,
+                       cfg.codec_think_eos_id]
+        codec_prefix = self.talker.model.codec_embedding(
+            jnp.asarray([prefill], jnp.int32)
+        )
+        suffix = self.talker.model.codec_embedding(
+            jnp.asarray([[cfg.codec_pad_id, cfg.codec_bos_id]], jnp.int32)
+        )
+        parts = [codec_prefix]
+        if speaker_embed is not None:
+            parts.append(speaker_embed.reshape(1, 1, -1))
+        parts.append(suffix)
+        codec_prefix = jnp.concatenate(parts, axis=1)
+
+        role_embed = self._text_embed(list(target_ids[:3]))
+        pad_count = codec_prefix.shape[1] - 2
+        combined_prefix = jnp.concatenate(
+            [jnp.broadcast_to(tts_pad, (1, pad_count, tts_pad.shape[-1])),
+             tts_bos],
+            axis=1,
+        ) + codec_prefix[:, :-1]
+        input_embeds = jnp.concatenate(
+            [role_embed, combined_prefix, icl_embed], axis=1
+        )
+        return input_embeds, tts_pad, tts_pad, ref_codes
+
+    def _generate_icl(self, text: str, ref_audio, ref_text: str,
+                      language: str = "auto", temperature: float = 0.9,
+                      top_k: int = 50, top_p: float = 1.0,
+                      repetition_penalty: float = 1.5,
+                      max_tokens: int = 4096, stream: bool = False,
+                      streaming_interval: float = 2.0, seed: int = 0, **_):
+        """ICL voice cloning (reference :1250-1545): reference codes in the
+        prefill context; non-streaming decode prepends them and trims."""
+        input_embeds, trailing, tts_pad, ref_codes = (
+            self._prepare_icl_generation_inputs(
+                text=text, ref_audio=ref_audio, ref_text=ref_text,
+                language=language,
+            )
+        )
+        yield from self._generate_segment(
+            input_embeds, trailing, tts_pad, segment_idx=0, stream=stream,
+            streaming_interval=streaming_interval,
+            max_tokens=self._effective_max_tokens(text, max_tokens),
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty, seed=seed,
+            ref_codes=None if stream else ref_codes,
+        )
 
     def model_quant_predicate(self, p, m):
         # quantize only the talker LLM; codec + speaker encoder stay fp
