@@ -3,7 +3,9 @@ from .qwen3_asr import (
     AudioEncoderConfig,
     Model,
     ModelConfig,
+    StreamingResult,
     TextConfig,
+    split_audio_into_chunks,
 )
 from .qwen3_forced_aligner import (
     ForcedAlignerConfig,

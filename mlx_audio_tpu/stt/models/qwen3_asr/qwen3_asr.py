@@ -28,7 +28,69 @@ from ..base import STTOutput
 from ..whisper import audio as A
 
 __all__ = ["Model", "ModelConfig", "AudioEncoderConfig", "TextConfig",
-           "AudioEncoder"]
+           "AudioEncoder", "StreamingResult", "split_audio_into_chunks"]
+
+
+@dataclass
+class StreamingResult:
+    """Streaming transcription emission (reference qwen3_asr.py:19-39)."""
+
+    text: str
+    is_final: bool
+    start_time: float
+    end_time: float
+    language: str = "en"
+    prompt_tokens: int = 0
+    generation_tokens: int = 0
+
+
+def split_audio_into_chunks(wav: np.ndarray, sr: int,
+                            chunk_duration: float = 1200.0,
+                            min_chunk_duration: float = 1.0,
+                            search_expand_sec: float = 5.0,
+                            min_window_ms: float = 100.0):
+    """Split long audio at low-energy boundaries near each cut point.
+
+    Returns [(chunk, offset_seconds)] (reference qwen3_asr.py:42-130).
+    """
+    wav = np.asarray(wav, np.float32)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=-1) if wav.shape[-1] <= 2 else wav.mean(axis=0)
+    total = len(wav)
+    min_samples = int(min_chunk_duration * sr)
+    if total <= chunk_duration * sr:
+        if total < min_samples:
+            wav = np.pad(wav, (0, min_samples - total))
+        return [(wav, 0.0)]
+
+    chunks = []
+    start = 0
+    max_chunk = int(chunk_duration * sr)
+    search = int(search_expand_sec * sr)
+    win = int(min_window_ms * sr / 1000)
+    while start < total:
+        end = min(start + max_chunk, total)
+        if end >= total:
+            chunk = wav[start:total]
+            if len(chunk) < min_samples:
+                chunk = np.pad(chunk, (0, min_samples - len(chunk)))
+            chunks.append((chunk, start / sr))
+            break
+        # move the cut to the lowest-energy point in a window around it
+        s0, s1 = max(start, end - search), min(total, end + search)
+        region = wav[s0:s1]
+        if len(region) > win:
+            energy = np.convolve(region ** 2, np.ones(win) / win, mode="valid")
+            cut = s0 + int(np.argmin(energy)) + win // 2
+        else:
+            cut = end
+        cut = max(cut, start + sr)  # always advance >= 1 s
+        chunk = wav[start:cut]
+        if len(chunk) < min_samples:
+            chunk = np.pad(chunk, (0, min_samples - len(chunk)))
+        chunks.append((chunk, start / sr))
+        start = cut
+    return chunks
 
 
 @dataclass
@@ -277,19 +339,33 @@ class Model(Module):
         return self.audio_tower(mel, feature_len)
 
     # ------------------------------------------------------------------
-    def generate(self, audio, *, language: str = "English",
-                 system_prompt: Optional[str] = None, max_tokens: int = 512,
-                 temperature: float = 0.0, tokenizer=None,
-                 **kwargs) -> STTOutput:
-        t0 = time.perf_counter()
-        audio = np.asarray(audio, np.float32).reshape(-1)
-        duration = len(audio) / self.sample_rate
-        rt = Model._RUNTIME.get(id(self), {})
-        tokenizer = tokenizer or rt.get("tokenizer")
+    def _resolve_tokenizer(self, tokenizer=None):
+        tokenizer = tokenizer or Model._RUNTIME.get(id(self), {}).get(
+            "tokenizer")
         if tokenizer is None:
             raise RuntimeError("Qwen3-ASR tokenizer not set — call "
                                "set_runtime(tokenizer=...)")
+        return tokenizer
 
+    def _eos_ids(self, tokenizer) -> List[int]:
+        eos = []
+        for t in ("<|im_end|>", "<|endoftext|>"):
+            try:
+                tid = tokenizer.convert_tokens_to_ids(t)
+                if tid is not None:
+                    eos.append(int(tid))
+            except Exception:
+                pass
+        return eos or [151645]
+
+    def _prepare_inputs(self, audio, language, system_prompt, tokenizer):
+        """Encode audio, build the chat prompt, splice audio embeddings.
+
+        Returns (inputs_embeds (1, T, D), prompt_ids) —
+        reference qwen3_asr.py:819-873 (_preprocess_audio + _build_prompt)
+        + :632-666 (_build_inputs_embeds).
+        """
+        audio = np.asarray(audio, np.float32).reshape(-1)
         mel = A.log_mel_spectrogram(
             jnp.asarray(audio),
             n_mels=self.config.audio_config.num_mel_bins)
@@ -314,23 +390,138 @@ class Model(Module):
         if n:
             emb[0][np.nonzero(mask)[0][:n]] = np.asarray(
                 jax.device_get(audio_emb))[:n]
-        inputs = jnp.asarray(emb)
+        return jnp.asarray(emb), ids
 
+    def stream_generate(self, audio, *, language: str = "English",
+                        system_prompt: Optional[str] = None,
+                        max_tokens: int = 512, temperature: float = 0.0,
+                        top_k: int = 0, top_p: float = 1.0,
+                        repetition_penalty: float = 1.0,
+                        chunk_size: int = 16, seed: int = 0,
+                        tokenizer=None):
+        """Yield generated token ids as they are produced.
+
+        TPU-first streaming: the decode runs on device in `chunk_size`-token
+        blocks (one dispatch per block, not per token); tokens are yielded
+        host-side between dispatches. EOS is consumed, not yielded.
+        Reference: qwen3_asr.py:875-977 (stream_generate over mlx_lm
+        generate_step).
+        """
+        tokenizer = self._resolve_tokenizer(tokenizer)
+        inputs, _ids = self._prepare_inputs(
+            audio, language, system_prompt, tokenizer)
+        yield from self._stream_tokens(
+            inputs, self._eos_ids(tokenizer), max_tokens=max_tokens,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty, chunk_size=chunk_size,
+            seed=seed)
+
+    def _stream_tokens(self, inputs, eos, *, max_tokens, temperature,
+                       top_k, top_p, repetition_penalty, chunk_size, seed=0):
+        from ....lm.generate import _decode_chunk, _prefill
+
+        lm = self.language_model
+        caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1,
+                                dtype=jnp.float32)
+        logits, caches = _prefill(lm, caches, inputs, _lm_call)
+        history = jnp.full((1, 64), -1, jnp.int32)
+        done = jnp.zeros((1,), bool)
+        key = jax.random.PRNGKey(seed)
+        eos_arr = jnp.asarray((eos + [-1, -1, -1])[:3], jnp.int32)
+        sampler = make_sampler(temp=float(temperature), top_k=int(top_k),
+                               top_p=float(top_p))
+
+        produced = 0
+        while produced < max_tokens:
+            steps = min(chunk_size, max_tokens - produced)
+            out, i, logits, caches, history, done, key = _decode_chunk(
+                lm, caches, logits, history, done, key, eos_arr, _lm_call,
+                sampler, float(repetition_penalty), int(steps))
+            toks, nv, fin = jax.device_get((out, i, done))
+            nv = int(nv)
+            for t in toks[0][:nv]:
+                t = int(t)
+                if t in eos:
+                    return
+                yield t
+            produced += nv
+            if bool(fin.all()) or nv < steps:
+                return
+
+    def stream_transcribe(self, audio, *, language: str = "English",
+                          system_prompt: Optional[str] = None,
+                          max_tokens: int = 8192, temperature: float = 0.0,
+                          top_k: int = 0, top_p: float = 1.0,
+                          repetition_penalty: float = 1.0,
+                          chunk_duration: float = 1200.0,
+                          min_chunk_duration: float = 1.0,
+                          chunk_size: int = 16, tokenizer=None, **kwargs):
+        """Stream transcription of arbitrarily long audio.
+
+        Long audio is split at low-energy boundaries; each chunk's tokens
+        stream as partial StreamingResults with timing estimated from token
+        position within the chunk; a final StreamingResult per chunk carries
+        cumulative token counts (reference qwen3_asr.py:1186-1332).
+        """
+        tokenizer = self._resolve_tokenizer(tokenizer)
+        wav = np.asarray(audio, np.float32).reshape(-1)
+        chunks = split_audio_into_chunks(
+            wav, self.sample_rate, chunk_duration=chunk_duration,
+            min_chunk_duration=min_chunk_duration)
+        lang_code = language[:2].lower() if language else "en"
+
+        total_prompt = 0
+        total_gen = 0
+        remaining = max_tokens
+        for ci, (chunk_audio, offset) in enumerate(chunks):
+            chunk_sec = len(chunk_audio) / self.sample_rate
+            is_last = ci == len(chunks) - 1
+            n = 0
+            inputs, ids = self._prepare_inputs(
+                chunk_audio, language, system_prompt, tokenizer)
+            total_prompt += int(ids.shape[0])
+            for tok in self._stream_tokens(
+                    inputs, self._eos_ids(tokenizer),
+                    max_tokens=remaining, temperature=temperature,
+                    top_k=top_k, top_p=top_p,
+                    repetition_penalty=repetition_penalty,
+                    chunk_size=chunk_size):
+                text = tokenizer.decode([tok])
+                prev = n / max(remaining, 1)
+                n += 1
+                curr = min(n / max(remaining, 1), 1.0)
+                yield StreamingResult(
+                    text=text, is_final=False,
+                    start_time=offset + chunk_sec * prev,
+                    end_time=offset + chunk_sec * curr,
+                    language=lang_code)
+            total_gen += n
+            remaining -= n
+            yield StreamingResult(
+                text="", is_final=is_last or remaining <= 0,
+                start_time=offset, end_time=offset + chunk_sec,
+                language=lang_code, prompt_tokens=total_prompt,
+                generation_tokens=total_gen)
+            if remaining <= 0:
+                break
+
+    def generate(self, audio, *, language: str = "English",
+                 system_prompt: Optional[str] = None, max_tokens: int = 512,
+                 temperature: float = 0.0, tokenizer=None,
+                 **kwargs) -> STTOutput:
+        t0 = time.perf_counter()
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        duration = len(audio) / self.sample_rate
+        tokenizer = self._resolve_tokenizer(tokenizer)
+        inputs, ids = self._prepare_inputs(
+            audio, language, system_prompt, tokenizer)
+        eos = self._eos_ids(tokenizer)
+        eos = (eos + [-1, -1, -1])[:3]
+
+        lm = self.language_model
         caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1,
                                 dtype=jnp.float32)
         from ....lm.generate import _decode_chunk, _prefill
-
-        eos = []
-        for t in ("<|im_end|>", "<|endoftext|>"):
-            try:
-                tid = tokenizer.convert_tokens_to_ids(t)
-                if tid is not None:
-                    eos.append(int(tid))
-            except Exception:
-                pass
-        if not eos:
-            eos = [151645]
-        eos = (eos + [-1, -1, -1])[:3]
 
         logits, caches = _prefill(lm, caches, inputs, _lm_call)
         out, i, *_ = _decode_chunk(

