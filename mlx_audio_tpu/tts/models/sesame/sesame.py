@@ -428,6 +428,17 @@ class Model(Module):
             codes = frames_np[0, :n].T[None]  # (1, K, n)
             audio = np.asarray(self.audio_tokenizer.decode(codes)).reshape(-1)
 
+            # Imperceptible watermark marking audio as AI-generated
+            # (reference sesame.py:614-625, watermarking.py). On by default;
+            # deployments should use their own private key.
+            if kwargs.get("apply_watermark", True):
+                from .watermarking import (
+                    CSM_1B_GH_WATERMARK, load_watermarker, watermark)
+
+                audio = watermark(
+                    load_watermarker(), audio, self.sample_rate,
+                    CSM_1B_GH_WATERMARK)
+
             elapsed = time.perf_counter() - t0
             dur = len(audio) / self.sample_rate
             yield GenerationResult(
