@@ -47,6 +47,11 @@ def relu2_attention(q, k, v, group_size: int | None = None):
     E = v.shape[-1]
     if group_size is None:
         group_size = N
+    # The kernel materializes the (N, N) f32 score tile in VMEM; beyond
+    # N=2048 that exceeds the ~16 MB scoped VMEM limit (measured OOM at
+    # N=4096, scripts/bench_kernels.py) — use the lax path instead.
+    if N > 2048:
+        return relu2_attention_reference(q, k, v, group_size)
     qf = q.reshape(B * G, N, D)
     kf = k.reshape(B * G, N, D)
     vf = v.reshape(B * G, N, E)

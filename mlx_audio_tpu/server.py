@@ -83,6 +83,14 @@ model_provider = ModelProvider()
 # ---------------------------------------------------------------------------
 
 
+def _ui_html() -> str:
+    """Built-in studio web UI (reference server.py:709-780 shells out to an
+    npm dev server; here the single-file UI is served in-process at /ui)."""
+    from pathlib import Path
+
+    return (Path(__file__).parent / "ui" / "index.html").read_text()
+
+
 def _wav_stream_header(sample_rate: int) -> bytes:
     """WAV header with unknown (max) data size — lets PCM frames stream
     chunk-by-chunk; players treat 0xFFFFFFFF as 'read until EOF'."""
@@ -386,10 +394,14 @@ class _Handler(BaseHTTPRequestHandler):
                 "endpoints": [
                     "/v1/audio/speech", "/v1/audio/transcriptions",
                     "/v1/audio/transcriptions/realtime (ws)", "/v1/models",
+                    "/ui",
                 ],
             })
         elif self.path == "/health":
             self._json(200, {"status": "ok"})
+        elif self.path == "/ui":
+            self._send(200, _ui_html().encode(),
+                       content_type="text/html; charset=utf-8")
         elif self.path == "/v1/models":
             models = self.provider.list_models()
             self._json(200, {
@@ -589,6 +601,12 @@ def create_app(provider: Optional[ModelProvider] = None):
     @app.get("/health")
     async def health():
         return {"status": "ok"}
+
+    @app.get("/ui")
+    async def studio_ui():
+        from fastapi.responses import HTMLResponse
+
+        return HTMLResponse(_ui_html())
 
     @app.post("/v1/audio/speech")
     async def speech(payload: dict):

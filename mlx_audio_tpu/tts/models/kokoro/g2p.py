@@ -212,6 +212,14 @@ def get_g2p(lang_code: str):
         try:
             return _MisakiG2P(british)
         except ImportError:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "misaki is not installed — Kokoro is using the built-in "
+                "basic English G2P fallback (reduced pronunciation "
+                "quality; lexicon of ~130 words + letter rules). Install "
+                "misaki for production-quality phonemization."
+            )
             return BasicEnglishG2P(british)
     # Non-English languages need espeak/misaki extras; raise a clear error.
     try:

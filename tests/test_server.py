@@ -57,6 +57,15 @@ def test_health(server_url):
         assert json.loads(r.read())["status"] == "ok"
 
 
+def test_studio_ui_served(server_url):
+    """Built-in web UI at /ui (reference server.py:709-780 equivalent)."""
+    with urllib.request.urlopen(server_url + "/ui") as r:
+        body = r.read().decode()
+        assert r.headers.get_content_type() == "text/html"
+    assert "mlx_audio_tpu studio" in body
+    assert "/v1/audio/speech" in body  # wired to the real endpoints
+
+
 def test_speech_endpoint_returns_wav(server_url):
     status, body, headers = _post_json(
         server_url + "/v1/audio/speech",
