@@ -137,9 +137,35 @@ class QuantizedLinear(Module):
             self.weight, self.scales, self.biases, self.group_size, self.bits, dtype
         )
 
+    def _pallas_routable(self, x: jax.Array) -> bool:
+        """Measured on v5e (KERNEL_BENCH.md): the fused dequant-matmul
+        kernel wins at 4-bit for all M (1.2-4.6x) and at 8-bit for M >= 2
+        (1.7-4.4x; GEMV is a tie). 2/3/6-bit and ragged N stay on XLA."""
+        from ..ops.pallas import pallas_enabled
+
+        if not pallas_enabled():
+            return False
+        if self.bits not in (4, 8):
+            return False
+        N, K = self.weight.shape[0], x.shape[-1]
+        per = 32 // self.bits
+        if K % per or self.group_size % per:
+            return False
+        if not (N % 512 == 0 or (N <= 512 and N % 128 == 0)):
+            return False
+        M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        return self.bits == 4 or M >= 2
+
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.dequantized_weight(x.dtype)
-        y = jnp.matmul(x, w.T, preferred_element_type=x.dtype)
+        if self._pallas_routable(x):
+            from ..ops.pallas.quant_matmul import quantized_matmul
+
+            y = quantized_matmul(
+                x, self.weight, self.scales, self.biases,
+                bits=self.bits, group_size=self.group_size)
+        else:
+            w = self.dequantized_weight(x.dtype)
+            y = jnp.matmul(x, w.T, preferred_element_type=x.dtype)
         if hasattr(self, "bias"):
             y = y + self.bias.astype(y.dtype)
         return y

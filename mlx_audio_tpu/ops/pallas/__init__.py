@@ -1,13 +1,13 @@
 """Pallas TPU kernels — the native layer replacing the reference's
 hand-written Metal kernels (SURVEY §2.3). Each kernel has a lax reference
-implementation in `mlx_audio_tpu.ops`; kernels are opt-in via
-`use_pallas(True)` or the MLX_AUDIO_TPU_PALLAS env var and fall back
-automatically off-TPU.
+implementation in `mlx_audio_tpu.ops`; kernels are ON by default on TPU
+(measured wins, see KERNEL_BENCH.md), disable with MLX_AUDIO_TPU_PALLAS=0
+or `use_pallas(False)`. Off-TPU backends always use the lax fallbacks.
 """
 
 import os
 
-_ENABLED = os.environ.get("MLX_AUDIO_TPU_PALLAS", "0") == "1"
+_ENABLED = os.environ.get("MLX_AUDIO_TPU_PALLAS", "1") == "1"
 
 
 def use_pallas(enabled: bool = True):

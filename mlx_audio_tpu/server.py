@@ -383,17 +383,22 @@ class _Handler(BaseHTTPRequestHandler):
     )
 
     def do_GET(self):
+        ws_path = self.path.split("?")[0]
         if (
-            self.path.split("?")[0] in self.REALTIME_WS_PATHS
+            ws_path in self.REALTIME_WS_PATHS
             and "websocket" in self.headers.get("Upgrade", "").lower()
         ):
-            self._realtime_ws()
+            if ws_path == "/v1/audio/speech/stream":
+                self._tts_stream_ws()
+            else:
+                self._realtime_ws()
         elif self.path == "/":
             self._json(200, {
                 "name": "mlx_audio_tpu server",
                 "endpoints": [
                     "/v1/audio/speech", "/v1/audio/transcriptions",
-                    "/v1/audio/transcriptions/realtime (ws)", "/v1/models",
+                    "/v1/audio/transcriptions/realtime (ws stt)",
+                    "/v1/audio/speech/stream (ws tts)", "/v1/models",
                     "/ui",
                 ],
             })
@@ -415,29 +420,107 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": "not found"})
 
-    def _realtime_ws(self):
-        """Realtime STT over stdlib WebSocket (reference server.py:415-706;
-        the FastAPI transport shares RealtimeSTTSession)."""
-        from urllib.parse import parse_qs, urlparse
-
-        from .ws import OP_BINARY, WebSocketConnection, accept_key
+    def _ws_handshake(self):
+        """Complete the RFC 6455 upgrade; returns a WebSocketConnection or
+        None if the request is malformed."""
+        from .ws import WebSocketConnection, accept_key
 
         key = self.headers.get("Sec-WebSocket-Key")
         if not key:
             self._json(400, {"error": "missing Sec-WebSocket-Key"})
-            return
+            return None
         self.send_response(101)
         self.send_header("Upgrade", "websocket")
         self.send_header("Connection", "Upgrade")
         self.send_header("Sec-WebSocket-Accept", accept_key(key))
         self.end_headers()
+        return WebSocketConnection(self.rfile, self.wfile,
+                                   auto_close_reply=False)
 
-        from .ws import OP_CLOSE
+    def _tts_stream_ws(self):
+        """Streaming TTS over WebSocket: each JSON text message
+        {"input": ..., "model": ..., "voice": ...} streams back
+        {"type": "start", "sample_rate": N}, binary int16 PCM frames per
+        generated segment, then {"type": "done", "segments": K}. Multiple
+        requests may be sent over one connection."""
+        from urllib.parse import parse_qs, urlparse
 
+        from .ws import OP_CLOSE, OP_BINARY
+
+        conn = self._ws_handshake()
+        if conn is None:
+            return
+        q = parse_qs(urlparse(self.path).query)
+        default_model = q.get("model", [None])[0]
+        try:
+            while True:
+                msg = conn.recv()
+                if msg is None:
+                    break
+                opcode, payload = msg
+                if opcode == OP_CLOSE:
+                    conn.close()
+                    break
+                if opcode == OP_BINARY:
+                    continue  # TTS requests are JSON text frames
+                try:
+                    req = json.loads(payload or b"{}")
+                except ValueError:
+                    conn.send_text(json.dumps(
+                        {"type": "error", "error": "invalid JSON"}))
+                    continue
+                text = req.get("input") or req.get("text")
+                if not text:
+                    conn.send_text(json.dumps(
+                        {"type": "error", "error": "missing 'input'"}))
+                    continue
+                model_name = req.get("model") or default_model
+                if not model_name:
+                    conn.send_text(json.dumps(
+                        {"type": "error", "error": "missing 'model'"}))
+                    continue
+                try:
+                    model = self.provider.load_model(model_name)
+                    kwargs = {}
+                    if req.get("voice"):
+                        kwargs["voice"] = req["voice"]
+                    if req.get("speed"):
+                        kwargs["speed"] = float(req["speed"])
+                    n_seg = 0
+                    started = False
+                    for seg in model.generate(text, **kwargs):
+                        if not started:
+                            conn.send_text(json.dumps(
+                                {"type": "start",
+                                 "sample_rate": int(seg.sample_rate)}))
+                            started = True
+                        pcm = np.clip(
+                            np.asarray(seg.audio, np.float32).reshape(-1),
+                            -1.0, 1.0)
+                        conn.send_binary(
+                            (pcm * 32767.0).astype("<i2").tobytes())
+                        n_seg += 1
+                    conn.send_text(json.dumps(
+                        {"type": "done", "segments": n_seg}))
+                except Exception as e:  # surface model errors to the client
+                    conn.send_text(json.dumps(
+                        {"type": "error", "error": str(e)}))
+        finally:
+            conn.close()
+        self.close_connection = True
+
+    def _realtime_ws(self):
+        """Realtime STT over stdlib WebSocket (reference server.py:415-706;
+        the FastAPI transport shares RealtimeSTTSession)."""
+        from urllib.parse import parse_qs, urlparse
+
+        from .ws import OP_BINARY, OP_CLOSE
+
+        conn = self._ws_handshake()
+        if conn is None:
+            return
         q = parse_qs(urlparse(self.path).query)
         model_name = q.get("model", ["mlx-community/whisper-large-v3-turbo"])[0]
-        conn = WebSocketConnection(self.rfile, self.wfile,
-                                   auto_close_reply=False)
         session = None
 
         def flush_final():
@@ -658,8 +741,61 @@ def create_app(provider: Optional[ModelProvider] = None):
             status_code=200 if ok else 404,
         )
 
-    @app.websocket("/v1/audio/transcriptions/realtime")
     @app.websocket("/v1/audio/speech/stream")
+    async def streaming_tts(ws: WebSocket):
+        """Streaming TTS: JSON request frames in, binary int16 PCM segment
+        frames out (same protocol as the stdlib transport's
+        _tts_stream_ws)."""
+        await ws.accept()
+        default_model = ws.query_params.get("model")
+        try:
+            while True:
+                msg = await ws.receive()
+                if msg.get("type") == "websocket.disconnect":
+                    break
+                if msg.get("text") is None:
+                    continue
+                try:
+                    req = json.loads(msg["text"])
+                except ValueError:
+                    await ws.send_json(
+                        {"type": "error", "error": "invalid JSON"})
+                    continue
+                text = req.get("input") or req.get("text")
+                model_name = req.get("model") or default_model
+                if not text or not model_name:
+                    await ws.send_json(
+                        {"type": "error",
+                         "error": "missing 'input' or 'model'"})
+                    continue
+                try:
+                    model = provider.load_model(model_name)
+                    kwargs = {}
+                    if req.get("voice"):
+                        kwargs["voice"] = req["voice"]
+                    if req.get("speed"):
+                        kwargs["speed"] = float(req["speed"])
+                    n_seg = 0
+                    started = False
+                    for seg in model.generate(text, **kwargs):
+                        if not started:
+                            await ws.send_json(
+                                {"type": "start",
+                                 "sample_rate": int(seg.sample_rate)})
+                            started = True
+                        pcm = np.clip(
+                            np.asarray(seg.audio, np.float32).reshape(-1),
+                            -1.0, 1.0)
+                        await ws.send_bytes(
+                            (pcm * 32767.0).astype("<i2").tobytes())
+                        n_seg += 1
+                    await ws.send_json({"type": "done", "segments": n_seg})
+                except Exception as e:
+                    await ws.send_json({"type": "error", "error": str(e)})
+        except Exception:
+            pass
+
+    @app.websocket("/v1/audio/transcriptions/realtime")
     async def realtime_stt(ws: WebSocket):
         """Realtime STT: client streams 16 kHz int16 PCM frames; server sends
         partial transcripts every ~1.5 s of buffered speech and finals on

@@ -15,6 +15,7 @@ enabled, with an identical lax einsum fallback.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional
 
 import jax
@@ -274,7 +275,12 @@ class FlashShareAFFConvM(Module):
         quad_q, quad_k, lin_q, lin_k, v, u = map(grp, (quad_q, quad_k, lin_q,
                                                        lin_k, v, u))
 
-        if pallas_ops.pallas_enabled():
+        # Measured on v5e (scripts/bench_kernels.py, KERNEL_BENCH.md): XLA's
+        # fused einsum beats the Pallas relu2 kernel at every group size
+        # (0.4-0.8x), so the lax path is the default; the kernel remains for
+        # forcing via MLX_AUDIO_TPU_FORCE_RELU2_KERNEL=1.
+        if (pallas_ops.pallas_enabled()
+                and os.environ.get("MLX_AUDIO_TPU_FORCE_RELU2_KERNEL")):
             quad_out_v = pallas_ops.relu2_attention(quad_q, quad_k, v, g)
             quad_out_u = pallas_ops.relu2_attention(quad_q, quad_k, u, g)
         else:

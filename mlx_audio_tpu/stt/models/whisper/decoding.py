@@ -286,6 +286,8 @@ def decode_window_batch(
         max_init = round(options.max_initial_timestamp / precision)
 
     Tp = prompt.shape[1]
+    if options.sample_len:  # reference: sample_len option caps the decode
+        sample_len = int(options.sample_len)
     # never write past tokens_buf/KV capacity (the reference stops at n_ctx)
     sample_len = max(1, min(sample_len, n_ctx - Tp - 1))
 

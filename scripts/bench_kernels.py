@@ -55,9 +55,15 @@ def timeit_chained(step, x0, *consts):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per_est = max((run(230) - run(30)) / 200, 1e-7)
+    # Gross estimate first so slow kernels never get a long chain: a >60 s
+    # chained program crashed the TPU worker (S=8192 XLA attention).
+    gross = run(4) / 4
+    lo_c, hi_c = (4, 24) if gross > 0.1 else (30, 230)
+    per_est = max((run(hi_c) - run(lo_c)) / (hi_c - lo_c), 1e-7)
+    # target ~0.25 s of pure work, but cap any single run at ~15 s
     n_delta = min(max(int(0.25 / per_est), 100), 50_000)
-    lo = 50
+    lo = min(50, max(4, int(1.0 / per_est)))
+    n_delta = max(min(n_delta, int(15.0 / per_est) - lo), 8)
     return (run(lo + n_delta) - run(lo)) / n_delta * 1e3  # ms
 
 
@@ -165,6 +171,62 @@ def bench_relu2():
         emit("relu2_attention", f"B{B}G{G}T{T}D{D}_f32", p_ms, x_ms, err)
 
 
+HBM_GBS = 819.0  # v5e HBM bandwidth (spec)
+
+
+def bench_depthwise_roofline():
+    """SURVEY 2.3 flagged depthwise conv1d as 'XLA, unmeasured'. Measure the
+    achieved HBM bandwidth of the XLA lowering at MossFormer2 shapes: if it
+    runs near the bandwidth roof a Pallas kernel cannot win materially."""
+    rng = np.random.default_rng(3)
+    for T, C, K in ((4096, 512, 17), (16384, 256, 17)):
+        x = jnp.asarray(rng.standard_normal((1, T, C)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((C, K, 1)), jnp.float32)
+        pad = (K - 1) // 2
+
+        def step(x, w):
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=(1,), padding=[(pad, pad)],
+                dimension_numbers=("NLC", "OLI", "NLC"),
+                feature_group_count=C)
+            return x + y * 1e-3
+
+        ms = timeit_chained(step, x, w)
+        gbs = 3 * T * C * 4 / (ms * 1e-3) / 1e9  # read x, write y, add x
+        print(json.dumps({
+            "kernel": "depthwise_conv1d_xla", "config": f"T{T}C{C}K{K}_f32",
+            "xla_ms": round(ms, 4), "achieved_GBs": round(gbs, 1),
+            "pct_hbm_roof": round(100 * gbs / HBM_GBS, 1),
+        }), flush=True)
+
+
+def bench_lstm_roofline():
+    """Fused-gate lax.scan LSTM (nn/recurrent.py): report per-step latency
+    and effective matmul throughput. The step is latency-bound (sequential
+    dependence); speed-of-light is the (N,H)x(H,4H) recurrent matmul."""
+    from mlx_audio_tpu.nn.recurrent import lstm_scan
+
+    rng = np.random.default_rng(4)
+    for N, T, H in ((1, 1500, 512), (8, 1500, 512)):
+        xp = jnp.asarray(rng.standard_normal((N, T, 4 * H)) * 0.1,
+                         jnp.float32)
+        wh = jnp.asarray(rng.standard_normal((4 * H, H)) * 0.05, jnp.float32)
+        h0 = jnp.zeros((N, H), jnp.float32)
+
+        def step(xp, wh, h0):
+            hs, _ = lstm_scan(xp, wh, h0, h0)
+            return xp + hs.mean() * 1e-3  # chain on xp, keep shape
+
+        ms = timeit_chained(step, xp, wh, h0)
+        per_step_us = ms * 1e3 / T
+        flops = 2 * N * 4 * H * H  # recurrent matmul per step
+        print(json.dumps({
+            "kernel": "lstm_scan_xla", "config": f"N{N}T{T}H{H}_f32",
+            "xla_ms": round(ms, 4), "us_per_step": round(per_step_us, 3),
+            "eff_tflops": round(flops / (per_step_us * 1e-6) / 1e12, 3),
+        }), flush=True)
+
+
 if __name__ == "__main__":
     print(json.dumps({"devices": [str(d) for d in jax.devices()],
                       "method": "adaptive two-point chained fori_loop"}),
@@ -172,3 +234,5 @@ if __name__ == "__main__":
     bench_flash()
     bench_quant_matmul()
     bench_relu2()
+    bench_depthwise_roofline()
+    bench_lstm_roofline()

@@ -53,3 +53,25 @@ def test_entry_point_mains_importable():
 
     for mod in (convert, server, stt_gen, tts_gen):
         assert callable(getattr(mod, "main"))
+
+
+def test_compile_cache_opt_in():
+    """MLX_AUDIO_TPU_COMPILE_CACHE=<dir> enables the persistent XLA
+    compilation cache (opt-in; cold-server compile latency mitigation)."""
+    code = r"""
+import os, sys, tempfile
+sys.path.insert(0, {repo!r})
+d = tempfile.mkdtemp()
+os.environ["MLX_AUDIO_TPU_COMPILE_CACHE"] = d
+import jax
+jax.config.update("jax_platforms", "cpu")
+import mlx_audio_tpu
+assert jax.config.jax_compilation_cache_dir == d
+print("OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code.format(repo=str(REPO))],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout

@@ -118,7 +118,7 @@ def test_stdlib_websocket_realtime_stt_end_to_end():
     try:
         sock = socket.create_connection((host, port), timeout=10)
         req, expect_accept = wsmod.client_handshake_headers(
-            f"{host}:{port}", "/v1/audio/speech/stream?model=test"
+            f"{host}:{port}", "/v1/audio/transcriptions/realtime?model=test"
         )
         sock.sendall(req)
         resp = b""
@@ -236,7 +236,7 @@ def test_ws_close_flushes_final_before_close_handshake():
     try:
         sock = socket.create_connection((host, port), timeout=10)
         req, _ = wsmod.client_handshake_headers(
-            f"{host}:{port}", "/v1/audio/speech/stream?model=m"
+            f"{host}:{port}", "/v1/audio/transcriptions/realtime?model=m"
         )
         sock.sendall(req)
         resp = b""
@@ -256,6 +256,61 @@ def test_ws_close_flushes_final_before_close_handshake():
         assert json.loads(payload)["type"] == "final"
         nxt = conn.recv()
         assert nxt is None or nxt[0] == wsmod.OP_CLOSE
+        sock.close()
+    finally:
+        httpd.shutdown()
+
+
+def test_stdlib_websocket_streaming_tts():
+    """/v1/audio/speech/stream is a TTS stream: JSON request in, start
+    event + binary int16 PCM segment frames + done event out."""
+    from mlx_audio_tpu.tts.models.base import GenerationResult
+
+    class TwoSegTTS:
+        def generate(self, text, **kw):
+            for i in range(2):
+                yield GenerationResult(
+                    audio=np.full(2400, 0.25, np.float32), samples=2400,
+                    sample_rate=24000, segment_idx=i)
+
+    class P(srv.ModelProvider):
+        def load_model(self, name):
+            return TwoSegTTS()
+
+    httpd = srv.serve_stdlib("127.0.0.1", 0, P())
+    host, port = httpd.server_address
+    try:
+        sock = socket.create_connection((host, port), timeout=10)
+        req, _ = wsmod.client_handshake_headers(
+            f"{host}:{port}", "/v1/audio/speech/stream"
+        )
+        sock.sendall(req)
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += sock.recv(4096)
+
+        conn = wsmod.WebSocketConnection(
+            sock.makefile("rb"), sock.makefile("wb"), mask_outgoing=True)
+        conn.send_text(json.dumps({"model": "k", "input": "hello"}))
+        op, payload = conn.recv()
+        start = json.loads(payload)
+        assert op == wsmod.OP_TEXT
+        assert start["type"] == "start" and start["sample_rate"] == 24000
+        pcm = b""
+        while True:
+            op, payload = conn.recv()
+            if op == wsmod.OP_TEXT:
+                done = json.loads(payload)
+                break
+            assert op == wsmod.OP_BINARY
+            pcm += payload
+        assert done["type"] == "done" and done["segments"] == 2
+        x = np.frombuffer(pcm, "<i2")
+        assert len(x) == 4800 and abs(x[0] / 32767.0 - 0.25) < 1e-3
+        # errors are reported, connection stays usable
+        conn.send_text(json.dumps({"model": "k"}))
+        op, payload = conn.recv()
+        assert json.loads(payload)["type"] == "error"
         sock.close()
     finally:
         httpd.shutdown()
