@@ -375,21 +375,37 @@ class Model(Module):
         spec = A.log_mel_spectrogram(audio_chunk, n_mels=n_mels)
         return spec
 
-    def _mel_windows(self, audio: np.ndarray):
-        """Whole-audio mel with N_SAMPLES zero padding, computed in
-        fixed-shape 30 s chunks (one compile total)."""
+    @staticmethod
+    @partial(jax.jit, static_argnames=("n_mels",))
+    def _mel_chunks_batched(chunks, n_mels: int):
+        """(n, N_SAMPLES) stacked chunks → (n, N_FRAMES, n_mels) in ONE
+        dispatch. Sequential per-chunk dispatch paid a ~100 ms tunnel round
+        trip per 30 s chunk — measured 550-810 ms of a 1.3 s transcription
+        of 120 s audio (the largest phase; see commit message)."""
+        return jax.vmap(
+            lambda c: A.log_mel_spectrogram(c, n_mels=n_mels))(chunks)
+
+    def _mel_chunks_device(self, audio: np.ndarray):
+        """Stacked per-30s-chunk log-mel, kept ON DEVICE: (bucket, N_FRAMES,
+        n_mels) with `n_chunks` valid rows. Bucketed to powers of two so
+        compiles stay bounded across audio lengths."""
         total = len(audio) + A.N_SAMPLES
         n_chunks = (total + A.N_SAMPLES - 1) // A.N_SAMPLES
-        padded = np.zeros(n_chunks * A.N_SAMPLES, np.float32)
+        bucket = 1 << max(n_chunks - 1, 0).bit_length()
+        padded = np.zeros(bucket * A.N_SAMPLES, np.float32)
         padded[: len(audio)] = audio
-        chunks = [
-            self._mel_chunk(
-                jnp.asarray(padded[i * A.N_SAMPLES : (i + 1) * A.N_SAMPLES]),
-                self.dims.n_mels,
-            )
-            for i in range(n_chunks)
-        ]
-        mel = np.concatenate([np.asarray(jax.device_get(c)) for c in chunks], axis=0)
+        mel = self._mel_chunks_batched(
+            jnp.asarray(padded.reshape(bucket, A.N_SAMPLES)),
+            self.dims.n_mels,
+        )
+        return mel, n_chunks
+
+    def _mel_windows(self, audio: np.ndarray):
+        """Whole-audio mel with N_SAMPLES zero padding (host array for the
+        seek loop; one device dispatch + one fetch)."""
+        mel, n_chunks = self._mel_chunks_device(audio)
+        mel = np.asarray(jax.device_get(mel[:n_chunks]))
+        mel = mel.reshape(-1, mel.shape[-1])
         want = (len(audio) + A.N_SAMPLES) // A.HOP_LENGTH
         return mel[:want]  # host array; fixed-shape windows re-uploaded per seek
 
@@ -699,8 +715,13 @@ class Model(Module):
             audio = load_audio(audio, sample_rate=A.SAMPLE_RATE)
         audio = np.asarray(audio, np.float32).reshape(-1)
 
-        mel_all = self._mel_windows(audio)
-        content_frames = mel_all.shape[0] - A.N_FRAMES
+        # Mel stays ON DEVICE: the 30 s seek windows at N_FRAMES stride are
+        # exactly the per-chunk mels, so chunked mode never round-trips the
+        # spectrogram through the host (measured: the host fetch was the
+        # largest phase of chunked transcription).
+        mel_dev, _ = self._mel_chunks_device(audio)
+        n_audio_frames = (len(audio) + A.N_SAMPLES) // A.HOP_LENGTH
+        content_frames = n_audio_frames - A.N_FRAMES
         content_duration = content_frames * A.HOP_LENGTH / A.SAMPLE_RATE
 
         if tokenizer is None:
@@ -711,17 +732,12 @@ class Model(Module):
                 language=language or "en", task=task,
             )
 
-        # windows at fixed 30 s stride
+        # windows at fixed 30 s stride == mel chunk rows
         starts = list(range(0, max(content_frames, 1), A.N_FRAMES))
-        windows = []
-        for seek in starts:
-            w = mel_all[seek : seek + A.N_FRAMES]
-            if w.shape[0] < A.N_FRAMES:
-                w = np.pad(w, ((0, A.N_FRAMES - w.shape[0]), (0, 0)))
-            windows.append(w)
+        n_windows = len(starts)
 
         if language is None:
-            xa, ckv = self._encode(self, jnp.asarray(windows[0])[None])
+            xa, ckv = self._encode(self, mel_dev[:1])
             language, _ = self.detect_language(ckv, tokenizer)
             tokenizer.language = language
             if hasattr(tokenizer, "__dict__"):
@@ -745,13 +761,12 @@ class Model(Module):
         all_segments: List[dict] = []
         n_gen = 0
         time_precision = 0.02
-        for i0 in range(0, len(windows), max_batch):
-            group = windows[i0 : i0 + max_batch]
-            _xa, cross_kv = self._encode(
-                self, jnp.asarray(np.stack(group))
-            )
+        for i0 in range(0, n_windows, max_batch):
+            n_group = min(max_batch, n_windows - i0)
+            group = jax.lax.dynamic_slice_in_dim(mel_dev, i0, n_group, 0)
+            _xa, cross_kv = self._encode(self, group)
             results = decode_window_batch(
-                self, cross_kv, tokenizer, [sot_seq] * len(group), opts,
+                self, cross_kv, tokenizer, [sot_seq] * n_group, opts,
                 n_ctx=self.dims.n_text_ctx, n_vocab=self.dims.n_vocab,
                 decoder_step=type(self)._decoder_step,
                 make_caches=self._make_caches,

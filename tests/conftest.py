@@ -27,13 +27,21 @@ def _seed_init_rng(request):
     """Weight init draws from a shared global counter (nn.layers._KEY), so a
     module's model weights would otherwise depend on every module that ran
     before it — making near-tie assertions order-dependent. Reseed per
-    module for order independence."""
+    module for order independence. The GLOBAL numpy RNG is reseeded too:
+    tests drawing inputs via np.random.* otherwise get different inputs in
+    a full-suite run than in isolation (root cause of the round-1
+    test_cosyvoice3 order-dependent failure: shifted np.random state fed a
+    tiny random LM inputs that sampled EOS at step 0)."""
     import zlib
+
+    import numpy as _np
 
     from mlx_audio_tpu.nn import seed_rng
 
     # stable across processes (str hash() is randomized per interpreter)
-    seed_rng(zlib.crc32(request.module.__name__.encode()) % (2**31))
+    seed = zlib.crc32(request.module.__name__.encode()) % (2**31)
+    seed_rng(seed)
+    _np.random.seed(seed)
     yield
     # Release compiled executables between modules: a single-process run of
     # the whole suite otherwise accumulates >12 GB of jit caches and the
