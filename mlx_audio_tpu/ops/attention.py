@@ -46,19 +46,22 @@ def scaled_dot_product_attention(
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
 
-    # Very long sequences on TPU: streaming-softmax Pallas kernel avoids
-    # materializing the (T, S) score matrix in HBM. Measured on v5e: at
-    # S=1500 (Whisper encoder) XLA's fused einsum attention is FASTER than
-    # this kernel (120x vs 91x realtime end-to-end), so the kernel only
-    # routes at S >= 4096 where score materialization dominates. Only full
-    # attention or T==S causal route here; masked/offset variants always
-    # use the einsum path.
+    # Long sequences on TPU: streaming-softmax Pallas kernel avoids
+    # materializing the (T, S) score matrix in HBM. Measured device time
+    # (KERNEL_BENCH.md): kernel wins 1.4x at S=1536, 3.5x at 4096, 52x at
+    # 8192, so it routes from S >= 1280 (round-1's opposite e2e conclusion
+    # at S=1500 was an artifact of per-dispatch timing, since corrected by
+    # the chained-loop method). Only full attention or T==S causal route
+    # here; masked/offset variants always use the einsum path.
     from .pallas import pallas_enabled
 
     causal_str = isinstance(mask, str) and mask == "causal"
     if (
         pallas_enabled()
-        and S >= 4096
+        and S >= 1280
+        and T >= 1280  # decode-step queries (T~1) pad to a 256-row block;
+        # routing them cost ~1.5 ms/step e2e (measured: 957 ms vs 612 ms
+        # for 120 s chunked whisper when T=1 cross-attn hit the kernel)
         and D <= 128
         and (mask is None or (causal_str and T == S))
         and q.dtype in (jnp.float32, jnp.bfloat16)
