@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ....nn import layers as nn
+from ....nn.layers import _he_uniform, _next_key
 from ....nn.module import Module
 from ....nn.recurrent import LSTM
 
@@ -71,11 +72,12 @@ class WNConv1d(Module):
         self.padding = ((kernel_size - stride) * dilation // 2
                         if pad_mode == "none" else 0)
         shape = (out_channels, kernel_size, in_channels)
+        fan_in = kernel_size * in_channels
         if self.use_weight_norm:
             self.weight_g = jnp.ones((out_channels, 1, 1))
-            self.weight_v = jnp.zeros(shape)
+            self.weight_v = _he_uniform(_next_key(), shape, fan_in)
         else:
-            self.weight = jnp.zeros(shape)
+            self.weight = _he_uniform(_next_key(), shape, fan_in)
         if bias:
             self.bias = jnp.zeros((out_channels,))
 
@@ -129,11 +131,12 @@ class WNConvTranspose1d(Module):
         self.use_weight_norm = norm == "weight_norm"
         self.padding = (stride + 1) // 2 if pad_mode == "none" else 0
         shape = (out_channels, kernel_size, in_channels)
+        fan_in = kernel_size * in_channels
         if self.use_weight_norm:
             self.weight_g = jnp.ones((1, 1, in_channels))
-            self.weight_v = jnp.zeros(shape)
+            self.weight_v = _he_uniform(_next_key(), shape, fan_in)
         else:
-            self.weight = jnp.zeros(shape)
+            self.weight = _he_uniform(_next_key(), shape, fan_in)
         if bias:
             self.bias = jnp.zeros((out_channels,))
 

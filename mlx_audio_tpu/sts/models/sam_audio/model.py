@@ -392,7 +392,9 @@ class SAMAudio(Module):
                            chunk_seconds: float = 10.0,
                            overlap_seconds: float = 3.0,
                            ode_opt: Optional[Dict[str, Any]] = None,
-                           seed: int = 42, **kwargs
+                           seed: int = 42,
+                           ode_decode_chunk_size: Optional[int] = None,
+                           _text_features=None, _text_mask=None
                            ) -> Generator[StreamingChunk, None, None]:
         """Stream chunk results ASAP with crossfaded overlaps
         (reference model.py:774-1175)."""
@@ -406,7 +408,10 @@ class SAMAudio(Module):
         chunk, overlap, hop, total, n = self._chunks(
             audios, chunk_seconds, overlap_seconds)
 
-        text_features, text_mask = self.text_encoder(descriptions)
+        if _text_features is not None:
+            text_features, text_mask = _text_features, _text_mask
+        else:
+            text_features, text_mask = self.text_encoder(descriptions)
 
         prev_target_tail = prev_residual_tail = None
         for i in range(n):
@@ -416,6 +421,7 @@ class SAMAudio(Module):
             result = self.separate(
                 piece, descriptions, ode_opt=ode_opt,
                 key=jax.random.PRNGKey(seed + i),
+                ode_decode_chunk_size=ode_decode_chunk_size,
                 _text_features=text_features, _text_mask=text_mask)
             tgt = np.asarray(result.target[0])
             res = np.asarray(result.residual[0])

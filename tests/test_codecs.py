@@ -216,8 +216,15 @@ def test_fish_s1_dac_roundtrip():
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
 
 
-def test_dacvae_chunked_decode_matches_full():
-    """Chunked decode (overlap crossfade) ≈ full decode away from seams."""
+def test_dacvae_chunked_decode_stitching_exact():
+    """Chunked decode == manual per-chunk decode + linear crossfade.
+
+    Truncated non-causal decodes legitimately differ from the full decode
+    within the conv stack's receptive field (which exceeds these tiny
+    shapes entirely), so closeness-to-full is not a valid oracle; the
+    contract is the stitching math itself (reference codec.py:1064-1160:
+    independent chunk decodes, linear crossfade over overlap*hop samples).
+    """
     from mlx_audio_tpu.codec.models.dacvae.dacvae import DACVAE, DACVAEConfig
 
     import jax.numpy as jnp
@@ -229,12 +236,30 @@ def test_dacvae_chunked_decode_matches_full():
     m = DACVAE(cfg)
     lat = jnp.asarray(np.random.randn(1, 8, 40).astype(np.float32) * 0.1)
     full = np.asarray(m.decode(lat))
-    chunked = np.asarray(m.decode(lat, chunk_size=16))
+    chunk_size, overlap = 16, 4
+    chunked = np.asarray(m.decode(lat, chunk_size=chunk_size))
     assert chunked.shape == full.shape
-    # identical outside crossfade regions; close overall
-    assert np.abs(chunked - full).max() < 0.2
-    assert np.allclose(chunked[:, : 10 * cfg.hop_length], 
-                       full[:, : 10 * cfg.hop_length], atol=1e-5)
+
+    # manual reference stitch with the same boundaries
+    hop = cfg.hop_length
+    ov = overlap * hop
+    starts = []
+    s = 0
+    while s < lat.shape[-1]:
+        starts.append(s)
+        e = min(s + chunk_size, lat.shape[-1])
+        if e >= lat.shape[-1]:
+            break
+        s = e - overlap
+    decs = [np.asarray(m.decode(lat[:, :, s:min(s + chunk_size,
+                                                lat.shape[-1])]))
+            for s in starts]
+    fade_in = np.linspace(0.0, 1.0, ov)[None, :, None]
+    expect = decs[0].copy()
+    for d in decs[1:]:
+        seam = expect[:, -ov:] * (1 - fade_in) + d[:, :ov] * fade_in
+        expect = np.concatenate([expect[:, :-ov], seam, d[:, ov:]], axis=1)
+    np.testing.assert_allclose(chunked, expect, atol=1e-5)
 
 
 def test_dacvae_streaming_decode_matches_chunked():
