@@ -259,7 +259,21 @@ def read(
         data = path_or_bytes
     fmt = detect_format(data)
     if fmt == "wav":
-        x, sr, _ = _decode_wav(data)
+        x = sr = None
+        try:
+            from . import native
+
+            if native.available():
+                # C demux/convert (native/src/audioio.cpp); resolves
+                # WAVE_FORMAT_EXTENSIBLE through the fmt extension rather
+                # than the bits-based heuristic below
+                x, sr = native.wav_decode(data)
+                if x.shape[1] == 1:
+                    x = x[:, 0]
+        except (ValueError, RuntimeError, ImportError):
+            x = None
+        if x is None:
+            x, sr, _ = _decode_wav(data)
     else:
         x, sr = _decode_ffmpeg(data)
     if dtype == "int16":

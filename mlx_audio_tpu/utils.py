@@ -353,6 +353,13 @@ def load_audio(
 def resample_audio(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     if orig_sr == target_sr:
         return x
+    try:
+        from . import native
+
+        if native.available() and x.dtype == np.float32 and x.ndim <= 2:
+            return native.resample_poly(x, target_sr, orig_sr)
+    except (RuntimeError, ImportError):
+        pass
     from math import gcd
 
     from scipy.signal import resample_poly
