@@ -7,3 +7,11 @@ from .mesh import (
     data_parallel_call,
     shard_sequence,
 )
+from .pipeline import pipeline_forward, shard_stacked_layers, stack_layers
+from .train import (
+    PipelinedLM,
+    lm_loss,
+    make_train_step,
+    pp_lm_logits,
+    split_causal_lm,
+)

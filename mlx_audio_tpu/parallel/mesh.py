@@ -35,21 +35,29 @@ __all__ = [
 def get_mesh(
     data: int = -1,
     model: int = 1,
+    stage: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (data, model) mesh. data=-1 → use all remaining devices.
+    """Build a (data[, stage], model) mesh. data=-1 → all remaining devices.
 
     On a multi-slice topology, the `data` axis should map to DCN and
     `model` to ICI; jax's default device order already yields contiguous
-    ICI neighbors along the innermost axis.
+    ICI neighbors along the innermost axis. `stage` > 1 inserts a pipeline
+    axis between them (ICI ring for ppermute; see pipeline.py) — when it
+    is 1 the mesh stays two-axis for backward compatibility.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    arr = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+        assert n % (model * stage) == 0, \
+            f"{n} devices not divisible by model*stage={model * stage}"
+        data = n // (model * stage)
+    if stage == 1:
+        arr = np.asarray(devices[: data * model]).reshape(data, model)
+        return Mesh(arr, axis_names=("data", "model"))
+    arr = np.asarray(devices[: data * stage * model]).reshape(
+        data, stage, model)
+    return Mesh(arr, axis_names=("data", "stage", "model"))
 
 
 # Tensor-parallel rules for the Llama/Qwen family (column-parallel QKV +

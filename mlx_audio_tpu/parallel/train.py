@@ -1,0 +1,131 @@
+"""Sharded LM training step: DP × PP × TP in one jitted program.
+
+Built for fine-tuning the LM backbones of audio models (Orpheus/Vyvo
+SNAC-LMs, Qwen3-TTS talker, VibeVoice) on TPU pods. The reference has no
+training path at all (SURVEY §2.8) — this is new surface, designed the
+scaling-book way:
+
+- mesh axes: `data` (DP, DCN-friendly), `stage` (PP, ICI ring),
+  `model` (TP, innermost ICI).
+- batch sharded over `data` (GSPMD), transformer blocks stacked and
+  sharded over `stage` (manual GPipe schedule in pipeline.py), projection
+  matrices sharded over `model` (GSPMD TP rules).
+- one `jax.jit` wraps loss + grad + optax update; XLA inserts all
+  collectives (grad psum over data, activation ppermute over stage,
+  reduce-scatter/all-gather over model).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import LLAMA_TP_RULES, shard_module
+from .pipeline import pipeline_forward, shard_stacked_layers, stack_layers
+
+__all__ = [
+    "PipelinedLM",
+    "split_causal_lm",
+    "pp_lm_logits",
+    "lm_loss",
+    "make_train_step",
+]
+
+
+class PipelinedLM(NamedTuple):
+    """CausalLM parameters split for pipelining. Pure array pytree —
+    safe under jit/grad/optax. Static config (head_dim, rope_theta)
+    travels separately (see :func:`split_causal_lm`)."""
+
+    embed_tokens: Any
+    stacked_blocks: Any  # layer axis leading, sharded over `stage`
+    norm: Any
+    lm_head: Any         # None → tied embeddings
+    rope_freqs: Any      # None or per-dim inverse frequencies (llama3)
+
+
+def split_causal_lm(lm, mesh: Optional[Mesh] = None,
+                    tp_rules=LLAMA_TP_RULES):
+    """Split a lm.transformer.CausalLM into (PipelinedLM, static_cfg),
+    optionally placing every leaf on a (data, stage, model) mesh."""
+    stacked = stack_layers(lm.model.layers)
+    embed = lm.model.embed_tokens
+    norm = lm.model.norm
+    head = getattr(lm, "lm_head", None)
+    if mesh is not None:
+        stacked = shard_stacked_layers(stacked, mesh, tp_rules)
+        embed = shard_module(embed, mesh, [(r"weight$", P("model", None))])
+        norm = shard_module(norm, mesh, [])
+        if head is not None:
+            head = shard_module(head, mesh, [(r"weight$", P("model", None))])
+    params = PipelinedLM(embed, stacked, norm, head, lm.model._rope_freqs)
+    static = {"head_dim": lm.config.head_dim,
+              "rope_theta": lm.config.rope_theta}
+    return params, static
+
+
+def pp_lm_logits(params: PipelinedLM, tokens: jax.Array, mesh: Mesh, *,
+                 head_dim: int, rope_theta: float,
+                 microbatches: Optional[int] = None) -> jax.Array:
+    """Training forward (no KV cache): (B, T) tokens → (B, T, V)."""
+    from ..ops.attention import make_causal_mask
+    from ..ops.rope import rope_cos_sin
+
+    h = params.embed_tokens(tokens)
+    T = h.shape[1]
+    freqs = params.rope_freqs
+    if freqs is not None:
+        freqs = jax.lax.stop_gradient(freqs)  # rope table is not trainable
+    cos, sin = rope_cos_sin(jnp.arange(T), head_dim, base=rope_theta,
+                            freqs=freqs, dtype=jnp.float32)
+    mask = make_causal_mask(T, T)
+
+    def layer_fn(layer, x, cos, sin, mask):
+        return layer(x, cos, sin, mask, None)[0]
+
+    h = pipeline_forward(params.stacked_blocks, h, layer_fn, mesh,
+                         cos, sin, mask, microbatches=microbatches)
+    h = params.norm(h)
+    if params.lm_head is not None:
+        return params.lm_head(h)
+    return params.embed_tokens.as_linear(h)
+
+
+def lm_loss(params: PipelinedLM, tokens: jax.Array, mesh: Mesh, *,
+            head_dim: int, rope_theta: float,
+            microbatches: Optional[int] = None) -> jax.Array:
+    """Mean next-token cross-entropy (f32 log-softmax for stability)."""
+    logits = pp_lm_logits(params, tokens[:, :-1], mesh, head_dim=head_dim,
+                          rope_theta=rope_theta, microbatches=microbatches)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+def make_train_step(optimizer, mesh: Mesh, *, head_dim: int,
+                    rope_theta: float,
+                    microbatches: Optional[int] = None):
+    """jit-compiled (params, opt_state, tokens) → (params, opt_state,
+    loss) with the batch sharded over `data`.
+
+    `optimizer` is any optax GradientTransformation; opt_state from
+    `optimizer.init(params)` inherits the parameter shardings.
+    """
+    import optax
+
+    def step(params: PipelinedLM, opt_state, tokens):
+        tokens = jax.lax.with_sharding_constraint(
+            tokens, NamedSharding(mesh, P("data", None)))
+        loss, grads = jax.value_and_grad(
+            lambda p: lm_loss(p, tokens, mesh, head_dim=head_dim,
+                              rope_theta=rope_theta,
+                              microbatches=microbatches))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
