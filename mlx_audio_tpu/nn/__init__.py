@@ -1,4 +1,11 @@
-from .module import Module, flatten_params, load_weights, path_str
+from .module import (
+    Module,
+    build_on_host,
+    cast_floats,
+    flatten_params,
+    load_weights,
+    path_str,
+)
 from .layers import seed_rng
 from .layers import (
     AvgPool1d,

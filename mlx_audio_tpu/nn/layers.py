@@ -43,17 +43,24 @@ def _he_uniform(key, shape, fan_in, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -scale, scale)
 
 
-_KEY = [jax.random.PRNGKey(0)]
+# Lazy: creating a PRNGKey materializes a device array, which would force
+# backend init (TPU tunnel handshake) at import time. Seed is stored as a
+# plain int until the first draw.
+_KEY = [None]
+_SEED = [0]
 
 
 def seed_rng(seed: int = 0) -> None:
     """Reset the global init-RNG stream. Weight init draws from a shared
     counter, so tests asserting exact numerics should pin it (otherwise
     model weights depend on how many layers were built earlier)."""
-    _KEY[0] = jax.random.PRNGKey(seed)
+    _SEED[0] = seed
+    _KEY[0] = None
 
 
 def _next_key():
+    if _KEY[0] is None:
+        _KEY[0] = jax.random.PRNGKey(_SEED[0])
     _KEY[0], k = jax.random.split(_KEY[0])
     return k
 

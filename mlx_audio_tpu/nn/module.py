@@ -240,3 +240,29 @@ def cast_floats(tree, dtype=jnp.bfloat16):
         return x
 
     return jax.tree_util.tree_map(cast, tree)
+
+
+def build_on_host(ctor, dtype=jnp.bfloat16, device=None):
+    """Construct a module on the host CPU backend, cast floats to `dtype`
+    there, then transfer the finished tree to `device` in one pass.
+
+    Random init runs eagerly on whatever backend is default; for a
+    multi-billion-parameter model on an accelerator that means (a) an f32
+    copy of every weight exists on device before `cast_floats` halves it
+    — double the steady-state HBM peak — and (b) thousands of tiny
+    device allocations/dispatches (costly through remote/tunnel
+    backends). Building on the CPU backend keeps the f32 peak in host
+    RAM and ships only the final `dtype` leaves.
+
+    ctor: zero-arg callable returning the module (e.g. lambda:
+        SAMAudio(cfg)).
+    device: target jax.Device; default = the default backend's first
+        device.
+    """
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        tree = cast_floats(ctor(), dtype)
+    device = device or jax.local_devices()[0]
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, device)
+        if isinstance(x, (jax.Array, np.ndarray)) else x, tree)

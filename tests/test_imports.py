@@ -18,8 +18,12 @@ import mlx_audio_tpu
 import mlx_audio_tpu.utils
 import mlx_audio_tpu.dsp
 import mlx_audio_tpu.audio_io
+import mlx_audio_tpu.nn
 heavy = [m for m in ("torch", "transformers", "scipy") if m in sys.modules]
 assert not heavy, f"heavy deps imported eagerly: {{heavy}}"
+# importing must not initialize any jax backend (a device-array created at
+# module scope would trigger the TPU tunnel handshake on bare import)
+assert not jax._src.xla_bridge._backends, list(jax._src.xla_bridge._backends)
 print("OK")
 """
 

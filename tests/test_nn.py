@@ -282,3 +282,21 @@ def test_quantized_linear_3bit_forward():
     # 3-bit is coarse; just require meaningful correlation
     c = np.corrcoef(y_ref.ravel(), y_q.ravel())[0, 1]
     assert c > 0.95
+
+
+def test_build_on_host_matches_default_build():
+    """build_on_host constructs on the CPU backend, casts, and transfers;
+    with the same init seed the weights must equal a default build."""
+    import numpy as np
+
+    from mlx_audio_tpu import nn
+    from mlx_audio_tpu.nn.module import build_on_host
+
+    nn.seed_rng(7)
+    direct = nn.Linear(16, 8)
+    nn.seed_rng(7)
+    hosted = build_on_host(lambda: nn.Linear(16, 8))
+    assert hosted.weight.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(hosted.weight, np.float32),
+        np.asarray(direct.weight.astype(jnp.bfloat16), np.float32))
