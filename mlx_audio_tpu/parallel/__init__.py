@@ -15,3 +15,4 @@ from .train import (
     pp_lm_logits,
     split_causal_lm,
 )
+from .checkpoint import restore_train_state, save_train_state
