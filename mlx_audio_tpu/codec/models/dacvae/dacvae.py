@@ -507,8 +507,14 @@ class DACVAE(Module):
         start = 0
         while start < total:
             end = min(start + chunk_size, total)
-            chunks.append(self.decode(frames[:, :, start:end],
-                                      message=message))
+            chunk = self.decode(frames[:, :, start:end], message=message)
+            # serialize chunk programs: chunked decode exists to bound
+            # peak memory, but async dispatch would keep every queued
+            # program's workspace live at once — the sync caps the
+            # working set at one chunk (matters when a large model, e.g.
+            # SAM-Audio's DiT, is resident alongside)
+            jax.block_until_ready(chunk)
+            chunks.append(chunk)
             if end >= total:
                 break
             start = end - overlap
