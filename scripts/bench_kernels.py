@@ -227,6 +227,32 @@ def bench_lstm_roofline():
         }), flush=True)
 
 
+def bench_rvq_roofline():
+    """RVQ nearest-codebook search (encodec.py:254, mimi.py:534): XLA does
+    it as one (N,D)x(D,K) matmul + argmin. Report effective TFLOP/s of the
+    distance matmul — near the MXU roof means a fused Pallas kernel has no
+    room (SURVEY 2.3's last unmeasured op)."""
+    rng = np.random.default_rng(5)
+    for N, D, K in ((1500, 128, 1024), (12000, 8, 4096)):
+        x = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+        cb = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
+
+        def step(x, cb):
+            c2 = (cb * cb).sum(-1)
+            dot = x @ cb.T
+            idx = jnp.argmin(c2[None, :] - 2 * dot, axis=-1)
+            # chain: fold the chosen codes back into x to serialize iters
+            return x + cb[idx] * 1e-6
+
+        ms = timeit_chained(step, x, cb)
+        flops = 2 * N * K * D
+        print(json.dumps({
+            "kernel": "rvq_codebook_search_xla", "config": f"N{N}D{D}K{K}",
+            "xla_ms": round(ms, 4),
+            "eff_tflops": round(flops / (ms * 1e-3) / 1e12, 2),
+        }), flush=True)
+
+
 if __name__ == "__main__":
     print(json.dumps({"devices": [str(d) for d in jax.devices()],
                       "method": "adaptive two-point chained fori_loop"}),
@@ -236,3 +262,4 @@ if __name__ == "__main__":
     bench_relu2()
     bench_depthwise_roofline()
     bench_lstm_roofline()
+    bench_rvq_roofline()
