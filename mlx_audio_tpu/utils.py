@@ -283,7 +283,29 @@ def base_load_model(
 
     if hasattr(type(model), "post_load_hook"):
         model = type(model).post_load_hook(model, model_path)
-    return model
+    return maybe_shard_for_serving(model)
+
+
+def maybe_shard_for_serving(model):
+    """Opt-in tensor-parallel serving: MLX_AUDIO_TPU_TP=N shards every
+    loaded model's projection weights over an N-way `model` mesh axis
+    (Llama/Qwen + DiT naming rules; unmatched leaves replicate). Lets
+    checkpoints that exceed one chip's HBM (VibeVoice-ASR 9B bf16 ≈
+    18 GB) serve across chips with no per-model code."""
+    import os
+
+    tp = int(os.environ.get("MLX_AUDIO_TPU_TP", "0") or 0)
+    if tp <= 1:
+        return model
+    from .parallel import (
+        DIT_TP_RULES,
+        LLAMA_TP_RULES,
+        get_mesh,
+        shard_module,
+    )
+
+    mesh = get_mesh(data=-1, model=tp)
+    return shard_module(model, mesh, LLAMA_TP_RULES + DIT_TP_RULES)
 
 
 # -----------------------------------------------------------------------------

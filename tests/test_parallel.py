@@ -117,3 +117,28 @@ def test_shard_sequence_fallback_replicates():
     x = jnp.zeros((1, 37, 8))  # 37 not divisible by 4
     y = shard_sequence(x, mesh, dim=1, axis="model")
     assert np.asarray(y).shape == (1, 37, 8)
+
+
+def test_maybe_shard_for_serving_env_opt_in(monkeypatch):
+    """MLX_AUDIO_TPU_TP=4 shards loaded models' projections; output
+    matches the unsharded forward."""
+    from mlx_audio_tpu.utils import maybe_shard_for_serving
+
+    cfg = LMConfig(hidden_size=64, num_hidden_layers=2,
+                   intermediate_size=128, num_attention_heads=8,
+                   num_key_value_heads=8, vocab_size=96)
+    model = CausalLM(cfg)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 96, (2, 6)))
+    ref, _ = model(ids)
+
+    monkeypatch.setenv("MLX_AUDIO_TPU_TP", "4")
+    sharded = maybe_shard_for_serving(model)
+    s = sharded.model.layers[0].self_attn.q_proj.weight.sharding
+    assert s.spec == P("model", None)
+    out, _ = jax.jit(lambda m, i: m(i))(sharded, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=1e-2)
+
+    monkeypatch.setenv("MLX_AUDIO_TPU_TP", "")
+    same = maybe_shard_for_serving(model)
+    assert same is model
