@@ -16,8 +16,6 @@ non-module state (optimizer, step counter) saved as-is.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Optional
-
 import jax
 import numpy as np
 

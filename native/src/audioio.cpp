@@ -108,21 +108,43 @@ AIO_EXPORT long aio_resample_poly_f32(const float* in, long n_in, long ch,
   const long n_h = static_cast<long>(h.size()) + n_pre_pad;
   // h_eff[j] = h[j - n_pre_pad] for j >= n_pre_pad (zeros before).
 
-  // y[m'] = sum_q h_eff[(m'+n_pre_remove)*down - q*up] * x[q]
+  // Polyphase: for output m, n = (m+n_pre_remove)*down decomposes as
+  // n = q0*up + p; then y[m] = sum_k h_eff[p + k*up] * x[q0 - k].
+  // Taps for each phase p are gathered once (contiguous, float32) so the
+  // inner loop is a branch-free dot product over a backward x window.
+  const long taps_per_phase = (n_h + up - 1) / up;
+  std::vector<float> phase_taps(static_cast<size_t>(up) * taps_per_phase,
+                                0.0f);
+  for (long p = 0; p < up; ++p)
+    for (long k = 0; k < taps_per_phase; ++k) {
+      const long j = p + k * up - n_pre_pad;  // index into h
+      if (j >= 0 && j < static_cast<long>(h.size()))
+        phase_taps[p * taps_per_phase + k] = static_cast<float>(h[j]);
+    }
+
   for (long m = 0; m < n_out; ++m) {
     const long n = (m + n_pre_remove) * down;
-    long q_min = (n - n_h + 1 + up - 1) / up;  // ceil
-    if (q_min < 0) q_min = 0;
-    long q_max = n / up;  // floor (n >= 0)
-    if (q_max > n_in - 1) q_max = n_in - 1;
-    for (long c = 0; c < ch; ++c) {
-      double acc = 0.0;
-      for (long q = q_min; q <= q_max; ++q) {
-        const long j = n - q * up - n_pre_pad;
-        if (j >= 0 && j < static_cast<long>(h.size()))
-          acc += h[j] * static_cast<double>(in[q * ch + c]);
+    const long q0 = n / up;
+    const long p = n - q0 * up;
+    const float* taps = phase_taps.data() + p * taps_per_phase;
+    long k_lo = 0;
+    long k_hi = taps_per_phase;  // exclusive
+    if (q0 - (k_hi - 1) < 0) k_hi = q0 + 1;            // q >= 0
+    if (q0 - k_lo > n_in - 1) k_lo = q0 - (n_in - 1);  // q < n_in
+    // f32 accumulation matches scipy (upfirdn accumulates in the input
+    // dtype); summation-order differences stay O(1e-6) at unit scale
+    if (ch == 1) {
+      const float* xp = in + (q0 - k_lo);
+      float acc = 0.0f;
+      for (long k = k_lo; k < k_hi; ++k, --xp) acc += taps[k] * *xp;
+      out[m] = acc;
+    } else {
+      for (long c = 0; c < ch; ++c) {
+        float acc = 0.0f;
+        for (long k = k_lo; k < k_hi; ++k)
+          acc += taps[k] * in[(q0 - k) * ch + c];
+        out[m * ch + c] = acc;
       }
-      out[m * ch + c] = static_cast<float>(acc);
     }
   }
   return n_out;

@@ -28,7 +28,7 @@ def test_resample_matches_scipy():
         g = gcd(orig, tgt)
         ref = sp(x, tgt // g, orig // g).astype(np.float32)
         assert ours.shape == ref.shape
-        np.testing.assert_allclose(ours, ref, atol=2e-6)
+        np.testing.assert_allclose(ours, ref, atol=6e-6)
 
 
 def test_resample_stereo_and_identity():
@@ -38,7 +38,7 @@ def test_resample_stereo_and_identity():
     x = rng.standard_normal((1000, 2)).astype(np.float32)
     np.testing.assert_allclose(
         native.resample_poly(x, 2, 3), sp(x, 2, 3, axis=0).astype(np.float32),
-        atol=2e-6)
+        atol=6e-6)
     np.testing.assert_array_equal(native.resample_poly(x, 5, 5), x)
 
 
@@ -53,7 +53,7 @@ def test_resample_audio_uses_native_consistently():
     got = resample_audio(x, 44_100, 16_000)
     g = gcd(44_100, 16_000)
     ref = sp(x, 16_000 // g, 44_100 // g).astype(np.float32)
-    np.testing.assert_allclose(got, ref, atol=2e-6)
+    np.testing.assert_allclose(got, ref, atol=6e-6)
 
 
 def test_wav_decode_matches_python_parser():
