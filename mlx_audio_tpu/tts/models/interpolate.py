@@ -21,6 +21,8 @@ def interpolate(
 ) -> jax.Array:
     if x.ndim != 3:
         raise ValueError(f"interpolate expects (N, C, L), got {x.shape}")
+    if size is not None and scale_factor is not None:
+        raise ValueError("pass only one of size / scale_factor")
     L = x.shape[-1]
     if size is None:
         if scale_factor is None:
