@@ -160,3 +160,24 @@ def test_snac_lm_routes_through_installed_batcher():
     finally:
         batcher.close()
     assert get_infer_hook(model) is None
+
+
+def test_batcher_with_tensor_parallel_model(lm, monkeypatch):
+    """Distributed serving end-to-end: the batcher's jitted step runs a
+    TP-sharded model (MLX_AUDIO_TPU_TP path) and stays token-exact."""
+    from mlx_audio_tpu.utils import maybe_shard_for_serving
+
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(1, 97, n)) for n in (4, 9)]
+    refs = [_ref_decode(lm, p, 10) for p in prompts]
+
+    monkeypatch.setenv("MLX_AUDIO_TPU_TP", "4")
+    sharded = maybe_shard_for_serving(lm)
+    cb = ContinuousBatcher(sharded, slots=2, max_len=128,
+                           cache_dtype=np.float32)
+    try:
+        futs = [cb.submit(p, max_tokens=10) for p in prompts]
+        outs = [f.result(timeout=120) for f in futs]
+    finally:
+        cb.close()
+    assert [list(o) for o in outs] == refs
