@@ -182,7 +182,7 @@ def _decode_ffmpeg(data: bytes) -> Tuple[np.ndarray, int]:
         )
     probe = subprocess.run(
         [
-            "ffprobe", "-v", "quiet", "-print_format", "csv=p=0",
+            "ffprobe", "-v", "error", "-print_format", "csv=p=0",
             "-show_entries", "stream=sample_rate,channels",
             "-select_streams", "a:0", "-",
         ],
@@ -193,11 +193,18 @@ def _decode_ffmpeg(data: bytes) -> Tuple[np.ndarray, int]:
         sr_s, ch_s = probe.stdout.decode().strip().split(",")[:2]
         sr, ch = int(sr_s), int(ch_s)
     except Exception:
-        # guessing a sample rate here would silently corrupt everything
-        # downstream (wrong playback speed, wrong mel frames)
-        raise RuntimeError(
-            "ffprobe could not determine sample_rate/channels for this "
-            f"stream (stderr: {probe.stderr.decode(errors='replace')[:200]!r})"
+        # ffprobe can fail on non-seekable stdin (late headers) while
+        # ffmpeg still decodes fine. Falling back is NOT a silent guess:
+        # ffmpeg is invoked below with -ar/-ac, so the output really is
+        # resampled to these values and the returned rate matches the
+        # data. Warn loudly so misdetected containers are diagnosable.
+        sr, ch = 44_100, 2
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ffprobe could not determine sample_rate/channels "
+            "(stderr: %r); decoding via ffmpeg resample to %d Hz / %d ch",
+            probe.stderr.decode(errors="replace")[:200], sr, ch,
         )
     proc = subprocess.run(
         ["ffmpeg", "-v", "quiet", "-i", "pipe:0", "-f", "f32le", "-acodec",

@@ -1,4 +1,4 @@
-"""ctypes bindings for the native audio-ingest library (native/src/audioio.cpp).
+"""ctypes bindings for the native audio-ingest library (audioio.cpp, shipped inside the package).
 
 The reference framework's host-side audio path is native (libsndfile via
 soundfile + ffmpeg; reference mlx_audio/audio_io.py) — this module is the
@@ -35,7 +35,7 @@ __all__ = [
 ]
 
 _LIB_NAME = "libaudioio.so"
-_SRC = Path(__file__).resolve().parents[2] / "native" / "src" / "audioio.cpp"
+_SRC = Path(__file__).resolve().parent / "audioio.cpp"
 _LIB_PATH = Path(__file__).resolve().parent / _LIB_NAME
 
 _lock = threading.Lock()

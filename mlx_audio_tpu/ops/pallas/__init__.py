@@ -20,7 +20,9 @@ def pallas_enabled() -> bool:
         return False
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    # Mosaic/TPU-only kernels (VMEM BlockSpecs): route ONLY on tpu-like
+    # backends — a GPU backend must take the lax fallbacks
+    return jax.default_backend() in ("tpu", "axon")
 
 
 from .flash_attention import flash_attention

@@ -90,9 +90,9 @@ def restore_train_state(path, params, opt_state=None):
             return value
         return np.asarray(value)
 
+    param_templates = dict(flatten_params(params, include_buffers=True))
     params_restored = {
-        k: match_template(flatten_params(
-            params, include_buffers=True)[k], v)
+        k: match_template(param_templates[k], v)
         for k, v in restored["params"].items()
     }
     params = load_weights(params, params_restored)

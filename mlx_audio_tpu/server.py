@@ -769,26 +769,53 @@ def create_app(provider: Optional[ModelProvider] = None):
                          "error": "missing 'input' or 'model'"})
                     continue
                 try:
-                    model = provider.load_model(model_name)
+                    import asyncio
+                    import queue as _queue
+
+                    model = await asyncio.to_thread(
+                        provider.load_model, model_name)
                     kwargs = {}
                     if req.get("voice"):
                         kwargs["voice"] = req["voice"]
                     if req.get("speed"):
                         kwargs["speed"] = float(req["speed"])
+
+                    # the blocking generate loop (device dispatches per
+                    # segment, possibly minutes of audio) runs in a worker
+                    # thread so this long-lived session can't starve the
+                    # event loop for other connections
+                    q: "_queue.Queue" = _queue.Queue(maxsize=4)
+
+                    def produce():
+                        try:
+                            for seg in model.generate(text, **kwargs):
+                                q.put(("seg", seg))
+                            q.put(("done", None))
+                        except Exception as e:  # surfaced below
+                            q.put(("err", e))
+
+                    loop = asyncio.get_running_loop()
+                    producer = loop.run_in_executor(None, produce)
                     n_seg = 0
                     started = False
-                    for seg in model.generate(text, **kwargs):
+                    while True:
+                        kind, item = await asyncio.to_thread(q.get)
+                        if kind == "err":
+                            raise item
+                        if kind == "done":
+                            break
                         if not started:
                             await ws.send_json(
                                 {"type": "start",
-                                 "sample_rate": int(seg.sample_rate)})
+                                 "sample_rate": int(item.sample_rate)})
                             started = True
                         pcm = np.clip(
-                            np.asarray(seg.audio, np.float32).reshape(-1),
+                            np.asarray(item.audio, np.float32).reshape(-1),
                             -1.0, 1.0)
                         await ws.send_bytes(
                             (pcm * 32767.0).astype("<i2").tobytes())
                         n_seg += 1
+                    await producer
                     await ws.send_json({"type": "done", "segments": n_seg})
                 except Exception as e:
                     await ws.send_json({"type": "error", "error": str(e)})

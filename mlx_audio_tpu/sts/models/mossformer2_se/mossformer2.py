@@ -280,7 +280,8 @@ class FlashShareAFFConvM(Module):
         # (0.4-0.8x), so the lax path is the default; the kernel remains for
         # forcing via MLX_AUDIO_TPU_FORCE_RELU2_KERNEL=1.
         if (pallas_ops.pallas_enabled()
-                and os.environ.get("MLX_AUDIO_TPU_FORCE_RELU2_KERNEL")):
+                and os.environ.get("MLX_AUDIO_TPU_FORCE_RELU2_KERNEL")
+                == "1"):
             quad_out_v = pallas_ops.relu2_attention(quad_q, quad_k, v, g)
             quad_out_u = pallas_ops.relu2_attention(quad_q, quad_k, u, g)
         else:

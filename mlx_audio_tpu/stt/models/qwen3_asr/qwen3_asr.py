@@ -480,20 +480,40 @@ class Model(Module):
             inputs, ids = self._prepare_inputs(
                 chunk_audio, language, system_prompt, tokenizer)
             total_prompt += int(ids.shape[0])
+            # incremental detokenization: per-token decode([tok]) (the
+            # reference's approach, qwen3_asr.py:1293) emits U+FFFD for
+            # multi-token UTF-8 characters; the detokenizer holds partial
+            # bytes back and emits clean deltas
+            from ....lm.detok import IncrementalDetokenizer
+
+            detok = IncrementalDetokenizer(tokenizer)
             for tok in self._stream_tokens(
                     inputs, self._eos_ids(tokenizer),
                     max_tokens=remaining, temperature=temperature,
                     top_k=top_k, top_p=top_p,
                     repetition_penalty=repetition_penalty,
                     chunk_size=chunk_size):
-                text = tokenizer.decode([tok])
+                text = detok.push(tok)
+                # progress-vs-budget timing mirrors reference
+                # qwen3_asr.py:1295-1308 (estimates, coarse by design)
                 prev = n / max(remaining, 1)
                 n += 1
                 curr = min(n / max(remaining, 1), 1.0)
+                if not text:
+                    continue
                 yield StreamingResult(
                     text=text, is_final=False,
                     start_time=offset + chunk_sec * prev,
                     end_time=offset + chunk_sec * curr,
+                    language=lang_code)
+            tail = detok.flush()
+            if tail:
+                yield StreamingResult(
+                    text=tail, is_final=False,
+                    start_time=offset + chunk_sec * min(
+                        n / max(remaining, 1), 1.0),
+                    end_time=offset + chunk_sec * min(
+                        n / max(remaining, 1), 1.0),
                     language=lang_code)
             total_gen += n
             remaining -= n

@@ -201,12 +201,22 @@ class Model(Module):
         `chunk_size`-token blocks; text is detokenized per token host-side."""
         tokenizer = tokenizer or self._tokenizer()
         inputs, _ids, _dur = self._prepare_inputs(audio, context, tokenizer)
+        # incremental detok (vs reference vibevoice_asr.py:830's
+        # per-token decode, which mangles multi-token UTF-8 characters)
+        from ....lm.detok import IncrementalDetokenizer
+
+        detok = IncrementalDetokenizer(tokenizer)
         for tok in self._stream_tokens(
                 inputs, max_tokens=max_tokens, temperature=temperature,
                 top_k=top_k, top_p=top_p,
                 repetition_penalty=repetition_penalty,
                 chunk_size=chunk_size):
-            yield tokenizer.decode([tok])
+            text = detok.push(tok)
+            if text:
+                yield text
+        tail = detok.flush()
+        if tail:
+            yield tail
 
     def generate(self, audio, *, context: Optional[str] = None,
                  max_tokens: int = 2048, temperature: float = 0.0,

@@ -557,7 +557,12 @@ class Model(Module):
         :1286-1291) so runaway generation can't happen when EOS never
         dominates."""
         n_text = len(self.tokenizer.encode(text))
-        return min(max_tokens, max(75, n_text * 6))
+        cap = min(max_tokens, max(75, n_text * 6))
+        # bucket to 128s: the cap flows into the static chunk_tokens jit
+        # arg and the KV-cache length, so an unbucketed text-derived value
+        # would recompile the AR decode program per distinct text length
+        cap = min(-(-cap // 128) * 128, max_tokens)
+        return cap
 
     def generate_custom_voice(self, text: str, speaker: str,
                               language: str = "auto",
