@@ -347,9 +347,11 @@ class SAMAudio(Module):
 
         target = jnp.swapaxes(gen[:, :, :channels], 1, 2)  # (B, C, F)
         residual = jnp.swapaxes(gen[:, :, channels:], 1, 2)
-        target_wavs = np.asarray(self.audio_codec.decode(
+        from ....utils import fetch_array
+
+        target_wavs = fetch_array(self.audio_codec.decode(
             target, chunk_size=ode_decode_chunk_size))
-        residual_wavs = np.asarray(self.audio_codec.decode(
+        residual_wavs = fetch_array(self.audio_codec.decode(
             residual, chunk_size=ode_decode_chunk_size))
 
         hop = self.audio_codec.hop_length

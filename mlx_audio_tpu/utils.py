@@ -29,6 +29,33 @@ T = TypeVar("T")
 
 logger = logging.getLogger(__name__)
 
+
+def fetch_array(arr, *, tries: int = 4, delay: float = 2.0) -> np.ndarray:
+    """Device→host fetch with bounded retry on transient allocator pressure.
+
+    Right after a very large program executes (e.g. SAM-Audio's 2.8B-param
+    DiT ODE), the first transfer can fail RESOURCE_EXHAUSTED even though
+    headroom exists once the program's workspace is released. Retry after
+    collecting garbage (drops dead jax.Array handles, freeing their device
+    buffers) and a short pause. Anything other than RESOURCE_EXHAUSTED, or
+    exhaustion of the retry budget, re-raises.
+    """
+    import gc
+    import time
+
+    for attempt in range(tries):
+        try:
+            return np.asarray(arr)
+        except Exception as exc:  # jax.errors.JaxRuntimeError
+            if "RESOURCE_EXHAUSTED" not in str(exc) or attempt == tries - 1:
+                raise
+            logger.warning(
+                "device fetch hit RESOURCE_EXHAUSTED (attempt %d/%d); "
+                "retrying after gc", attempt + 1, tries)
+            gc.collect()
+            time.sleep(delay * (attempt + 1))
+    raise AssertionError("unreachable")
+
 DEFAULT_ALLOW_PATTERNS = [
     "*.json",
     "*.safetensors",

@@ -150,3 +150,30 @@ def test_dit_bf16_dtype_stable():
     out = dit(jnp.zeros((1, 6, 32), jnp.bfloat16), jnp.full((1,), 0.5),
               memory=jnp.ones((1, 2, 32), jnp.bfloat16) * 0.1)
     assert out.dtype == jnp.bfloat16
+
+
+def test_fetch_array_retries_transient_resource_exhausted():
+    """fetch_array retries RESOURCE_EXHAUSTED fetches (axon: first transfer
+    after a huge program can fail while its workspace drains) and re-raises
+    anything else."""
+    from mlx_audio_tpu.utils import fetch_array
+
+    class Flaky:
+        def __init__(self, failures, msg):
+            self.failures, self.msg = failures, msg
+
+        def __array__(self, dtype=None, copy=None):
+            if self.failures:
+                self.failures -= 1
+                raise RuntimeError(self.msg)
+            return np.arange(4.0)
+
+    out = fetch_array(Flaky(2, "RESOURCE_EXHAUSTED: TPU backend error"),
+                      delay=0.0)
+    assert out.tolist() == [0.0, 1.0, 2.0, 3.0]
+
+    with pytest.raises(RuntimeError, match="INTERNAL"):
+        fetch_array(Flaky(1, "INTERNAL: other"), delay=0.0)
+
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        fetch_array(Flaky(99, "RESOURCE_EXHAUSTED"), tries=2, delay=0.0)
