@@ -107,7 +107,8 @@ class MLP(Module):
         self.out_proj = Linear(4 * cfg.n_embd, cfg.n_embd, bias=cfg.bias)
 
     def __call__(self, x):
-        return self.out_proj(jax.nn.gelu(self.in_proj(x), approximate=True))
+        # exact (erf) GELU: reference bark.py:225 uses mlx nn.GELU()
+        return self.out_proj(jax.nn.gelu(self.in_proj(x), approximate=False))
 
 
 class Block(Module):
