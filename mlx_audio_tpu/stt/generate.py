@@ -7,11 +7,81 @@
 from __future__ import annotations
 
 import argparse
+import inspect
+import json
 import time
 from pathlib import Path
 from typing import Optional
 
 from .utils import load_model
+
+
+def _adapt_kwargs(fn, kwargs: dict, passthrough=frozenset()) -> dict:
+    """Keep only kwargs named in the callable's signature — strict, like the
+    reference (:299-300): a flag meant for one model family must not reach
+    another via **kwargs (Whisper raises on unknown decode options). Keys in
+    `passthrough` (user-supplied --gen-kwargs) also flow into a **kwargs
+    sink, since the user explicitly aimed them at this model."""
+    sig = inspect.signature(fn)
+    has_var = any(p.kind == p.VAR_KEYWORD for p in sig.parameters.values())
+    return {
+        k: v for k, v in kwargs.items()
+        if k in sig.parameters or (has_var and k in passthrough)
+    }
+
+
+def _stream_transcription(model, audio, verbose: bool, kwargs: dict,
+                          passthrough=frozenset()):
+    """Accumulate a streaming decode into one STTOutput
+    (reference stt/generate.py:302-341). Prefers the model's dedicated
+    streaming entry point; partial text prints as it arrives."""
+    from .models.base import STTOutput
+
+    stream_fn = None
+    for name in ("stream_transcribe", "stream_generate", "generate_streaming"):
+        if hasattr(model, name):
+            stream_fn = getattr(model, name)
+            break
+    if stream_fn is None:
+        return None
+
+    t0 = time.perf_counter()
+    segments = []
+    accumulated = ""
+    language = None
+    prompt_tokens = 0
+    generation_tokens = 0
+    for result in stream_fn(audio,
+                            **_adapt_kwargs(stream_fn, kwargs, passthrough)):
+        txt = getattr(result, "text", "") or ""
+        segments.append(
+            {
+                "text": txt,
+                "start": getattr(result, "start_time", 0.0),
+                "end": getattr(result, "end_time", 0.0),
+                "is_final": getattr(result, "is_final", False),
+            }
+        )
+        accumulated += txt
+        language = getattr(result, "language", language)
+        prompt_tokens = max(prompt_tokens, getattr(result, "prompt_tokens", 0))
+        generation_tokens = max(
+            generation_tokens, getattr(result, "generation_tokens", 0)
+        )
+        if verbose and txt:
+            print(txt, end="", flush=True)
+    if verbose:
+        print()
+    wall = time.perf_counter() - t0
+    return STTOutput(
+        text=accumulated.strip(),
+        segments=segments,
+        language=language,
+        prompt_tokens=prompt_tokens,
+        generation_tokens=generation_tokens or len(segments),
+        prompt_tps=prompt_tokens / max(wall, 1e-9),
+        generation_tps=(generation_tokens or len(segments)) / max(wall, 1e-9),
+    )
 
 
 def generate_transcription(
@@ -21,15 +91,33 @@ def generate_transcription(
     format: str = "txt",
     model=None,
     verbose: bool = True,
+    text: str = "",
+    stream: bool = False,
+    gen_kwargs: Optional[dict] = None,
     **kwargs,
 ):
     if model is None:
         model = load_model(model_path)
+    passthrough = frozenset(gen_kwargs or ())
+    if gen_kwargs:
+        kwargs.update(gen_kwargs)
+    if text:  # forced-alignment models take the text to align
+        kwargs["text"] = text
+
     tic = time.perf_counter()
-    result = model.generate(audio, **kwargs)
+    result = None
+    if stream:
+        result = _stream_transcription(model, audio, verbose, kwargs,
+                                       passthrough)
+        if result is None and verbose:
+            print("(model has no streaming entry point; running batch decode)")
+    if result is None:
+        result = model.generate(
+            audio, **_adapt_kwargs(model.generate, kwargs, passthrough))
     wall = time.perf_counter() - tic
     if verbose:
-        print(result.text)
+        if not stream:
+            print(result.text)
         if result.duration:
             from ..profiling import peak_memory_gb
 
@@ -60,26 +148,48 @@ def parse_args(argv=None):
     p.add_argument("--task", default="transcribe", choices=["transcribe", "translate"])
     p.add_argument("--temperature", type=float, default=None)
     p.add_argument("--word-timestamps", action="store_true")
+    p.add_argument("--max-tokens", type=int, default=None,
+                   help="Maximum number of new tokens to generate")
+    p.add_argument("--chunk-duration", type=float, default=None,
+                   help="Chunk duration in seconds for long audio")
+    p.add_argument("--frame-threshold", type=int, default=None,
+                   help="AlignAtt frame threshold (streaming Whisper)")
+    p.add_argument("--stream", action="store_true",
+                   help="Stream the transcription as it is generated")
+    p.add_argument("--context", default=None,
+                   help="Context/hotwords string to guide transcription")
+    p.add_argument("--prefill-step-size", type=int, default=None)
+    p.add_argument("--gen-kwargs", type=json.loads, default=None,
+                   help='Extra generate kwargs as JSON, e.g. \'{"top_k": 5}\'')
+    p.add_argument("--text", default="",
+                   help="Text to align (forced-alignment models)")
     p.add_argument("--verbose", action="store_true", default=True)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    kwargs = {}
+    kwargs = {"task": args.task}
     if args.language:
         kwargs["language"] = args.language
     if args.temperature is not None:
         kwargs["temperature"] = args.temperature
     if args.word_timestamps:
         kwargs["word_timestamps"] = True
+    for name in ("max_tokens", "chunk_duration", "frame_threshold", "context",
+                 "prefill_step_size"):
+        v = getattr(args, name)
+        if v is not None:
+            kwargs[name] = v
     generate_transcription(
         model_path=args.model,
         audio=args.audio,
         output_path=args.output_path,
         format=args.format,
-        task=args.task,
         verbose=args.verbose,
+        text=args.text,
+        stream=args.stream,
+        gen_kwargs=args.gen_kwargs,
         **kwargs,
     )
 

@@ -19,3 +19,16 @@ class STTOutput:
     duration: float = 0.0
     peak_memory_gb: float = 0.0
     extra: dict = field(default_factory=dict)
+
+
+def ensure_waveform(audio, sample_rate: int):
+    """Coerce a file path / bytes / array-like into a mono float32 waveform
+    at `sample_rate` (the reference models accept paths in generate(), e.g.
+    qwen3_asr.py:1021; array inputs pass through untouched)."""
+    import numpy as np
+
+    if isinstance(audio, str) or hasattr(audio, "__fspath__"):
+        from ...utils import load_audio
+
+        audio = load_audio(audio, sample_rate=sample_rate)
+    return np.asarray(audio, np.float32).reshape(-1)

@@ -23,7 +23,7 @@ from ....lm.sample import make_sampler
 from ....lm.transformer import CausalLM, LMConfig
 from ....nn import layers as nn
 from ....nn.module import Module
-from ..base import STTOutput
+from ..base import STTOutput, ensure_waveform
 
 __all__ = ["Model", "FunASRConfig", "SenseVoiceEncoder", "AudioAdaptor",
            "apply_lfr", "apply_cmvn", "log_mel_spectrogram"]
@@ -358,7 +358,7 @@ class Model(Module):
                  temperature: Optional[float] = None,
                  tokenizer=None, **kwargs) -> STTOutput:
         t0 = time.perf_counter()
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
         rt = Model._RUNTIME.get(id(self), {})
         tokenizer = tokenizer or rt.get("tokenizer")

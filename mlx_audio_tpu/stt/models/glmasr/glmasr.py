@@ -22,7 +22,7 @@ from ....lm.transformer import CausalLM, LMConfig
 from ....nn import layers as nn
 from ....nn.module import Module
 from ....ops.rope import apply_rope, rope_cos_sin
-from ..base import STTOutput
+from ..base import STTOutput, ensure_waveform
 from ..whisper import audio as A
 
 __all__ = ["Model", "ModelConfig", "WhisperConfig", "LlamaConfig"]
@@ -244,7 +244,7 @@ class Model(Module):
                  max_tokens: int = 512, temperature: float = 0.0,
                  tokenizer=None, **kwargs) -> STTOutput:
         t0 = time.perf_counter()
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
         rt = Model._RUNTIME.get(id(self), {})
         tokenizer = tokenizer or rt.get("tokenizer")

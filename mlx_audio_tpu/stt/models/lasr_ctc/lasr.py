@@ -211,7 +211,7 @@ class LasrForCTC(Module):
 
         t0 = time.perf_counter()
         if isinstance(audio, str):
-            from ...utils import load_audio
+            from ....utils import load_audio
 
             audio = load_audio(audio, sample_rate=16000)
         audio = np.asarray(audio, np.float32).reshape(-1)

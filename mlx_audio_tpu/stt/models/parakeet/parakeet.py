@@ -287,7 +287,7 @@ class BaseParakeet(Module):
                  overlap_duration: float = 15.0,
                  chunk_callback: Optional[Callable] = None, stream: bool = False,
                  verbose: bool = False, **kwargs):
-        from ...utils import load_audio
+        from ....utils import load_audio
 
         if isinstance(audio, (str, Path)):
             audio = load_audio(audio, sample_rate=self.preprocessor_config.sample_rate)

@@ -24,7 +24,7 @@ from ....lm.sample import make_sampler
 from ....lm.transformer import CausalLM, LMConfig
 from ....nn import layers as nn
 from ....nn.module import Module
-from ..base import STTOutput
+from ..base import STTOutput, ensure_waveform
 from ..whisper import audio as A
 
 __all__ = ["Model", "ModelConfig", "AudioEncoderConfig", "TextConfig",
@@ -365,7 +365,7 @@ class Model(Module):
         reference qwen3_asr.py:819-873 (_preprocess_audio + _build_prompt)
         + :632-666 (_build_inputs_embeds).
         """
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        audio = ensure_waveform(audio, self.sample_rate)
         mel = A.log_mel_spectrogram(
             jnp.asarray(audio),
             n_mels=self.config.audio_config.num_mel_bins)
@@ -464,7 +464,7 @@ class Model(Module):
         cumulative token counts (reference qwen3_asr.py:1186-1332).
         """
         tokenizer = self._resolve_tokenizer(tokenizer)
-        wav = np.asarray(audio, np.float32).reshape(-1)
+        wav = ensure_waveform(audio, self.sample_rate)
         chunks = split_audio_into_chunks(
             wav, self.sample_rate, chunk_duration=chunk_duration,
             min_chunk_duration=min_chunk_duration)
@@ -530,7 +530,7 @@ class Model(Module):
                  temperature: float = 0.0, tokenizer=None,
                  **kwargs) -> STTOutput:
         t0 = time.perf_counter()
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
         tokenizer = self._resolve_tokenizer(tokenizer)
         inputs, ids = self._prepare_inputs(

@@ -24,7 +24,7 @@ from ....lm.transformer import CausalLM, LMConfig
 from ....nn import layers as nn
 from ....nn.module import Module
 from ....nn.sanitize import orient_weights_to_model
-from ..base import STTOutput
+from ..base import STTOutput, ensure_waveform
 from .audio_encoder import AcousticTokenizerEncoder, SemanticTokenizerEncoder
 from .config import ModelConfig
 
@@ -142,7 +142,7 @@ class Model(Module):
     def _prepare_inputs(self, audio, context, tokenizer):
         """Encode speech, build the prompt, splice speech features into the
         token embeddings (reference vibevoice_asr.py:183-246)."""
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
         features = self.encode_speech(jnp.asarray(audio))  # (1, N, D)
         n_speech = features.shape[1]

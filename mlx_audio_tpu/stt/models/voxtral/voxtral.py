@@ -169,7 +169,7 @@ class Model(Module):
                  tokenizer=None, **kwargs) -> STTOutput:
         t0 = time.perf_counter()
         if isinstance(audio, str):
-            from ...utils import load_audio
+            from ....utils import load_audio
 
             audio = load_audio(audio, sample_rate=A.SAMPLE_RATE)
         audio = np.asarray(audio, np.float32).reshape(-1)

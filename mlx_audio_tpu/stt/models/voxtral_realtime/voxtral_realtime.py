@@ -26,7 +26,7 @@ from ....dsp import stft
 from ....lm.cache import KVCache
 from ....nn import layers as nn
 from ....nn.module import Module
-from ..base import STTOutput
+from ..base import STTOutput, ensure_waveform
 
 __all__ = ["Model", "ModelConfig", "EncoderConfig", "DecoderConfig"]
 
@@ -426,7 +426,7 @@ class Model(Module):
                  transcription_delay_ms: Optional[int] = None,
                  tokenizer=None, **kwargs) -> STTOutput:
         t0 = time.perf_counter()
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        audio = ensure_waveform(audio, SAMPLE_RATE)
         duration = len(audio) / SAMPLE_RATE
         rt = Model._RUNTIME.get(id(self), {})
         tokenizer = tokenizer or rt.get("tokenizer")

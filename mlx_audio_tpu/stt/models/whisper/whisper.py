@@ -474,7 +474,7 @@ class Model(Module):
             raise TypeError(f"unknown decode options: {sorted(unknown)}")
         self._check_fp16_option(decode_options)
         if isinstance(audio, (str,)) or hasattr(audio, "__fspath__"):
-            from ...utils import load_audio
+            from ....utils import load_audio
 
             audio = load_audio(audio, sample_rate=A.SAMPLE_RATE)
         audio = np.asarray(audio, np.float32).reshape(-1)
@@ -710,7 +710,7 @@ class Model(Module):
             raise TypeError(f"unknown decode options: {sorted(unknown)}")
         self._check_fp16_option(decode_options)
         if isinstance(audio, (str,)) or hasattr(audio, "__fspath__"):
-            from ...utils import load_audio
+            from ....utils import load_audio
 
             audio = load_audio(audio, sample_rate=A.SAMPLE_RATE)
         audio = np.asarray(audio, np.float32).reshape(-1)
@@ -833,7 +833,7 @@ class Model(Module):
         from .streaming import StreamingConfig, StreamingDecoder
 
         if isinstance(audio, (str,)) or hasattr(audio, "__fspath__"):
-            from ...utils import load_audio
+            from ....utils import load_audio
 
             audio = load_audio(audio, sample_rate=A.SAMPLE_RATE)
         audio = np.asarray(audio, np.float32).reshape(-1)

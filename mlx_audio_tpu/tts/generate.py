@@ -32,6 +32,7 @@ def generate_audio(
     ref_audio: Optional[str] = None,
     ref_text: Optional[str] = None,
     stream: bool = False,
+    play: bool = False,
     output_path: str = ".",
     **kwargs,
 ):
@@ -83,12 +84,19 @@ def generate_audio(
 
     results = []
     segments = []
+    player = None
     out_dir = Path(output_path)
     out_dir.mkdir(parents=True, exist_ok=True)
     for result in model.generate(**call_kwargs):
         results.append(result)
         audio = np.asarray(result.audio).reshape(-1)
         sr = sample_rate or result.sample_rate
+        if play:
+            if player is None:
+                from .audio_player import AudioPlayer
+
+                player = AudioPlayer(sample_rate=sr, verbose=verbose)
+            player.queue_audio(audio)
         if join_audio:
             segments.append(audio)
         else:
@@ -108,6 +116,10 @@ def generate_audio(
         audio_io.write(fname, np.concatenate(segments), sr)
         if verbose:
             print(f"✓ wrote {fname}")
+    if player is not None:
+        if player.playing:
+            player.wait_for_drain(timeout=120)
+        player.stop()
     return results
 
 
@@ -125,7 +137,32 @@ def parse_args(argv=None):
     p.add_argument("--output_path", default=".")
     p.add_argument("--ref_audio", default=None)
     p.add_argument("--ref_text", default=None)
+    p.add_argument("--stt_model", default=None,
+                   help="STT model used to auto-transcribe --ref_audio")
+    p.add_argument("--play", action="store_true",
+                   help="Play the generated audio")
+    p.add_argument("--stream", action="store_true",
+                   help="Request streaming generation from the model")
+    p.add_argument("--max_tokens", type=int, default=None)
     p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--repetition_penalty", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--instruct", default=None,
+                   help="Instruction text (CosyVoice instruct / VoiceDesign)")
+    p.add_argument("--exaggeration", type=float, default=None,
+                   help="Chatterbox emotion exaggeration")
+    p.add_argument("--cfg_scale", type=float, default=None,
+                   help="Classifier-free-guidance scale (Dia, VibeVoice, ...)")
+    p.add_argument("--ddpm_steps", type=int, default=None,
+                   help="Diffusion steps (VibeVoice)")
+    p.add_argument("--gender", default=None,
+                   help="Voice gender control token (Spark)")
+    p.add_argument("--pitch", type=float, default=None,
+                   help="Pitch control (Spark)")
+    p.add_argument("--streaming_interval", type=float, default=None,
+                   help="Seconds of audio per streamed chunk")
     p.add_argument("--verbose", action="store_true", default=True)
     return p.parse_args(argv)
 
@@ -136,8 +173,15 @@ def main(argv=None):
     if text is None:
         text = sys.stdin.read()
     kwargs = {}
-    if args.temperature is not None:
-        kwargs["temperature"] = args.temperature
+    for name in ("max_tokens", "temperature", "top_p", "top_k",
+                 "repetition_penalty", "seed", "instruct", "exaggeration",
+                 "cfg_scale", "ddpm_steps", "gender", "pitch",
+                 "streaming_interval"):
+        v = getattr(args, name)
+        if v is not None:
+            kwargs[name] = v
+    if args.stt_model is not None:
+        kwargs["stt_model_path"] = args.stt_model
     generate_audio(
         text=text,
         model_path=args.model,
@@ -151,6 +195,8 @@ def main(argv=None):
         output_path=args.output_path,
         ref_audio=args.ref_audio,
         ref_text=args.ref_text,
+        stream=args.stream,
+        play=args.play,
         **kwargs,
     )
 
