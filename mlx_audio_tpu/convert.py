@@ -21,7 +21,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from .nn.quantized import dequantize_arrays, quantize_arrays
+from .nn.quantized import SUPPORTED_BITS, dequantize_arrays, quantize_arrays
 from .utils import get_model_path, load_config, load_weight_files
 
 MAX_FILE_SIZE_GB = 5
@@ -97,11 +97,9 @@ def quantize_weights(weights: Dict[str, np.ndarray], bits: int = 4,
     out: Dict[str, np.ndarray] = {}
     for k, w in weights.items():
         w = np.asarray(w)
-        b = bits
-        if recipe:
-            b = QUANT_RECIPES[recipe](k)
-        if 32 % b != 0:
-            b = bits if 32 % bits == 0 else 4
+        b = QUANT_RECIPES[recipe](k) if recipe else bits
+        if b not in SUPPORTED_BITS:
+            raise ValueError(f"unsupported bits={b} (supported: {SUPPORTED_BITS})")
         if (predicate is None or predicate(k, w)) and _should_quantize(k, w, group_size):
             base = k[: -len(".weight")]
             packed, scales, biases = quantize_arrays(
@@ -116,7 +114,11 @@ def quantize_weights(weights: Dict[str, np.ndarray], bits: int = 4,
 
 
 def dequantize_weights(weights: Dict[str, np.ndarray], bits: int,
-                       group_size: int) -> Dict[str, np.ndarray]:
+                       group_size: int,
+                       overrides: Optional[dict] = None) -> Dict[str, np.ndarray]:
+    """`overrides` is the config quantization block: per-module-path dicts
+    ({"bits": b, "group_size": g}) take precedence over the defaults
+    (mixed-recipe checkpoints)."""
     import jax.numpy as jnp
 
     out = dict(weights)
@@ -125,9 +127,14 @@ def dequantize_weights(weights: Dict[str, np.ndarray], bits: int,
         wkey = base + ".weight"
         if wkey not in weights:
             continue
+        b, g = bits, group_size
+        ov = (overrides or {}).get(base)
+        if isinstance(ov, dict):
+            b = ov.get("bits", b)
+            g = ov.get("group_size", g)
         deq = dequantize_arrays(
             jnp.asarray(weights[wkey]), jnp.asarray(weights[k]),
-            jnp.asarray(weights[base + ".biases"]), group_size, bits,
+            jnp.asarray(weights[base + ".biases"]), g, b,
         )
         out[wkey] = np.asarray(deq, np.float32)
         out.pop(k)
@@ -189,11 +196,13 @@ def convert(
     dequantize: bool = False,
     dtype: Optional[str] = None,
     upload_repo: Optional[str] = None,
+    revision: Optional[str] = None,
+    model_domain: Optional[str] = None,
 ) -> Path:
-    src_path = get_model_path(model)
+    src_path = get_model_path(model, revision=revision)
     config = load_config(src_path)
     weights = load_weight_files(src_path)
-    domain = detect_model_domain(src_path, config)
+    domain = model_domain or detect_model_domain(src_path, config)
 
     if dtype:
         tgt = {"float16": np.float16, "bfloat16": np.float32,  # bf16 via ml_dtypes
@@ -209,12 +218,23 @@ def convert(
 
     if dequantize and "quantization" in config:
         q = config.pop("quantization")
-        weights = dequantize_weights(weights, q["bits"], q["group_size"])
+        weights = dequantize_weights(weights, q["bits"], q["group_size"],
+                                     overrides=q)
     elif quantize:
+        original_keys = set(weights)
         weights = quantize_weights(weights, q_bits, q_group_size, q_recipe)
         config["quantization"] = {"bits": q_bits, "group_size": q_group_size}
         if q_recipe:
             config["quantization"]["recipe"] = q_recipe
+            # per-path overrides so the loader unpacks mixed bit-widths
+            fn = QUANT_RECIPES[q_recipe]
+            for k in original_keys:
+                if k.endswith(".weight") and k[:-len(".weight")] + ".scales" in weights:
+                    b = fn(k)
+                    if b != q_bits:
+                        config["quantization"][k[: -len(".weight")]] = {
+                            "bits": b, "group_size": q_group_size,
+                        }
 
     out = Path(
         output_path
@@ -240,22 +260,37 @@ def convert(
 
 
 def main(argv=None):
+    # conversion is host-side tooling: never initialize an accelerator
+    # backend (a dequantize otherwise blocks on TPU device init)
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized by the embedding process
+
     p = argparse.ArgumentParser(description="Convert audio model checkpoints")
     p.add_argument("--model", "--hf-path", required=True)
     p.add_argument("--output-path", "--mlx-path", default=None)
     p.add_argument("-q", "--quantize", action="store_true")
-    p.add_argument("--q-bits", type=int, default=4, choices=[2, 4, 8])
+    p.add_argument("--q-bits", type=int, default=4, choices=[2, 3, 4, 6, 8])
     p.add_argument("--q-group-size", type=int, default=64)
-    p.add_argument("--q-recipe", default=None, choices=list(QUANT_RECIPES))
+    p.add_argument("--q-recipe", "--quant-predicate", default=None,
+                   choices=list(QUANT_RECIPES))
     p.add_argument("-d", "--dequantize", action="store_true")
     p.add_argument("--dtype", default=None,
                    choices=["float16", "bfloat16", "float32"])
     p.add_argument("--upload-repo", default=None)
+    p.add_argument("--revision", default=None,
+                   help="HF revision (branch/tag/commit) to download")
+    p.add_argument("--model-domain", default=None,
+                   choices=["tts", "stt", "sts", "vad", "codec"],
+                   help="Override domain detection")
     args = p.parse_args(argv)
     convert(
         args.model, args.output_path, args.quantize, args.q_bits,
         args.q_group_size, args.q_recipe, args.dequantize, args.dtype,
-        args.upload_repo,
+        args.upload_repo, args.revision, args.model_domain,
     )
 
 

@@ -59,7 +59,28 @@ def test_domain_detection():
 
 
 def test_mixed_recipe(src_model, tmp_path):
+    # add an embed layer so mixed_3_6 actually mixes bit-widths
+    w = load_file(str(src_model / "model.safetensors"))
+    rng = np.random.default_rng(1)
+    w["embed_tokens.weight"] = rng.standard_normal((96, 64)).astype(np.float32)
+    save_file(w, str(src_model / "model.safetensors"))
+
     out = cv.convert(str(src_model), str(tmp_path / "mixed"), quantize=True,
-                     q_bits=4, q_group_size=32, q_recipe="mixed_4_6")
+                     q_bits=3, q_group_size=32, q_recipe="mixed_3_6")
     cfg = json.loads((out / "config.json").read_text())
-    assert cfg["quantization"]["recipe"] == "mixed_4_6"
+    assert cfg["quantization"]["recipe"] == "mixed_3_6"
+    # embed differs from the 3-bit default → per-path override for the loader
+    assert cfg["quantization"]["embed_tokens"] == {"bits": 6, "group_size": 32}
+    assert "layers.0.proj" not in cfg["quantization"]  # default bits, no entry
+    qw = load_file(str(out / "model.safetensors"))
+    # 3/6-bit use MLX's uint8 bitstream packing, not uint32 words
+    assert qw["layers.0.proj.weight"].dtype == np.uint8
+    assert qw["embed_tokens.weight"].dtype == np.uint8
+
+    # mixed dequantize restores both bit-widths within their quant error
+    out2 = cv.convert(str(out), str(tmp_path / "mixed_deq"), dequantize=True)
+    w2 = load_file(str(out2 / "model.safetensors"))
+    err3 = np.abs(w2["layers.0.proj.weight"] - w["layers.0.proj.weight"]).max()
+    err6 = np.abs(w2["embed_tokens.weight"] - w["embed_tokens.weight"]).max()
+    assert err3 < 0.5, err3  # 3-bit step
+    assert err6 < 0.1, err6  # 6-bit step
