@@ -73,3 +73,48 @@ def test_resample_audio():
     x = np.sin(2 * np.pi * 100 * np.arange(16000) / 16000).astype(np.float32)
     y = utils.resample_audio(x, 16000, 24000)
     assert abs(len(y) - 24000) <= 1
+
+
+def test_mixed_bit_checkpoint_loads_and_matches_dequant(tmp_path):
+    """convert --q-recipe mixed_3_6 → apply_quantization honors the per-path
+    override block → quantized forward matches the dequantized weights."""
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu import convert as cv
+    from mlx_audio_tpu.nn.module import load_weights
+
+    rng = np.random.default_rng(2)
+    src = tmp_path / "src"
+    src.mkdir()
+    w = {
+        "proj.weight": rng.standard_normal((64, 64)).astype(np.float32),
+        "embed_head.weight": rng.standard_normal((64, 64)).astype(np.float32),
+    }
+    save_file(w, str(src / "model.safetensors"))
+    (src / "config.json").write_text(json.dumps({"model_type": "kokoro"}))
+    out = cv.convert(str(src), str(tmp_path / "q"), quantize=True, q_bits=3,
+                     q_group_size=32, q_recipe="mixed_3_6")
+    config = json.loads((out / "config.json").read_text())
+    assert config["quantization"]["embed_head"]["bits"] == 6
+
+    class M(nn.Module):
+        def __init__(self):
+            self.proj = nn.Linear(64, 64, bias=False)
+            self.embed_head = nn.Linear(64, 64, bias=False)
+
+        def __call__(self, x):
+            return self.embed_head(self.proj(x))
+
+    qweights = utils.load_weight_files(out)
+    m = utils.apply_quantization(M(), config, qweights)
+    assert m.proj.bits == 3 and m.embed_head.bits == 6
+    m = load_weights(m, qweights, strict=True)
+
+    deq = cv.convert(str(out), str(tmp_path / "dq"), dequantize=True)
+    fw = utils.load_weight_files(deq)
+    mf = load_weights(M(), fw, strict=True)
+
+    x = jnp.asarray(rng.standard_normal((2, 64)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(m(x)), np.asarray(mf(x)), atol=1e-4, rtol=1e-4
+    )
