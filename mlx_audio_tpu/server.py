@@ -875,12 +875,24 @@ def main(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--workers", type=int, default=NUM_WORKERS)
+    p.add_argument("--allowed-origins", nargs="+", default=None,
+                   help="CORS origins (overrides MLX_AUDIO_ALLOWED_ORIGINS)")
+    p.add_argument("--reload", action="store_true",
+                   help="uvicorn auto-reload (development)")
+    p.add_argument("--start-ui", action="store_true",
+                   help="Print the built-in studio UI URL (served at /ui)")
     args = p.parse_args(argv)
+    if args.allowed_origins:
+        global ALLOWED_ORIGINS
+        ALLOWED_ORIGINS = ",".join(args.allowed_origins)
+        os.environ["MLX_AUDIO_ALLOWED_ORIGINS"] = ALLOWED_ORIGINS
+    if args.start_ui:
+        print(f"studio UI: http://{args.host}:{args.port}/ui")
     try:
         import uvicorn
 
         uvicorn.run(create_app(), host=args.host, port=args.port,
-                    workers=args.workers)
+                    workers=args.workers, reload=args.reload)
     except ImportError:
         print(f"fastapi/uvicorn not available — stdlib server on "
               f"{args.host}:{args.port}")
