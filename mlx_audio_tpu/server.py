@@ -354,11 +354,20 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet
         pass
 
+    def _cors_origin(self) -> str:
+        """One origin per response: echo the request Origin when allowed
+        (a comma-joined list is not a valid Access-Control-Allow-Origin)."""
+        allowed = [o.strip() for o in ALLOWED_ORIGINS.split(",")]
+        if "*" in allowed:
+            return "*"
+        origin = self.headers.get("Origin", "")
+        return origin if origin in allowed else allowed[0]
+
     def _send(self, code: int, body: bytes, content_type="application/json"):
         self.send_response(code)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(body)))
-        self.send_header("Access-Control-Allow-Origin", ALLOWED_ORIGINS)
+        self.send_header("Access-Control-Allow-Origin", self._cors_origin())
         self.end_headers()
         self.wfile.write(body)
 
@@ -371,7 +380,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_OPTIONS(self):
         self.send_response(204)
-        self.send_header("Access-Control-Allow-Origin", ALLOWED_ORIGINS)
+        self.send_header("Access-Control-Allow-Origin", self._cors_origin())
         self.send_header("Access-Control-Allow-Methods", "GET, POST, DELETE, OPTIONS")
         self.send_header("Access-Control-Allow-Headers", "*")
         self.send_header("Content-Length", "0")
@@ -604,7 +613,7 @@ class _Handler(BaseHTTPRequestHandler):
                     self.send_header("Content-Type", "application/x-ndjson")
                     self.send_header("Transfer-Encoding", "chunked")
                     self.send_header(
-                        "Access-Control-Allow-Origin", ALLOWED_ORIGINS
+                        "Access-Control-Allow-Origin", self._cors_origin()
                     )
                     self.end_headers()
                     for line in stream:
@@ -891,8 +900,13 @@ def main(argv=None):
     try:
         import uvicorn
 
-        uvicorn.run(create_app(), host=args.host, port=args.port,
-                    workers=args.workers, reload=args.reload)
+        if args.reload or args.workers > 1:
+            # uvicorn requires an import string for reload / multi-worker
+            uvicorn.run("mlx_audio_tpu.server:create_app", factory=True,
+                        host=args.host, port=args.port,
+                        workers=args.workers, reload=args.reload)
+        else:
+            uvicorn.run(create_app(), host=args.host, port=args.port)
     except ImportError:
         print(f"fastapi/uvicorn not available — stdlib server on "
               f"{args.host}:{args.port}")

@@ -37,13 +37,22 @@ def _stream_transcription(model, audio, verbose: bool, kwargs: dict,
     streaming entry point; partial text prints as it arrives."""
     from .models.base import STTOutput
 
-    stream_fn = None
-    for name in ("stream_transcribe", "stream_generate", "generate_streaming"):
-        if hasattr(model, name):
-            stream_fn = getattr(model, name)
-            break
-    if stream_fn is None:
-        return None
+    # models like Parakeet stream through generate(stream=True); others
+    # expose a dedicated streaming method
+    if "stream" in inspect.signature(model.generate).parameters:
+        def stream_fn(audio, **kw):
+            return model.generate(audio, stream=True, **kw)
+
+        stream_fn.__signature__ = inspect.signature(model.generate)
+    else:
+        stream_fn = None
+        for name in ("stream_transcribe", "stream_generate",
+                     "generate_streaming"):
+            if hasattr(model, name):
+                stream_fn = getattr(model, name)
+                break
+        if stream_fn is None:
+            return None
 
     t0 = time.perf_counter()
     segments = []
@@ -106,17 +115,22 @@ def generate_transcription(
 
     tic = time.perf_counter()
     result = None
+    streamed = False
     if stream:
         result = _stream_transcription(model, audio, verbose, kwargs,
                                        passthrough)
-        if result is None and verbose:
+        streamed = result is not None
+        if not streamed and verbose:
             print("(model has no streaming entry point; running batch decode)")
     if result is None:
-        result = model.generate(
-            audio, **_adapt_kwargs(model.generate, kwargs, passthrough))
+        call_kwargs = _adapt_kwargs(model.generate, kwargs, passthrough)
+        dropped = sorted(set(kwargs) - set(call_kwargs) - {"task"})
+        if dropped and verbose:
+            print(f"(options not supported by this model, ignored: {dropped})")
+        result = model.generate(audio, **call_kwargs)
     wall = time.perf_counter() - tic
     if verbose:
-        if not stream:
+        if not streamed:
             print(result.text)
         if result.duration:
             from ..profiling import peak_memory_gb

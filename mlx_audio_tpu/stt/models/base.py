@@ -22,13 +22,21 @@ class STTOutput:
 
 
 def ensure_waveform(audio, sample_rate: int):
-    """Coerce a file path / bytes / array-like into a mono float32 waveform
-    at `sample_rate` (the reference models accept paths in generate(), e.g.
-    qwen3_asr.py:1021; array inputs pass through untouched)."""
+    """Coerce a file path / encoded bytes / array-like into a mono float32
+    waveform at `sample_rate` (the reference models accept paths in
+    generate(), e.g. qwen3_asr.py:1021; array inputs pass through)."""
     import numpy as np
 
     if isinstance(audio, str) or hasattr(audio, "__fspath__"):
         from ...utils import load_audio
 
         audio = load_audio(audio, sample_rate=sample_rate)
+    elif isinstance(audio, (bytes, bytearray)):
+        from ...utils import resample_audio
+        from ... import audio_io
+
+        x, sr = audio_io.read(bytes(audio))
+        if x.ndim == 2:
+            x = x.mean(axis=1)
+        audio = resample_audio(x, sr, sample_rate) if sr != sample_rate else x
     return np.asarray(audio, np.float32).reshape(-1)

@@ -18,7 +18,7 @@ import numpy as np
 from ....base import BaseModelArgs
 from ....nn import BatchNorm, Conv1d, LayerNorm, Linear, Module
 from ....ops.rope import apply_rope, rope_cos_sin
-from ..base import STTOutput
+from ..base import STTOutput, ensure_waveform
 
 __all__ = ["Model", "ModelConfig", "LasrEncoder", "LasrForCTC"]
 
@@ -210,11 +210,7 @@ class LasrForCTC(Module):
         from ..parakeet.audio import PreprocessArgs, log_mel_spectrogram
 
         t0 = time.perf_counter()
-        if isinstance(audio, str):
-            from ....utils import load_audio
-
-            audio = load_audio(audio, sample_rate=16000)
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        audio = ensure_waveform(audio, 16000)
         mel = log_mel_spectrogram(
             audio,
             PreprocessArgs(features=self.config.encoder_config.num_mel_bins),

@@ -25,7 +25,7 @@ from ....lm import generate_tokens
 from ....lm.transformer import CausalLM, LMConfig
 from ....nn import Conv1d, Embedding, LayerNorm, Linear, Module
 from ....ops.attention import scaled_dot_product_attention
-from ..base import STTOutput
+from ..base import STTOutput, ensure_waveform
 from ..whisper import audio as A
 
 __all__ = ["Model", "ModelConfig"]
@@ -168,11 +168,7 @@ class Model(Module):
                  max_tokens: int = 512, temperature: float = 0.0,
                  tokenizer=None, **kwargs) -> STTOutput:
         t0 = time.perf_counter()
-        if isinstance(audio, str):
-            from ....utils import load_audio
-
-            audio = load_audio(audio, sample_rate=A.SAMPLE_RATE)
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        audio = ensure_waveform(audio, A.SAMPLE_RATE)
         duration = len(audio) / A.SAMPLE_RATE
 
         mel = A.log_mel_spectrogram(

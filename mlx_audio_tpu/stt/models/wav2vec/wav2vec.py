@@ -19,7 +19,7 @@ import numpy as np
 from ....base import BaseModelArgs
 from ....nn import Conv1d, GroupNorm, LayerNorm, Linear, Module
 from ....ops.attention import scaled_dot_product_attention
-from ..base import STTOutput
+from ..base import STTOutput, ensure_waveform
 
 __all__ = ["Model", "ModelConfig"]
 
@@ -216,11 +216,7 @@ class Model(Module):
 
     def generate(self, audio, *, tokenizer=None, **kwargs) -> STTOutput:
         t0 = time.perf_counter()
-        if isinstance(audio, str):
-            from ....utils import load_audio
-
-            audio = load_audio(audio, sample_rate=16000)
-        audio = np.asarray(audio, np.float32).reshape(1, -1)
+        audio = ensure_waveform(audio, 16000).reshape(1, -1)
         # zero-mean unit-var normalization (HF processor default)
         audio = (audio - audio.mean()) / (audio.std() + 1e-7)
         _, logits = self(audio)

@@ -117,6 +117,9 @@ def generate_audio(
         if verbose:
             print(f"✓ wrote {fname}")
     if player is not None:
+        # short clips may not reach the auto-play buffer threshold — start
+        # playback explicitly before draining
+        player.play()
         if player.playing:
             player.wait_for_drain(timeout=120)
         player.stop()
