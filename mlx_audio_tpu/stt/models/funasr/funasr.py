@@ -365,32 +365,15 @@ class Model(Module):
         if tokenizer is None:
             raise RuntimeError("Fun-ASR tokenizer not set")
 
-        audio_emb = self.encode_audio(audio)
-        system = self._build_system_prompt(task, language, target_language,
-                                           initial_prompt)
-        pre = f"<|im_start|>system\n{system}<|im_end|><|im_start|>user\n<|startofspeech|>"
-        post = "<|endofspeech|><|im_end|><|im_start|>assistant\n"
-        pre_ids = np.asarray(tokenizer.encode(pre), np.int64).reshape(1, -1)
-        post_ids = np.asarray(tokenizer.encode(post), np.int64).reshape(1, -1)
-        embed = self.llm.model.embed_tokens
-        inputs = jnp.concatenate(
-            [embed(jnp.asarray(pre_ids, jnp.int32)), audio_emb,
-             embed(jnp.asarray(post_ids, jnp.int32))], axis=1)
+        inputs = self._prepare_prompt(audio, tokenizer, task, language,
+                                      target_language, initial_prompt)
 
         max_tokens = max_tokens or self.config.max_tokens
         temperature = (self.config.temperature if temperature is None
                        else temperature)
         caches = self.llm.make_caches(1, inputs.shape[1] + max_tokens + 1,
                                       dtype=jnp.float32)
-        eos = []
-        for tk in ("<|im_end|>", "<|endoftext|>"):
-            try:
-                tid = tokenizer.convert_tokens_to_ids(tk)
-                if tid is not None:
-                    eos.append(int(tid))
-            except Exception:
-                pass
-        eos = (eos or [151645])
+        eos = self._eos_ids(tokenizer)
         eos = (eos + [-1, -1, -1])[:3]
         logits, caches = _prefill(self.llm, caches, inputs, _lm_call)
         out, i, *_ = _decode_chunk(
@@ -401,10 +384,147 @@ class Model(Module):
         toks, n = jax.device_get((out, i))
         seq = [int(t) for t in toks[0][: int(n)] if int(t) not in eos]
         wall = time.perf_counter() - t0
-        return STTOutput(text=tokenizer.decode(seq).strip(),
+        text = self._clean_output(tokenizer.decode(seq))
+        if language == "auto":
+            language = self._detect_language_from_text(text)
+        return STTOutput(text=text,
                          duration=duration, language=language,
                          generation_tokens=len(seq),
                          generation_tps=len(seq) / max(wall, 1e-9))
+
+
+    def _prepare_prompt(self, audio, tokenizer, task="transcribe",
+                        language="auto", target_language="en",
+                        initial_prompt=None) -> jnp.ndarray:
+        """Audio embeddings spliced into the chat template
+        (reference funasr.py:350-402)."""
+        audio_emb = self.encode_audio(audio)
+        system = self._build_system_prompt(task, language, target_language,
+                                           initial_prompt)
+        pre = (f"<|im_start|>system\n{system}<|im_end|>"
+               f"<|im_start|>user\n<|startofspeech|>")
+        post = "<|endofspeech|><|im_end|><|im_start|>assistant\n"
+        pre_ids = np.asarray(tokenizer.encode(pre), np.int64).reshape(1, -1)
+        post_ids = np.asarray(tokenizer.encode(post), np.int64).reshape(1, -1)
+        embed = self.llm.model.embed_tokens
+        return jnp.concatenate(
+            [embed(jnp.asarray(pre_ids, jnp.int32)), audio_emb,
+             embed(jnp.asarray(post_ids, jnp.int32))], axis=1)
+
+    def _eos_ids(self, tokenizer) -> list:
+        eos = []
+        for tk in ("<|im_end|>", "<|endoftext|>"):
+            try:
+                tid = tokenizer.convert_tokens_to_ids(tk)
+                if tid is not None:
+                    eos.append(int(tid))
+            except Exception:
+                pass
+        return eos or [151645]
+
+    def stream_generate(self, audio, *, language: str = "auto",
+                        task: str = "transcribe", target_language: str = "en",
+                        initial_prompt: Optional[str] = None,
+                        max_tokens: int = 512, temperature: float = 0.0,
+                        top_p: float = 0.95, top_k: int = 0,
+                        chunk_size: int = 16, tokenizer=None, **kwargs):
+        """Stream partial transcription text (reference funasr.py:473-560's
+        token generator; here decode runs on device in `chunk_size` blocks
+        and text is detokenized incrementally host-side)."""
+        from dataclasses import dataclass as _dc
+
+        from ....lm.detok import IncrementalDetokenizer
+
+        @_dc
+        class StreamingResult:
+            text: str
+            is_final: bool
+            start_time: float = 0.0
+            end_time: float = 0.0
+            language: str = "auto"
+            prompt_tokens: int = 0
+            generation_tokens: int = 0
+
+        rt = Model._RUNTIME.get(id(self), {})
+        tokenizer = tokenizer or rt.get("tokenizer")
+        if tokenizer is None:
+            raise RuntimeError("Fun-ASR tokenizer not set")
+        audio = ensure_waveform(audio, self.sample_rate)
+        duration = len(audio) / self.sample_rate
+        inputs = self._prepare_prompt(audio, tokenizer, task, language,
+                                      target_language, initial_prompt)
+        eos = self._eos_ids(tokenizer)
+        caches = self.llm.make_caches(
+            1, inputs.shape[1] + max_tokens + 1, dtype=jnp.float32)
+        logits, caches = _prefill(self.llm, caches, inputs, _lm_call)
+        history = jnp.full((1, 64), -1, jnp.int32)
+        done = jnp.zeros((1,), bool)
+        key = jax.random.PRNGKey(0)
+        eos_arr = jnp.asarray((eos + [-1, -1, -1])[:3], jnp.int32)
+        sampler = make_sampler(temp=float(temperature), top_k=int(top_k),
+                               top_p=float(top_p))
+        detok = IncrementalDetokenizer(tokenizer)
+        produced = 0
+        while produced < max_tokens:
+            steps = min(chunk_size, max_tokens - produced)
+            out, i, logits, caches, history, done, key = _decode_chunk(
+                self.llm, caches, logits, history, done, key, eos_arr,
+                _lm_call, sampler, 1.0, int(steps))
+            toks, nv, fin = jax.device_get((out, i, done))
+            nv = int(nv)
+            ended = False
+            text = ""
+            for t in toks[0][:nv]:
+                t = int(t)
+                if t in eos:
+                    ended = True
+                    break
+                text += detok.push(t)
+            produced += nv
+            final = ended or bool(fin.all()) or nv < steps or \
+                produced >= max_tokens
+            if text or final:
+                yield StreamingResult(
+                    text=self._clean_output(text) if final else text,
+                    is_final=final, start_time=0.0, end_time=duration,
+                    language=language, generation_tokens=produced)
+            if final:
+                return
+
+    @staticmethod
+    def _detect_language_from_text(text: str) -> str:
+        """Script-based heuristic (reference funasr.py:775-813)."""
+        if not text:
+            return "unknown"
+        total = len(text)
+        counts = {
+            "ja": sum("\u3040" <= c <= "\u30ff" for c in text),
+            "ko": sum("\uac00" <= c <= "\ud7af" for c in text),
+            "zh": sum("\u4e00" <= c <= "\u9fff" for c in text),
+            "ar": sum("\u0600" <= c <= "\u06ff" for c in text),
+            "th": sum("\u0e00" <= c <= "\u0e7f" for c in text),
+            "ru": sum("\u0400" <= c <= "\u04ff" for c in text),
+        }
+        if counts["ja"] / total > 0.1:
+            return "ja"
+        if counts["ko"] / total > 0.1:
+            return "ko"
+        for code, thresh in (("zh", 0.2), ("ar", 0.2), ("th", 0.2),
+                             ("ru", 0.2)):
+            if counts[code] / total > thresh:
+                return code
+        return "en"
+
+    @staticmethod
+    def _clean_output(text: str) -> str:
+        """Strip think blocks + special tokens (reference funasr.py:815-847)."""
+        import re as _re
+
+        text = _re.sub(r"<think>.*?</think>", "", text, flags=_re.DOTALL)
+        for token in ("<|im_start|>", "<|im_end|>", "<|startofspeech|>",
+                      "<|endofspeech|>", "<|endoftext|>"):
+            text = text.replace(token, "")
+        return text.strip()
 
     def sanitize(self, weights: dict) -> dict:
         from ....nn.sanitize import orient_weights_to_model

@@ -62,3 +62,24 @@ def test_generate_end_to_end():
     out2 = model.generate(audio, task="translate", target_language="zh",
                           max_tokens=4)
     assert isinstance(out2.text, str)
+
+
+def test_stream_generate_partials_then_final():
+    model = Model(tiny_cfg())
+    model.set_runtime(tokenizer=FakeTok())
+    audio = np.random.randn(8000).astype(np.float32) * 0.1
+    results = list(model.stream_generate(audio, max_tokens=10, chunk_size=4))
+    assert results, "no streaming results"
+    assert all(not r.is_final for r in results[:-1])
+    assert results[-1].is_final
+    assert results[-1].end_time == 0.5
+    joined = "".join(r.text for r in results)
+    assert isinstance(joined, str)
+
+
+def test_clean_output_and_language_detect():
+    clean = Model._clean_output("<think>x</think>hello<|im_end|>")
+    assert clean == "hello"
+    assert Model._detect_language_from_text("hello world") == "en"
+    assert Model._detect_language_from_text("你好世界你好") == "zh"
+    assert Model._detect_language_from_text("Привет мир") == "ru"
