@@ -251,6 +251,35 @@ class Model(Module):
         if tokenizer is None:
             raise RuntimeError("GLM-ASR tokenizer not set")
 
+        # long audio: split at low-energy boundaries into <=30 s chunks
+        # (reference glmasr.py:23-111) and transcribe sequentially
+        from ..qwen3_asr import split_audio_into_chunks
+
+        if duration <= 30.0:
+            chunks = [(audio, 0.0)]
+        else:
+            # the splitter may move a cut up to search_expand_sec past the
+            # nominal point; budget it inside the encoder's 30 s window so
+            # no chunk is clipped by pad_or_trim
+            chunks = split_audio_into_chunks(
+                audio, self.sample_rate, chunk_duration=28.0,
+                search_expand_sec=2.0)
+        if len(chunks) > 1:
+            parts = []
+            total_tokens = 0
+            for chunk_audio, _off in chunks:
+                out = self.generate(chunk_audio, prompt=prompt,
+                                    max_tokens=max_tokens,
+                                    temperature=temperature,
+                                    tokenizer=tokenizer, **kwargs)
+                parts.append(out.text)
+                total_tokens += out.generation_tokens
+            wall = time.perf_counter() - t0
+            return STTOutput(text=" ".join(p for p in parts if p),
+                             duration=duration,
+                             generation_tokens=total_tokens,
+                             generation_tps=total_tokens / max(wall, 1e-9))
+
         mel = A.log_mel_spectrogram(
             A.pad_or_trim(jnp.asarray(audio)),
             n_mels=self.config.whisper_config.num_mel_bins)[None]

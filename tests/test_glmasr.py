@@ -47,3 +47,32 @@ def test_generate_end_to_end():
     out = model.generate(audio, max_tokens=6)
     assert isinstance(out.text, str)
     assert out.generation_tokens <= 6
+
+
+def test_long_audio_chunks(monkeypatch):
+    """>30 s audio is split at low-energy boundaries and transcribed
+    per-chunk (reference glmasr.py:23-111), not truncated."""
+    model = Model(tiny_cfg())
+    model.set_runtime(tokenizer=FakeTok())
+    sr = 16000
+    rng = np.random.default_rng(0)
+    # 70 s: three loud spans separated by near-silence
+    audio = np.zeros(70 * sr, np.float32)
+    for start in (0, 25, 50):
+        seg = rng.standard_normal(20 * sr).astype(np.float32) * 0.3
+        audio[start * sr:(start + 20) * sr] = seg
+
+    calls = []
+    orig = Model.generate
+
+    def spy(self, a, **kw):
+        calls.append(len(np.asarray(a)) / sr if not isinstance(a, str) else a)
+        return orig(self, a, **kw)
+
+    monkeypatch.setattr(Model, "generate", spy)
+    out = model.generate(audio, max_tokens=4)
+    assert out.duration == 70.0
+    # outer call + one recursive call per chunk, each chunk <= 30 s
+    assert len(calls) >= 4
+    assert all(c <= 30.5 for c in calls[1:])
+    assert isinstance(out.text, str)
