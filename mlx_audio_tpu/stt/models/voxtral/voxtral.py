@@ -164,35 +164,136 @@ class Model(Module):
     def get_audio_embeds(self, mel):
         return _audio_embeds(self, mel)
 
-    def generate(self, audio, *, prompt_tokens: Optional[List[int]] = None,
-                 max_tokens: int = 512, temperature: float = 0.0,
-                 tokenizer=None, **kwargs) -> STTOutput:
-        t0 = time.perf_counter()
-        audio = ensure_waveform(audio, A.SAMPLE_RATE)
-        duration = len(audio) / A.SAMPLE_RATE
+    def _processor(self):
+        """transformers VoxtralProcessor when the checkpoint ships its
+        tokenizer/processor files (reference voxtral.py:311-339 loads it in
+        from_pretrained); None otherwise."""
+        if not hasattr(self, "_proc_cache"):
+            self._proc_cache = None
+            if self.config.model_path:
+                try:
+                    from transformers import AutoProcessor
 
+                    self._proc_cache = AutoProcessor.from_pretrained(
+                        self.config.model_path)
+                except Exception:
+                    self._proc_cache = None
+        return self._proc_cache
+
+    def stream_generate(self, audio, *, language: str = "en",
+                        max_tokens: int = 512, temperature: float = 0.0,
+                        chunk_size: int = 16,
+                        prompt_tokens: Optional[List[int]] = None,
+                        tokenizer=None, **kwargs):
+        """Yield partial transcription text (reference voxtral.py:341-377's
+        token stream); decode runs on device in `chunk_size` blocks."""
+        from dataclasses import dataclass as _dc
+
+        from ....lm.detok import IncrementalDetokenizer
+        from ....lm.generate import _decode_chunk, _prefill
+        from ....lm.sample import make_sampler
+
+        @_dc
+        class StreamingResult:
+            text: str
+            is_final: bool
+            start_time: float = 0.0
+            end_time: float = 0.0
+            language: str = "en"
+            generation_tokens: int = 0
+
+        inputs, duration, tok = self._prepare_generation(
+            audio, language, prompt_tokens, tokenizer)
+        lm = self.language_model
+        caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1)
+        logits, caches = _prefill(lm, caches, inputs, _lm_call)
+        history = jnp.full((1, 64), -1, jnp.int32)
+        done = jnp.zeros((1,), bool)
+        key = jax.random.PRNGKey(0)
+        eos = jnp.asarray([2, 4, 32000], jnp.int32)
+        sampler = make_sampler(temp=float(temperature))
+        detok = IncrementalDetokenizer(tok) if tok is not None else None
+        produced = 0
+        while produced < max_tokens:
+            steps = min(chunk_size, max_tokens - produced)
+            out, i, logits, caches, history, done, key = _decode_chunk(
+                lm, caches, logits, history, done, key, eos, _lm_call,
+                sampler, 1.0, int(steps))
+            toks, nv, fin = jax.device_get((out, i, done))
+            nv = int(nv)
+            ended = False
+            text = ""
+            for t in toks[0][:nv]:
+                t = int(t)
+                if t in (2, 4, 32000):
+                    ended = True
+                    break
+                text += detok.push(t) if detok else f"{t} "
+            produced += nv
+            final = ended or bool(fin.all()) or nv < steps or \
+                produced >= max_tokens
+            if text or final:
+                yield StreamingResult(text=text, is_final=final,
+                                      end_time=duration, language=language,
+                                      generation_tokens=produced)
+            if final:
+                return
+
+    def _prepare_generation(self, audio, language, prompt_tokens, tokenizer):
+        """Build input embeddings: processor-driven transcription request
+        when available (reference voxtral.py:410-414), else the minimal
+        [bos, audio...] prompt. Returns (inputs, duration, tokenizer)."""
+        proc = self._processor()
+        if proc is not None and prompt_tokens is None and isinstance(audio, str):
+            inputs = proc.apply_transcription_request(
+                language=language, audio=audio,
+                model_id=self.config.model_path)
+            ids = np.asarray(inputs["input_ids"])
+            mel = jnp.asarray(
+                np.asarray(inputs["input_features"]).transpose(0, 2, 1))
+            wav = ensure_waveform(audio, A.SAMPLE_RATE)
+            duration = len(wav) / A.SAMPLE_RATE
+            audio_emb = self.get_audio_embeds(mel)
+            emb = np.asarray(jax.device_get(
+                self.language_model.model.embed_tokens(
+                    jnp.asarray(ids, jnp.int32))))
+            mask = ids[0] == self.config.audio_token_id
+            n = min(int(mask.sum()), audio_emb.shape[1])
+            emb[0][np.nonzero(mask)[0][:n]] = np.asarray(
+                jax.device_get(audio_emb))[0][:n]
+            return jnp.asarray(emb), duration, getattr(proc, "tokenizer", proc)
+        wav = ensure_waveform(audio, A.SAMPLE_RATE)
+        duration = len(wav) / A.SAMPLE_RATE
         mel = A.log_mel_spectrogram(
-            A.pad_or_trim(jnp.asarray(audio)),
+            A.pad_or_trim(jnp.asarray(wav)),
             n_mels=self.config.audio_config.num_mel_bins,
         )[None]
-        audio_emb = self.get_audio_embeds(mel)  # (1, Na, D)
-
+        audio_emb = self.get_audio_embeds(mel)
         lm = self.language_model
         embed = lm.model.embed_tokens
-
         if prompt_tokens is not None:
             ids = np.asarray(prompt_tokens)
             emb = np.asarray(jax.device_get(embed(jnp.asarray(ids[None]))))
             mask = ids == self.config.audio_token_id
             n = min(mask.sum(), audio_emb.shape[1])
             emb[0][np.nonzero(mask)[0][:n]] = np.asarray(
-                jax.device_get(audio_emb)
-            )[0][:n]
+                jax.device_get(audio_emb))[0][:n]
             inputs = jnp.asarray(emb)
         else:
-            # minimal prompt: bos + audio embeddings
             bos = embed(jnp.asarray([[1]]))
             inputs = jnp.concatenate([bos, audio_emb], axis=1)
+        return inputs, duration, tokenizer
+
+    def generate(self, audio, *, prompt_tokens: Optional[List[int]] = None,
+                 max_tokens: int = 512, temperature: float = 0.0,
+                 language: str = "en",
+                 tokenizer=None, **kwargs) -> STTOutput:
+        t0 = time.perf_counter()
+        inputs, duration, tok = self._prepare_generation(
+            audio, language, prompt_tokens, tokenizer)
+        if tok is not None:
+            tokenizer = tok
+        lm = self.language_model
 
         # prefill on embeddings, then decode token-by-token on device
         caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1)

@@ -64,3 +64,28 @@ def test_voxtral_tiny():
     out = m.generate(audio, max_tokens=8, tokenizer=Tok())
     assert isinstance(out.text, str)
     assert out.duration == pytest.approx(1.0, abs=0.01)
+
+
+def test_voxtral_stream_generate():
+    from mlx_audio_tpu.stt.models.voxtral import Model, ModelConfig
+
+    cfg = ModelConfig.from_dict(dict(
+        audio_config=dict(num_mel_bins=80, d_model=64, encoder_layers=1,
+                          encoder_attention_heads=4, encoder_ffn_dim=128,
+                          intermediate_size=256, max_source_positions=1500),
+        text_config=dict(hidden_size=64, num_hidden_layers=1,
+                         intermediate_size=128, num_attention_heads=4,
+                         num_key_value_heads=2, vocab_size=1000),
+    ))
+    m = Model(cfg)
+
+    class Tok:
+        def decode(self, ids, **kw):
+            return "x" * len(ids)
+
+    audio = np.random.default_rng(3).standard_normal(16000).astype(np.float32) * 0.05
+    results = list(m.stream_generate(audio, max_tokens=10, chunk_size=4,
+                                     tokenizer=Tok()))
+    assert results and results[-1].is_final
+    assert all(not r.is_final for r in results[:-1])
+    assert results[-1].end_time == pytest.approx(1.0, abs=0.01)
