@@ -54,6 +54,11 @@ class VoicePipeline:
         self._silence = 0.0
         self._lock = threading.Lock()  # serialize device work (reference :53)
         self._vad = self._make_vad()
+        # barge-in: speaking runs in a worker thread; new user speech sets
+        # the cancel event and playback stops between TTS segments
+        # (reference :47-55 current_tts_cancel / current_tts_task)
+        self._tts_cancel = threading.Event()
+        self._tts_thread: Optional[threading.Thread] = None
 
     def _make_vad(self):
         try:
@@ -87,6 +92,8 @@ class VoicePipeline:
             if len(frame) < frame_len:
                 frame = np.pad(frame, (0, frame_len - len(frame)))
             speech = self._vad(frame)
+            if speech and self.is_speaking:
+                self.cancel_speech()  # barge-in
             if speech or len(self._buffer):
                 self._buffer = np.concatenate([self._buffer, frame])
             self._silence = 0.0 if speech else self._silence + self.cfg.frame_ms / 1000
@@ -109,7 +116,8 @@ class VoicePipeline:
         return reply
 
     def run_on_audio(self, audio: np.ndarray) -> List[str]:
-        """Offline convenience: run the full loop over an array."""
+        """Offline convenience: run the full loop over an array (waits for
+        speech synthesis to finish before returning)."""
         replies = []
         r = self.process_chunk(audio)
         if r:
@@ -117,9 +125,38 @@ class VoicePipeline:
         r = self.flush()
         if r:
             replies.append(r)
+        self.wait_for_speech()
         return replies
 
     # ---- internals ----
+
+    @property
+    def is_speaking(self) -> bool:
+        return self._tts_thread is not None and self._tts_thread.is_alive()
+
+    def cancel_speech(self) -> None:
+        """Stop the in-flight TTS response (barge-in, reference :47-55)."""
+        if self.is_speaking:
+            self._tts_cancel.set()
+
+    def wait_for_speech(self, timeout: Optional[float] = None) -> None:
+        if self._tts_thread is not None:
+            self._tts_thread.join(timeout)
+
+    def _speak(self, reply: str) -> None:
+        def worker():
+            with self._lock:  # device work serialized (reference mlx_lock)
+                for result in self.tts.generate(reply):
+                    if self._tts_cancel.is_set():
+                        break
+                    self.on_audio(np.asarray(result.audio),
+                                  result.sample_rate)
+
+        self.cancel_speech()
+        self.wait_for_speech()
+        self._tts_cancel = threading.Event()
+        self._tts_thread = threading.Thread(target=worker, daemon=True)
+        self._tts_thread.start()
 
     def _handle_utterance(self, audio: np.ndarray) -> Optional[str]:
         with self._lock:
@@ -131,10 +168,9 @@ class VoicePipeline:
             reply = self.llm_generate(text, self.history)
             self.history.append({"role": "assistant", "content": reply})
             self.on_assistant_text(reply)
-            if self.tts is not None:
-                for result in self.tts.generate(reply):
-                    self.on_audio(np.asarray(result.audio), result.sample_rate)
-            return reply
+        if self.tts is not None:
+            self._speak(reply)
+        return reply
 
     def run(self):
         """Live microphone loop (requires sounddevice)."""

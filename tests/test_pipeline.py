@@ -47,3 +47,43 @@ def test_voice_pipeline_end_to_end():
     assert got["audio"] == (800, 16000)
     # history keeps the conversation
     assert pipe.history[-1]["role"] == "assistant"
+
+
+def test_voice_pipeline_barge_in():
+    """User speech during synthesis cancels the in-flight TTS
+    (reference voice_pipeline.py:47-55 current_tts_cancel)."""
+    import threading
+    import time
+
+    started = threading.Event()
+    release = threading.Event()
+    emitted = []
+
+    class STT:
+        def generate(self, audio, **kw):
+            return STTOutput(text="hello")
+
+    class SlowTTS:
+        def generate(self, text, **kw):
+            for i in range(10):
+                started.set()
+                release.wait(2.0)
+                yield GenerationResult(audio=np.zeros(160, np.float32),
+                                       samples=160, sample_rate=16000)
+
+    pipe = VoicePipeline(
+        stt_model=STT(), llm_generate=lambda t, h: "a long reply",
+        tts_model=SlowTTS(), config=PipelineConfig(silence_end_sec=0.3),
+        on_audio=lambda a, sr: emitted.append(len(a)),
+    )
+    sr = 16000
+    speech = np.random.default_rng(1).standard_normal(sr).astype(np.float32) * 0.2
+    pipe.process_chunk(np.concatenate([speech, np.zeros(sr, np.float32)]))
+    assert started.wait(2.0)
+    assert pipe.is_speaking
+    # user starts talking again mid-response → cancel
+    pipe.cancel_speech()
+    release.set()
+    pipe.wait_for_speech(timeout=2.0)
+    assert not pipe.is_speaking
+    assert len(emitted) <= 1  # at most the segment already in flight
