@@ -394,7 +394,7 @@ class Model(Module):
 
     def stream_generate(self, audio, *, language: str = "English",
                         system_prompt: Optional[str] = None,
-                        max_tokens: int = 512, temperature: float = 0.0,
+                        max_tokens: int = 8192, temperature: float = 0.0,
                         top_k: int = 0, top_p: float = 1.0,
                         repetition_penalty: float = 1.0,
                         chunk_size: int = 16, seed: int = 0,
@@ -526,7 +526,7 @@ class Model(Module):
                 break
 
     def generate(self, audio, *, language: str = "English",
-                 system_prompt: Optional[str] = None, max_tokens: int = 512,
+                 system_prompt: Optional[str] = None, max_tokens: int = 8192,
                  temperature: float = 0.0, tokenizer=None,
                  **kwargs) -> STTOutput:
         t0 = time.perf_counter()

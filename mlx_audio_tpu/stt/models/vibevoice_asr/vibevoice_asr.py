@@ -219,7 +219,7 @@ class Model(Module):
             yield tail
 
     def generate(self, audio, *, context: Optional[str] = None,
-                 max_tokens: int = 2048, temperature: float = 0.0,
+                 max_tokens: int = 8192, temperature: float = 0.0,
                  tokenizer=None, **kwargs) -> STTOutput:
         """Transcribe audio → structured JSON segments
         (reference vibevoice_asr.py:635-838)."""

@@ -162,7 +162,7 @@ class Model(Module):
         audio_prompt=None,
         audio_prompt_sr: Optional[int] = None,
         conds: Optional[Conditionals] = None,
-        exaggeration: float = 0.5,
+        exaggeration: float = 0.1,  # generate default (reference :773)
         cfg_weight: float = 0.5,
         temperature: float = 0.8,
         repetition_penalty: float = 1.2,

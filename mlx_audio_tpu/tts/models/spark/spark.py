@@ -32,6 +32,11 @@ __all__ = ["Model", "ModelConfig", "BiCodec", "FSQ", "ResidualFSQ",
            "FactorizedVectorQuantize", "SpeakerEncoder", "WaveGenerator"]
 
 GENDER_MAP = {"female": 0, "male": 1}
+# float control values → level names (reference spark.py:19-25)
+PITCH_MAP = SPEED_MAP = {
+    0.0: "very_low", 0.5: "low", 1.0: "moderate", 1.5: "high",
+    2.0: "very_high",
+}
 LEVELS_MAP = {"very_low": 0, "low": 1, "moderate": 2, "high": 3,
               "very_high": 4}
 
@@ -537,11 +542,17 @@ class Model(Module):
                 + "<|end_global_token|>")
 
     def generate(self, text: str, ref_audio=None, ref_text=None,
-                 gender: Optional[str] = None, pitch: str = "moderate",
-                 speed: str = "moderate", max_tokens: int = 2000,
+                 gender: Optional[str] = "male", pitch=1.0,
+                 speed=1.0, max_tokens: int = 3000,
                  temperature: float = 0.8, top_p: float = 0.95,
                  seed: int = 0, **kwargs
                  ) -> Generator[GenerationResult, None, None]:
+        # reference spark.py:218-258: float pitch/speed map to level
+        # tokens; a reference audio switches to voice-clone mode
+        pitch = PITCH_MAP.get(pitch, pitch) if not isinstance(pitch, str) else pitch
+        speed = SPEED_MAP.get(speed, speed) if not isinstance(speed, str) else speed
+        if ref_audio is not None:
+            gender = None
         rt = Model._RUNTIME.get(id(self), {})
         tokenizer = rt.get("tokenizer")
         bicodec = rt.get("bicodec")

@@ -616,7 +616,7 @@ class Model(Module):
         n = feat.shape[0] // self.patch_size
         return feat[: n * self.patch_size].reshape(n, self.patch_size, -1)
 
-    def generate(self, text: str, max_tokens: int = 512,
+    def generate(self, text: str, max_tokens: int = 4096,  # reference voxcpm.py:256
                  ref_text: Optional[str] = None, ref_audio=None,
                  inference_timesteps: int = 10, cfg_value: float = 2.0,
                  seed: Optional[int] = None,
