@@ -483,7 +483,7 @@ class Model(Module):
     def generate(self, text: str, voice: Optional[str] = None,
                  lang_code: str = "auto", instruct: Optional[str] = None,
                  temperature: float = 0.9, top_k: int = 50, top_p: float = 1.0,
-                 repetition_penalty: float = 1.05, max_tokens: int = 1500,
+                 repetition_penalty: float = 1.05, max_tokens: int = 4096,
                  split_pattern: str = "\n", ref_audio=None,
                  ref_text: Optional[str] = None, stream: bool = False,
                  streaming_interval: float = 2.0, **kwargs):
