@@ -138,8 +138,15 @@ def load_config(model_path: Union[str, Path], **kwargs) -> dict:
 
 
 def load_weight_files(model_path: Path) -> dict:
-    """Load all safetensors/npz weights in a model dir → {key: np.ndarray}."""
-    weight_files = sorted(glob.glob(str(Path(model_path) / "*.safetensors")))
+    """Load all weights in a model dir → {key: np.ndarray}.
+
+    safetensors preferred, then npz, then torch pickles (.pt/.pth/.bin —
+    covers original upstream releases like OpenAI whisper, reference
+    utils.py:177-204 behavior). A single weight file path also works."""
+    model_path = Path(model_path)
+    if model_path.is_file():
+        return _load_one_weight_file(model_path)
+    weight_files = sorted(glob.glob(str(model_path / "*.safetensors")))
     weights: dict = {}
     if weight_files:
         from safetensors.numpy import load_file
@@ -147,15 +154,48 @@ def load_weight_files(model_path: Path) -> dict:
         for wf in weight_files:
             weights.update(load_file(wf))
         return weights
-    npz_files = sorted(glob.glob(str(Path(model_path) / "*.npz")))
-    if not npz_files:
+    npz_files = sorted(glob.glob(str(model_path / "*.npz")))
+    if npz_files:
+        for wf in npz_files:
+            with np.load(wf) as data:
+                weights.update({k: data[k] for k in data.files})
+        return weights
+    torch_files = sorted(
+        f for pat in ("*.pt", "*.pth", "*.bin")
+        for f in glob.glob(str(model_path / pat))
+    )
+    if not torch_files:
         raise FileNotFoundError(
-            f"No weight files (safetensors or npz) found in {model_path}"
+            f"No weight files (safetensors/npz/pt) found in {model_path}"
         )
-    for wf in npz_files:
-        with np.load(wf) as data:
-            weights.update({k: data[k] for k in data.files})
+    for wf in torch_files:
+        weights.update(_load_one_weight_file(Path(wf)))
     return weights
+
+
+def _load_one_weight_file(path: Path) -> dict:
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    if path.suffix == ".npz":
+        with np.load(path) as data:
+            return {k: data[k] for k in data.files}
+    if path.suffix in (".pt", ".pth", ".bin", ".ckpt"):
+        import torch
+
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        for key in ("state_dict", "model_state_dict", "model"):
+            if isinstance(state, dict) and key in state and isinstance(
+                    state[key], dict):
+                state = state[key]
+                break
+        return {
+            k: v.detach().cpu().numpy()
+            for k, v in state.items()
+            if hasattr(v, "detach")
+        }
+    raise ValueError(f"Unsupported weight file: {path}")
 
 
 # Back-compat alias matching the reference name (utils.py:177)
