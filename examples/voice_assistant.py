@@ -67,14 +67,20 @@ def main():
                 [int(t) for t in toks[0][:n] if t != tok.eos_token_id],
                 skip_special_tokens=True).strip()
 
-    player = AudioPlayer()
+    players = {}
+
+    def on_audio(a, sr):
+        if sr not in players:
+            players[sr] = AudioPlayer(sample_rate=sr)
+        players[sr].queue_audio(a)
+
     pipe = VoicePipeline(
         stt_model=stt,
         tts_model=tts,
         llm_generate=llm_generate,
         on_user_text=lambda t: print(f"you: {t}"),
         on_assistant_text=lambda t: print(f"assistant: {t}"),
-        on_audio=lambda a, sr: player.queue_audio(a),
+        on_audio=on_audio,
     )
     if args.audio:
         from mlx_audio_tpu import audio_io

@@ -276,6 +276,56 @@ def _encode_audio(model: "Model", lfr_feats):
     return model.adaptor(h)
 
 
+class _StreamCleaner:
+    """Streaming-safe _clean_output: suppresses <think>...</think> spans and
+    special-token markers even when they straddle chunk boundaries, by
+    holding back any trailing text that could be a marker prefix."""
+
+    _MARKERS = ("<|im_start|>", "<|im_end|>", "<|startofspeech|>",
+                "<|endofspeech|>", "<|endoftext|>")
+
+    def __init__(self):
+        self._buf = ""
+        self._in_think = False
+
+    def push(self, raw: str, final: bool = False) -> str:
+        import re as _re
+
+        self._buf += raw
+        # resolve complete think spans / markers
+        self._buf = _re.sub(r"<think>.*?</think>", "", self._buf,
+                            flags=_re.DOTALL)
+        for m in self._MARKERS:
+            self._buf = self._buf.replace(m, "")
+        if self._in_think:
+            end = self._buf.find("</think>")
+            if end < 0:
+                if final:
+                    self._buf = ""
+                return ""
+            self._buf = self._buf[end + len("</think>"):]
+            self._in_think = False
+        start = self._buf.find("<think>")
+        if start >= 0:
+            out, rest = self._buf[:start], self._buf[start + len("<think>"):]
+            self._in_think = True
+            self._buf = rest
+            return out + self.push("", final=final)
+        if final:
+            out, self._buf = self._buf, ""
+            return out.strip() if out else out
+        # hold back a tail that could begin a marker
+        hold = 0
+        candidates = self._MARKERS + ("<think>", "</think>")
+        for n in range(1, min(len(self._buf), 17) + 1):
+            tail = self._buf[-n:]
+            if any(c.startswith(tail) for c in candidates):
+                hold = n
+        out = self._buf[: len(self._buf) - hold]
+        self._buf = self._buf[len(self._buf) - hold:]
+        return out
+
+
 class Model(Module):
     """reference funasr.py:164-1026."""
 
@@ -464,6 +514,7 @@ class Model(Module):
         sampler = make_sampler(temp=float(temperature), top_k=int(top_k),
                                top_p=float(top_p))
         detok = IncrementalDetokenizer(tokenizer)
+        cleaner = _StreamCleaner()
         produced = 0
         while produced < max_tokens:
             steps = min(chunk_size, max_tokens - produced)
@@ -473,21 +524,24 @@ class Model(Module):
             toks, nv, fin = jax.device_get((out, i, done))
             nv = int(nv)
             ended = False
-            text = ""
+            raw = ""
             for t in toks[0][:nv]:
                 t = int(t)
                 if t in eos:
                     ended = True
                     break
-                text += detok.push(t)
+                raw += detok.push(t)
             produced += nv
             final = ended or bool(fin.all()) or nv < steps or \
                 produced >= max_tokens
+            if final:
+                raw += detok.flush()
+            text = cleaner.push(raw, final=final)
             if text or final:
                 yield StreamingResult(
-                    text=self._clean_output(text) if final else text,
-                    is_final=final, start_time=0.0, end_time=duration,
-                    language=language, generation_tokens=produced)
+                    text=text, is_final=final, start_time=0.0,
+                    end_time=duration, language=language,
+                    generation_tokens=produced)
             if final:
                 return
 

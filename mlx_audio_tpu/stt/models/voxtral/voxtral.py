@@ -164,21 +164,25 @@ class Model(Module):
     def get_audio_embeds(self, mel):
         return _audio_embeds(self, mel)
 
+    _RUNTIME: dict = {}  # id(self) → host-side objects (stable treedef)
+
     def _processor(self):
         """transformers VoxtralProcessor when the checkpoint ships its
         tokenizer/processor files (reference voxtral.py:311-339 loads it in
-        from_pretrained); None otherwise."""
-        if not hasattr(self, "_proc_cache"):
-            self._proc_cache = None
+        from_pretrained); None otherwise. Cached outside the pytree so the
+        model's treedef (and any jit cache keyed on it) is unchanged."""
+        rt = Model._RUNTIME.setdefault(id(self), {})
+        if "processor" not in rt:
+            rt["processor"] = None
             if self.config.model_path:
                 try:
                     from transformers import AutoProcessor
 
-                    self._proc_cache = AutoProcessor.from_pretrained(
+                    rt["processor"] = AutoProcessor.from_pretrained(
                         self.config.model_path)
                 except Exception:
-                    self._proc_cache = None
-        return self._proc_cache
+                    rt["processor"] = None
+        return rt["processor"]
 
     def stream_generate(self, audio, *, language: str = "en",
                         max_tokens: int = 512, temperature: float = 0.0,
@@ -232,6 +236,8 @@ class Model(Module):
             produced += nv
             final = ended or bool(fin.all()) or nv < steps or \
                 produced >= max_tokens
+            if final and detok:
+                text += detok.flush()
             if text or final:
                 yield StreamingResult(text=text, is_final=final,
                                       end_time=duration, language=language,

@@ -29,8 +29,12 @@ def convert(torch_ckpt: str, output_dir: str, dtype: str = "float32") -> Path:
     dims = dict(state["dims"])
     dims["model_type"] = "whisper"
     weights = {}
-    cast = {"float16": np.float16, "bfloat16": np.float32,
-            "float32": np.float32}[dtype]
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        cast = ml_dtypes.bfloat16
+    else:
+        cast = {"float16": np.float16, "float32": np.float32}[dtype]
     for k, v in state["model_state_dict"].items():
         arr = v.detach().cpu().numpy()
         if arr.dtype.kind == "f":

@@ -549,8 +549,15 @@ class Model(Module):
                  ) -> Generator[GenerationResult, None, None]:
         # reference spark.py:218-258: float pitch/speed map to level
         # tokens; a reference audio switches to voice-clone mode
-        pitch = PITCH_MAP.get(pitch, pitch) if not isinstance(pitch, str) else pitch
-        speed = SPEED_MAP.get(speed, speed) if not isinstance(speed, str) else speed
+        def _level(v, table):
+            if isinstance(v, str):
+                return v
+            # snap continuous values (OpenAI speech API allows 0.25-4.0)
+            # to the nearest control level
+            return table[min(table, key=lambda k: abs(k - float(v)))]
+
+        pitch = _level(pitch, PITCH_MAP)
+        speed = _level(speed, SPEED_MAP)
         if ref_audio is not None:
             gender = None
         rt = Model._RUNTIME.get(id(self), {})

@@ -161,15 +161,26 @@ def load_weight_files(model_path: Path) -> dict:
                 weights.update({k: data[k] for k in data.files})
         return weights
     torch_files = sorted(
-        f for pat in ("*.pt", "*.pth", "*.bin")
+        f for pat in ("*.pt", "*.pth", "*.bin", "*.ckpt")
         for f in glob.glob(str(model_path / pat))
+        if not Path(f).name.startswith(("training_args", "optimizer",
+                                        "scheduler", "rng_state"))
     )
     if not torch_files:
         raise FileNotFoundError(
             f"No weight files (safetensors/npz/pt) found in {model_path}"
         )
+    loaded_any = False
+    errors = []
     for wf in torch_files:
-        weights.update(_load_one_weight_file(Path(wf)))
+        try:
+            weights.update(_load_one_weight_file(Path(wf)))
+            loaded_any = True
+        except Exception as e:  # non-weight pickle alongside the weights
+            errors.append(f"{Path(wf).name}: {e}")
+    if not loaded_any:
+        raise ValueError(
+            f"No torch file in {model_path} contained weights: {errors}")
     return weights
 
 

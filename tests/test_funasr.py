@@ -83,3 +83,16 @@ def test_clean_output_and_language_detect():
     assert Model._detect_language_from_text("hello world") == "en"
     assert Model._detect_language_from_text("你好世界你好") == "zh"
     assert Model._detect_language_from_text("Привет мир") == "ru"
+
+
+def test_stream_cleaner_spans_chunks():
+    from mlx_audio_tpu.stt.models.funasr.funasr import _StreamCleaner
+
+    c = _StreamCleaner()
+    out = c.push("<th")          # possible marker prefix — held
+    out += c.push("ink>secret reasoning")
+    out += c.push(" more</think>he")
+    out += c.push("llo <|im_e")
+    out += c.push("nd|> world", final=True)
+    assert "secret" not in out and "<|im_end|>" not in out
+    assert out == "hello world"

@@ -88,3 +88,12 @@ def test_prompt_building():
     assert "<|gender_1|>" in p and "<|pitch_label_1|>" in p
     p2 = m.process_prompt("hi", np.array([1, 2, 3]))
     assert "<|bicodec_global_2|>" in p2
+
+
+def test_float_controls_snap_to_levels():
+    """Continuous pitch/speed (e.g. the OpenAI speech API's 0.25-4.0 range)
+    snap to the nearest control level instead of raising."""
+    from mlx_audio_tpu.tts.models.spark.spark import PITCH_MAP
+
+    assert PITCH_MAP[min(PITCH_MAP, key=lambda k: abs(k - 1.2))] == "moderate"
+    assert PITCH_MAP[min(PITCH_MAP, key=lambda k: abs(k - 0.25))] in ("very_low", "low")
