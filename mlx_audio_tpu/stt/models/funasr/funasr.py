@@ -586,11 +586,18 @@ class Model(Module):
         out = {}
         for key, value in weights.items():
             k = key
+            if k.startswith("model."):  # original FunASR wraps everything
+                k = k[len("model."):]
             k = k.replace(".feed_forward.w_1.", ".w_1.")
             k = k.replace(".feed_forward.w_2.", ".w_2.")
-            if k.startswith("llm.model.") or k.startswith("llm.lm_head."):
+            # reference module attribute names (funasr.py:172-190)
+            if k.startswith("audio_encoder."):
+                k = "encoder." + k[len("audio_encoder."):]
+            elif k.startswith("audio_adaptor."):
+                k = "adaptor." + k[len("audio_adaptor."):]
+            if k.startswith(("llm.", "encoder.", "adaptor.")):
                 pass
-            elif k.startswith("model."):
+            elif k.startswith(("model.", "lm_head.")):
                 k = "llm." + k
             out[k] = value
         return orient_weights_to_model(self, out)

@@ -96,3 +96,21 @@ def test_stream_cleaner_spans_chunks():
     out += c.push("nd|> world", final=True)
     assert "secret" not in out and "<|im_end|>" not in out
     assert out == "hello world"
+
+
+def test_sanitize_reference_key_layout():
+    """Keys shaped like reference/original FunASR checkpoints
+    (model.audio_encoder.* / audio_adaptor.* / llm.*) map onto our tree."""
+    import numpy as np
+
+    m = Model(tiny_cfg())
+    w = {
+        "model.audio_encoder.encoders.0.feed_forward.w_1.weight":
+            np.zeros((32, 16), np.float32),
+        "audio_adaptor.blocks.0.linear_q.weight": np.zeros((16, 16), np.float32),
+        "model.llm.model.embed_tokens.weight": np.zeros((150, 24), np.float32),
+    }
+    out = m.sanitize(w)
+    assert "encoder.encoders.0.w_1.weight" in out
+    assert "adaptor.blocks.0.linear_q.weight" in out
+    assert "llm.model.embed_tokens.weight" in out
