@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
+from pathlib import Path
 from typing import List, Optional
 
 import jax
@@ -252,7 +253,36 @@ class Model(Module):
     @classmethod
     def post_load_hook(cls, model, model_path):
         model.config.model_path = str(model_path)
+        gen_cfg = Path(model_path) / "generation_config.json"
+        if gen_cfg.exists():
+            import json
+
+            model.load_generate_config(json.loads(gen_cfg.read_text()))
         return model
+
+    # speaker/language discovery API (reference qwen3_tts.py:160-196)
+    _GEN_CONFIG: dict = {}  # id(self) → generation_config.json contents
+
+    def load_generate_config(self, generate_config: dict) -> None:
+        Model._GEN_CONFIG[id(self)] = generate_config
+
+    @property
+    def generate_config(self):
+        return Model._GEN_CONFIG.get(id(self))
+
+    @property
+    def supported_languages(self) -> List[str]:
+        langs = ["auto"]
+        for lang_id in (self.config.talker_config.codec_language_id or {}):
+            if "dialect" not in lang_id:
+                langs.append(lang_id)
+        return langs
+
+    def get_supported_speakers(self) -> List[str]:
+        return self.supported_speakers
+
+    def get_supported_languages(self) -> List[str]:
+        return self.supported_languages
 
     # ------------------------------------------------------------------
 
