@@ -83,3 +83,14 @@ def test_cli_stream_writes_txt(whisper_ckpt, tone_wav, tmp_path):
           "--gen-kwargs", json.dumps({"max_tokens": 8})])
     written = list(out.glob("*.txt")) if out.is_dir() else [out.with_suffix(".txt")]
     assert any(p.exists() for p in written), list(out.parent.rglob("*"))
+
+
+def test_cli_all_formats(whisper_ckpt, tone_wav, tmp_path):
+    from mlx_audio_tpu.stt.generate import main
+
+    out = tmp_path / "out_all"
+    main(["--model", str(whisper_ckpt), "--audio", tone_wav,
+          "--output-path", str(out), "--format", "all",
+          "--gen-kwargs", json.dumps({"sample_len": 6})])
+    exts = {p.suffix for p in out.rglob("*") if p.is_file()}
+    assert {".txt", ".srt", ".vtt", ".tsv", ".json"} <= exts, exts
