@@ -43,3 +43,19 @@ def load_model(model_path: Union[str, Path], lazy: bool = False,
         strict=strict,
         **kwargs,
     )
+
+
+def convert(hf_path: str, mlx_path: str = "converted_model",
+            quantize: bool = False, q_group_size: int = 64, q_bits: int = 4,
+            dtype: str = None, upload_repo: str = None, revision=None,
+            dequantize: bool = False, quant_predicate: str = None, **kwargs):
+    """Legacy per-domain convert wrapper (reference tts/utils.py:225-320) —
+    delegates to the package-level converter."""
+    from ..convert import convert as _convert
+
+    return _convert(
+        hf_path, mlx_path, quantize=quantize, q_bits=q_bits,
+        q_group_size=q_group_size, q_recipe=quant_predicate,
+        dequantize=dequantize, dtype=dtype, upload_repo=upload_repo,
+        revision=revision,
+    )
