@@ -69,7 +69,8 @@ def split_causal_lm(lm, mesh: Optional[Mesh] = None,
 
 def pp_lm_logits(params: PipelinedLM, tokens: jax.Array, mesh: Mesh, *,
                  head_dim: int, rope_theta: float,
-                 microbatches: Optional[int] = None) -> jax.Array:
+                 microbatches: Optional[int] = None,
+                 remat: bool = False) -> jax.Array:
     """Training forward (no KV cache): (B, T) tokens → (B, T, V)."""
     from ..ops.attention import make_causal_mask
     from ..ops.rope import rope_cos_sin
@@ -86,6 +87,11 @@ def pp_lm_logits(params: PipelinedLM, tokens: jax.Array, mesh: Mesh, *,
     def layer_fn(layer, x, cos, sin, mask):
         return layer(x, cos, sin, mask, None)[0]
 
+    if remat:
+        # rematerialize per-layer activations in backward: trades FLOPs for
+        # HBM so long sequences / deep stacks fit (jax.checkpoint)
+        layer_fn = jax.checkpoint(layer_fn)
+
     h = pipeline_forward(params.stacked_blocks, h, layer_fn, mesh,
                          cos, sin, mask, microbatches=microbatches)
     h = params.norm(h)
@@ -96,10 +102,12 @@ def pp_lm_logits(params: PipelinedLM, tokens: jax.Array, mesh: Mesh, *,
 
 def lm_loss(params: PipelinedLM, tokens: jax.Array, mesh: Mesh, *,
             head_dim: int, rope_theta: float,
-            microbatches: Optional[int] = None) -> jax.Array:
+            microbatches: Optional[int] = None,
+            remat: bool = False) -> jax.Array:
     """Mean next-token cross-entropy (f32 log-softmax for stability)."""
     logits = pp_lm_logits(params, tokens[:, :-1], mesh, head_dim=head_dim,
-                          rope_theta=rope_theta, microbatches=microbatches)
+                          rope_theta=rope_theta, microbatches=microbatches,
+                          remat=remat)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -108,22 +116,52 @@ def lm_loss(params: PipelinedLM, tokens: jax.Array, mesh: Mesh, *,
 
 def make_train_step(optimizer, mesh: Mesh, *, head_dim: int,
                     rope_theta: float,
-                    microbatches: Optional[int] = None):
+                    microbatches: Optional[int] = None,
+                    grad_accum: int = 1,
+                    remat: bool = False):
     """jit-compiled (params, opt_state, tokens) → (params, opt_state,
     loss) with the batch sharded over `data`.
 
     `optimizer` is any optax GradientTransformation; opt_state from
     `optimizer.init(params)` inherits the parameter shardings.
+
+    grad_accum > 1 splits the leading batch axis into that many
+    sequentially-accumulated chunks (one optimizer update), letting the
+    effective batch exceed what fits in HBM at once; remat=True
+    rematerializes layer activations in the backward pass
+    (`jax.checkpoint`), trading FLOPs for memory on long sequences.
     """
     import optax
+
+    def loss_fn(p, toks):
+        return lm_loss(p, toks, mesh, head_dim=head_dim,
+                       rope_theta=rope_theta, microbatches=microbatches,
+                       remat=remat)
 
     def step(params: PipelinedLM, opt_state, tokens):
         tokens = jax.lax.with_sharding_constraint(
             tokens, NamedSharding(mesh, P("data", None)))
-        loss, grads = jax.value_and_grad(
-            lambda p: lm_loss(p, tokens, mesh, head_dim=head_dim,
-                              rope_theta=rope_theta,
-                              microbatches=microbatches))(params)
+        if grad_accum > 1:
+            B = tokens.shape[0]
+            if B % grad_accum:
+                raise ValueError(
+                    f"batch {B} not divisible by grad_accum={grad_accum}")
+            chunks = tokens.reshape(grad_accum, B // grad_accum,
+                                    tokens.shape[1])
+
+            def accum(carry, toks):
+                loss_sum, grad_sum = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, toks)
+                grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+                return (loss_sum + loss, grad_sum), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                accum, (jnp.zeros((), jnp.float32), zeros), chunks)
+            loss = loss_sum / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grad_sum)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -139,3 +139,44 @@ def test_pipeline_grad_matches_sequential_grad():
     got_leaf = np.asarray(
         g_pp.stacked_blocks.self_attn.q_proj.weight[0])
     np.testing.assert_allclose(got_leaf, ref_leaf, atol=2e-4, rtol=2e-3)
+
+
+def test_grad_accum_and_remat_match_plain_step():
+    """grad_accum=2 + remat must produce the same update as one full-batch
+    step (same total gradient, scaled identically)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from mlx_audio_tpu.lm.transformer import CausalLM, LMConfig
+    from mlx_audio_tpu.parallel import get_mesh
+    from mlx_audio_tpu.parallel.train import make_train_step, split_causal_lm
+
+    cfg = LMConfig.from_dict(dict(
+        model_type="llama", vocab_size=64, hidden_size=16,
+        intermediate_size=32, num_hidden_layers=2, num_attention_heads=2,
+        num_key_value_heads=2, head_dim=8))
+    mesh = get_mesh(data=2, stage=2, model=2)
+    lm = CausalLM(cfg)
+    params, static = split_causal_lm(lm, mesh)
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(params)
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 64, (4, 12)), jnp.int32)
+
+    plain = make_train_step(opt, mesh, **static)
+    accum = make_train_step(opt, mesh, grad_accum=2, remat=True, **static)
+
+    import jax.numpy as _jnp
+
+    copy = lambda t: jax.tree.map(_jnp.copy, t)  # steps donate their inputs
+    p1, _, l1 = plain(copy(params), copy(opt_state), tokens)
+    p2, _, l2 = accum(copy(params), copy(opt_state), tokens)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(p1)
+    b = jax.tree_util.tree_leaves(p2)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5, rtol=1e-5)
