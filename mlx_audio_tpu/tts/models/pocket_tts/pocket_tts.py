@@ -515,10 +515,11 @@ class Model(Module):
                                                          jnp.float32)[None])
         return latents @ self.speaker_proj_weight.T  # (1, T', d_model)
 
-    def generate_audio(self, text_to_generate: str, ref_audio=None,
-                       frames_after_eos: Optional[int] = None,
-                       max_gen_len: Optional[int] = None,
-                       key=None) -> np.ndarray:
+    def _generate_latents(self, text_to_generate: str, ref_audio=None,
+                          frames_after_eos: Optional[int] = None,
+                          max_gen_len: Optional[int] = None,
+                          key=None):
+        """One on-device AR pass → (latents (n, ldim) jnp, n)."""
         tokens = self._tokenize(text_to_generate)
         text_emb = self.flow_lm.conditioner(jnp.asarray(tokens))
         if ref_audio is not None:
@@ -549,10 +550,43 @@ class Model(Module):
             float(self.eos_threshold))
         n = int(n)
         if n == 0:
+            return None, 0
+        return latents[:n] * self.flow_lm.emb_std + self.flow_lm.emb_mean, n
+
+    def generate_audio(self, text_to_generate: str, ref_audio=None,
+                       frames_after_eos: Optional[int] = None,
+                       max_gen_len: Optional[int] = None,
+                       key=None) -> np.ndarray:
+        lat, n = self._generate_latents(text_to_generate, ref_audio,
+                                        frames_after_eos, max_gen_len, key)
+        if n == 0:
             return np.zeros((0,), np.float32)
-        lat = latents[:n] * self.flow_lm.emb_std + self.flow_lm.emb_mean
         audio = self.mimi.decode_from_latent(lat[None])
         return np.asarray(audio[0])
+
+    def generate_audio_stream(self, text_to_generate: str, ref_audio=None,
+                              frames_after_eos: Optional[int] = None,
+                              max_gen_len: Optional[int] = None,
+                              chunk_frames: int = 25,
+                              overlap_frames: int = 4,
+                              key=None):
+        """Yield waveform chunks (reference pocket_tts.py:179-233 streams
+        per frame). TPU-first shape: the AR latent loop stays ONE dispatch
+        (per-frame host syncs would dominate), then audio streams out as
+        overlapped codec-decode chunks — the same chunked-decode-with-
+        context pattern the reference uses for Qwen3-TTS streaming
+        (qwen3_tts.py:963-985); the overlap warms the decoder's receptive
+        field so chunk boundaries are artifact-free."""
+        lat, n = self._generate_latents(text_to_generate, ref_audio,
+                                        frames_after_eos, max_gen_len, key)
+        if n == 0:
+            return
+        spf = int(round(self.mimi.sample_rate / self.mimi.frame_rate))
+        for start in range(0, n, chunk_frames):
+            ctx = max(0, start - overlap_frames)
+            chunk = lat[ctx: start + chunk_frames]
+            audio = np.asarray(self.mimi.decode_from_latent(chunk[None])[0])
+            yield audio[(start - ctx) * spf:]
 
     def generate(self, text: str, ref_audio=None, seed: Optional[int] = None,
                  **kwargs) -> Generator[GenerationResult, None, None]:

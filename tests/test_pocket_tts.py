@@ -82,3 +82,24 @@ def test_generate_with_ref_audio_conditioning():
     res = list(model.generate("hi", ref_audio=ref, seed=0))
     assert len(res) == 1
     assert np.isfinite(res[0].audio).all()
+
+
+def test_generate_audio_stream_concatenates_to_full():
+    """Streamed chunks must reconstruct the one-shot decode (same latents;
+    each chunk decodes with a warm-up overlap)."""
+    model = tiny_model()
+    model.set_runtime(tokenizer=FakeTok())
+    # frames_after_eos > max_gen_len → always generates the full 12 frames
+    full = model.generate_audio("hello there", max_gen_len=12,
+                                frames_after_eos=20,
+                                key=jax.random.PRNGKey(3))
+    chunks = list(model.generate_audio_stream(
+        "hello there", chunk_frames=5, overlap_frames=2, max_gen_len=12,
+        frames_after_eos=20, key=jax.random.PRNGKey(3)))
+    assert len(chunks) >= 2
+    joined = np.concatenate(chunks)
+    assert joined.shape == full.shape
+    # identical latents; overlapped decode differs only inside the first
+    # receptive field of each chunk — overall signal must stay close
+    err = np.abs(joined - full).mean()
+    assert err < 0.1, err
