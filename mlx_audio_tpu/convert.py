@@ -222,12 +222,15 @@ def convert(
                                      overrides=q)
     elif quantize:
         original_keys = set(weights)
-        weights = quantize_weights(weights, q_bits, q_group_size, q_recipe)
+        recipe = q_recipe if isinstance(q_recipe, str) else None
+        predicate = q_recipe if callable(q_recipe) else None
+        weights = quantize_weights(weights, q_bits, q_group_size, recipe,
+                                   predicate=predicate)
         config["quantization"] = {"bits": q_bits, "group_size": q_group_size}
-        if q_recipe:
-            config["quantization"]["recipe"] = q_recipe
+        if recipe:
+            config["quantization"]["recipe"] = recipe
             # per-path overrides so the loader unpacks mixed bit-widths
-            fn = QUANT_RECIPES[q_recipe]
+            fn = QUANT_RECIPES[recipe]
             for k in original_keys:
                 if k.endswith(".weight") and k[:-len(".weight")] + ".scales" in weights:
                     b = fn(k)

@@ -146,20 +146,30 @@ def make_train_step(optimizer, mesh: Mesh, *, head_dim: int,
             if B % grad_accum:
                 raise ValueError(
                     f"batch {B} not divisible by grad_accum={grad_accum}")
-            chunks = tokens.reshape(grad_accum, B // grad_accum,
-                                    tokens.shape[1])
+            # interleaved split: chunk i takes rows i, i+g, ... so every
+            # micro-batch keeps the input's `data`-axis sharding (a
+            # contiguous split would land each chunk on a subset of the
+            # data shards and force resharding per accumulation step)
+            chunks = tokens.reshape(B // grad_accum, grad_accum,
+                                    tokens.shape[1]).swapaxes(0, 1)
 
             def accum(carry, toks):
                 loss_sum, grad_sum = carry
                 loss, grads = jax.value_and_grad(loss_fn)(params, toks)
-                grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+                # accumulate in f32 — bf16 summation loses small
+                # contributions across micro-steps
+                grad_sum = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), grad_sum, grads)
                 return (loss_sum + loss, grad_sum), None
 
-            zeros = jax.tree.map(jnp.zeros_like, params)
+            zeros = jax.tree.map(
+                lambda p_: jnp.zeros(p_.shape, jnp.float32), params)
             (loss_sum, grad_sum), _ = jax.lax.scan(
                 accum, (jnp.zeros((), jnp.float32), zeros), chunks)
             loss = loss_sum / grad_accum
-            grads = jax.tree.map(lambda g: g / grad_accum, grad_sum)
+            grads = jax.tree.map(
+                lambda g, p_: (g / grad_accum).astype(p_.dtype),
+                grad_sum, params)
         else:
             loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
         updates, opt_state = optimizer.update(grads, opt_state, params)

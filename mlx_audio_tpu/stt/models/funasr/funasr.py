@@ -586,7 +586,12 @@ class Model(Module):
         out = {}
         for key, value in weights.items():
             k = key
-            if k.startswith("model."):  # original FunASR wraps everything
+            # original FunASR wraps the whole model: model.audio_encoder.*,
+            # model.llm.*; strip ONLY that wrapper — a bare HF-LLM layout
+            # (model.embed_tokens.* etc.) must keep its prefix so the
+            # llm.-re-prefix branch below still applies
+            if k.startswith(("model.audio_encoder.", "model.audio_adaptor.",
+                             "model.llm.")):
                 k = k[len("model."):]
             k = k.replace(".feed_forward.w_1.", ".w_1.")
             k = k.replace(".feed_forward.w_2.", ".w_2.")

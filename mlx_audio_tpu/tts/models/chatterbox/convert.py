@@ -51,6 +51,10 @@ def convert(source: str, output_dir: str, quantize: bool = False,
     weights = model.sanitize(weights)
 
     config = {"model_type": "chatterbox", "version": "1.0"}
+    if model_config:
+        # the tensors were shaped under this config — persist it so
+        # load_model reconstructs the same architecture
+        config.update(model_config)
     if quantize:
         # T3's Llama backbone carries the bulk of the parameters; keep
         # conditioning/vocoder float (reference convert.py:121-153)

@@ -568,25 +568,44 @@ class Model(Module):
                               frames_after_eos: Optional[int] = None,
                               max_gen_len: Optional[int] = None,
                               chunk_frames: int = 25,
-                              overlap_frames: int = 4,
+                              overlap_frames: int = 12,
                               key=None):
         """Yield waveform chunks (reference pocket_tts.py:179-233 streams
         per frame). TPU-first shape: the AR latent loop stays ONE dispatch
         (per-frame host syncs would dominate), then audio streams out as
-        overlapped codec-decode chunks — the same chunked-decode-with-
-        context pattern the reference uses for Qwen3-TTS streaming
-        (qwen3_tts.py:963-985); the overlap warms the decoder's receptive
-        field so chunk boundaries are artifact-free."""
+        overlapped codec-decode chunks — the chunked-decode-with-context
+        pattern the reference uses for Qwen3-TTS streaming
+        (qwen3_tts.py:963-985). Each chunk decodes with `overlap_frames`
+        of left latent context to warm the decoder, and consecutive chunks
+        are linearly crossfaded over that overlap (the dacvae.py
+        chunk-stitch approach) so residual boundary mismatch fades instead
+        of stepping."""
         lat, n = self._generate_latents(text_to_generate, ref_audio,
                                         frames_after_eos, max_gen_len, key)
         if n == 0:
             return
         spf = int(round(self.mimi.sample_rate / self.mimi.frame_rate))
+        xfade = overlap_frames * spf
+        held = None  # tail samples re-decoded (with context) by next chunk
         for start in range(0, n, chunk_frames):
             ctx = max(0, start - overlap_frames)
-            chunk = lat[ctx: start + chunk_frames]
-            audio = np.asarray(self.mimi.decode_from_latent(chunk[None])[0])
-            yield audio[(start - ctx) * spf:]
+            audio = np.asarray(self.mimi.decode_from_latent(
+                lat[ctx: start + chunk_frames][None])[0])
+            rel = (start - ctx) * spf  # index of this chunk's new content
+            if held is not None:
+                # both decodes cover [start*spf - len(held), start*spf)
+                m = min(len(held), rel)
+                ramp = np.linspace(0.0, 1.0, m, dtype=np.float32)
+                yield (held[len(held) - m:] * (1.0 - ramp)
+                       + audio[rel - m: rel] * ramp)
+            out = audio[rel:]
+            last = start + chunk_frames >= n
+            if not last and len(out) > xfade:
+                held = out[len(out) - xfade:]
+                yield out[: len(out) - xfade]
+            else:
+                held = None
+                yield out
 
     def generate(self, text: str, ref_audio=None, seed: Optional[int] = None,
                  **kwargs) -> Generator[GenerationResult, None, None]:

@@ -261,14 +261,15 @@ class Model(Module):
         return model
 
     # speaker/language discovery API (reference qwen3_tts.py:160-196)
-    _GEN_CONFIG: dict = {}  # id(self) → generation_config.json contents
 
     def load_generate_config(self, generate_config: dict) -> None:
-        Model._GEN_CONFIG[id(self)] = generate_config
+        # stored on the (static, non-pytree) config object, like
+        # config.model_path — survives tree transforms, no id-keyed cache
+        self.config.generate_config = generate_config
 
     @property
     def generate_config(self):
-        return Model._GEN_CONFIG.get(id(self))
+        return getattr(self.config, "generate_config", None)
 
     @property
     def supported_languages(self) -> List[str]:

@@ -114,3 +114,8 @@ def test_sanitize_reference_key_layout():
     assert "encoder.encoders.0.w_1.weight" in out
     assert "adaptor.blocks.0.linear_q.weight" in out
     assert "llm.model.embed_tokens.weight" in out
+
+    # bare HF-LLM layout keeps its model. prefix and re-prefixes under llm.
+    out2 = m.sanitize({"model.embed_tokens.weight":
+                       np.zeros((150, 24), np.float32)})
+    assert "llm.model.embed_tokens.weight" in out2
