@@ -190,3 +190,15 @@ def test_forced_aligner_end_to_end():
     for item in result:
         assert item.end_time >= 0
     assert result.text == "hi there"
+
+
+def test_forced_aligner_registry_shim():
+    """model_type 'qwen3_forced_aligner' resolves through the stt registry
+    (reference ships the same re-export shim package)."""
+    from mlx_audio_tpu.stt.utils import MODEL_REMAPPING
+    from mlx_audio_tpu.utils import get_model_class
+
+    arch, mt = get_model_class("qwen3_forced_aligner", None, "stt",
+                               MODEL_REMAPPING)
+    assert arch.Model.__name__ == "ForcedAlignerModel"
+    assert arch.ModelConfig.__name__ == "ForcedAlignerConfig"
