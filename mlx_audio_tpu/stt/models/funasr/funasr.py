@@ -362,6 +362,14 @@ class Model(Module):
         if cmvn is not None:
             rt["cmvn"] = cmvn
 
+    def _resolve_tokenizer(self, tokenizer=None):
+        if tokenizer is not None:
+            return tokenizer
+        from ....utils import resolve_runtime_tokenizer
+
+        return resolve_runtime_tokenizer(
+            self, Model._RUNTIME.setdefault(id(self), {}), "Fun-ASR")
+
     def encode_audio(self, audio: np.ndarray) -> jnp.ndarray:
         mel = log_mel_spectrogram(audio, n_mels=self.config.n_mels,
                                   sample_rate=self.config.sample_rate)
@@ -410,10 +418,7 @@ class Model(Module):
         t0 = time.perf_counter()
         audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
-        rt = Model._RUNTIME.get(id(self), {})
-        tokenizer = tokenizer or rt.get("tokenizer")
-        if tokenizer is None:
-            raise RuntimeError("Fun-ASR tokenizer not set")
+        tokenizer = self._resolve_tokenizer(tokenizer)
 
         inputs = self._prepare_prompt(audio, tokenizer, task, language,
                                       target_language, initial_prompt)
@@ -495,10 +500,7 @@ class Model(Module):
             prompt_tokens: int = 0
             generation_tokens: int = 0
 
-        rt = Model._RUNTIME.get(id(self), {})
-        tokenizer = tokenizer or rt.get("tokenizer")
-        if tokenizer is None:
-            raise RuntimeError("Fun-ASR tokenizer not set")
+        tokenizer = self._resolve_tokenizer(tokenizer)
         audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
         inputs = self._prepare_prompt(audio, tokenizer, task, language,

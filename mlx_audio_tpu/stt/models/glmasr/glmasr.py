@@ -246,10 +246,11 @@ class Model(Module):
         t0 = time.perf_counter()
         audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
-        rt = Model._RUNTIME.get(id(self), {})
-        tokenizer = tokenizer or rt.get("tokenizer")
         if tokenizer is None:
-            raise RuntimeError("GLM-ASR tokenizer not set")
+            from ....utils import resolve_runtime_tokenizer
+
+            tokenizer = resolve_runtime_tokenizer(
+                self, Model._RUNTIME.setdefault(id(self), {}), "GLM-ASR")
 
         # long audio: split at low-energy boundaries into <=30 s chunks
         # (reference glmasr.py:23-111) and transcribe sequentially

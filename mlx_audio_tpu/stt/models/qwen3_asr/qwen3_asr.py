@@ -340,12 +340,12 @@ class Model(Module):
 
     # ------------------------------------------------------------------
     def _resolve_tokenizer(self, tokenizer=None):
-        tokenizer = tokenizer or Model._RUNTIME.get(id(self), {}).get(
-            "tokenizer")
-        if tokenizer is None:
-            raise RuntimeError("Qwen3-ASR tokenizer not set — call "
-                               "set_runtime(tokenizer=...)")
-        return tokenizer
+        if tokenizer is not None:
+            return tokenizer
+        from ....utils import resolve_runtime_tokenizer
+
+        return resolve_runtime_tokenizer(
+            self, Model._RUNTIME.setdefault(id(self), {}), "Qwen3-ASR")
 
     def _eos_ids(self, tokenizer) -> List[int]:
         eos = []

@@ -250,10 +250,12 @@ class ForcedAlignerModel(Module):
     def generate(self, audio, text: Union[str, List[str]],
                  language: Union[str, List[str]] = "English",
                  tokenizer=None, **kwargs):
-        rt = ForcedAlignerModel._RUNTIME.get(id(self), {})
-        tokenizer = tokenizer or rt.get("tokenizer")
         if tokenizer is None:
-            raise RuntimeError("Forced-aligner tokenizer not set")
+            from ....utils import resolve_runtime_tokenizer
+
+            tokenizer = resolve_runtime_tokenizer(
+                self, ForcedAlignerModel._RUNTIME.setdefault(id(self), {}),
+                "Forced-aligner")
 
         single = not isinstance(audio, list)
         audios = [audio] if single else audio

@@ -94,11 +94,10 @@ class Model(Module):
             Model._RUNTIME.setdefault(id(self), {})["tokenizer"] = tokenizer
 
     def _tokenizer(self):
-        rt = Model._RUNTIME.get(id(self), {})
-        if "tokenizer" not in rt:
-            raise RuntimeError("VibeVoice-ASR tokenizer not set — call "
-                               "set_runtime(tokenizer=...)")
-        return rt["tokenizer"]
+        from ....utils import resolve_runtime_tokenizer
+
+        return resolve_runtime_tokenizer(
+            self, Model._RUNTIME.setdefault(id(self), {}), "VibeVoice-ASR")
 
     # ------------------------------------------------------------------
     def encode_speech(self, audio: jnp.ndarray) -> jnp.ndarray:

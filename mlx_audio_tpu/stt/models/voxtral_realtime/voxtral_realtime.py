@@ -395,6 +395,22 @@ class Model(Module):
         if tokenizer is not None:
             Model._RUNTIME.setdefault(id(self), {})["tokenizer"] = tokenizer
 
+    def _resolve_tokenizer(self, tokenizer=None):
+        """Explicit arg → runtime slot → lazy tekken.json next to the
+        weights (reference voxtral_realtime.py:517-522)."""
+        if tokenizer is not None:
+            return tokenizer
+        rt = Model._RUNTIME.setdefault(id(self), {})
+        tok = rt.get("tokenizer")
+        if tok is None:
+            model_path = getattr(self.config, "model_path", None)
+            if model_path:
+                from .tokenizer import TekkenTokenizer
+
+                tok = TekkenTokenizer.from_model_path(model_path)
+                rt["tokenizer"] = tok
+        return tok
+
     def _prepare_mel(self, audio: np.ndarray, delay_ms: Optional[int]):
         delay_ms = delay_ms or self.config.transcription_delay_ms
         n_delay = _num_delay_tokens(delay_ms)
@@ -428,8 +444,7 @@ class Model(Module):
         t0 = time.perf_counter()
         audio = ensure_waveform(audio, SAMPLE_RATE)
         duration = len(audio) / SAMPLE_RATE
-        rt = Model._RUNTIME.get(id(self), {})
-        tokenizer = tokenizer or rt.get("tokenizer")
+        tokenizer = self._resolve_tokenizer(tokenizer)
 
         mel, n_delay = self._prepare_mel(audio, transcription_delay_ms)
         adapter_out = self.encoder(mel)  # (Na, D)

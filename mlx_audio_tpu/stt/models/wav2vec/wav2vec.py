@@ -152,6 +152,27 @@ class Wav2Vec2Model(Module):
         h = self.feature_projection(feats)
         return self.encoder(h)
 
+    def hidden_states(self, input_values):
+        """All encoder hidden states, HF ordering: index 0 is the
+        post-positional-embedding input, index i (1-based) is the output
+        of layer i; with stable layer-norm the final entry has the last
+        layer_norm applied (HF Wav2Vec2EncoderStableLayerNorm semantics).
+        Used by Spark-TTS's BiCodec feature extractor, which mixes states
+        11/14/16 (reference spark/audio_tokenizer.py:74-88)."""
+        feats = self.feature_extractor(input_values[..., None])
+        h = self.feature_projection(feats)
+        enc = self.encoder
+        h = h + enc.pos_conv_embed(h)
+        if not enc.stable:
+            h = enc.layer_norm(h)
+        states = [h]
+        for layer in enc.layers:
+            h = layer(h)
+            states.append(h)
+        if enc.stable:
+            states[-1] = enc.layer_norm(states[-1])
+        return states
+
 
 class _FeatureExtractor(Module):
     def __init__(self, cfg: ModelConfig):

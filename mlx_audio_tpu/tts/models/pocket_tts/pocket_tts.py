@@ -501,7 +501,11 @@ class Model(Module):
             Model._RUNTIME.setdefault(id(self), {})["tokenizer"] = tokenizer
 
     def _tokenize(self, text: str) -> np.ndarray:
-        rt = Model._RUNTIME.get(id(self), {})
+        rt = Model._RUNTIME.setdefault(id(self), {})
+        if "tokenizer" not in rt:
+            tok = self._load_sp_tokenizer()
+            if tok is not None:
+                rt["tokenizer"] = tok
         if "tokenizer" in rt:
             ids = rt["tokenizer"].encode(text)
             if hasattr(ids, "ids"):
@@ -509,6 +513,31 @@ class Model(Module):
             return np.asarray(ids, np.int32).reshape(1, -1)
         raise RuntimeError("PocketTTS text tokenizer not loaded — "
                            "call set_runtime(tokenizer=...)")
+
+    def _load_sp_tokenizer(self):
+        """SentencePiece model from config.tokenizer_path or next to the
+        weights (reference conditioners.py:18-24). Gated: sentencepiece
+        is an optional dependency."""
+        from pathlib import Path
+
+        candidates = []
+        if getattr(self.config, "tokenizer_path", ""):
+            candidates.append(Path(self.config.tokenizer_path))
+        model_path = getattr(self.config, "model_path", None)
+        if model_path:
+            candidates += [Path(model_path) / "tokenizer.model",
+                           Path(model_path) / "tokenizer.spm"]
+        for cand in candidates:
+            if cand.exists():
+                try:
+                    import sentencepiece
+                except ImportError:
+                    raise RuntimeError(
+                        "PocketTTS needs the `sentencepiece` package to "
+                        f"load its tokenizer from {cand}; install it or "
+                        "pass a tokenizer via set_runtime()") from None
+                return sentencepiece.SentencePieceProcessor(str(cand))
+        return None
 
     def _encode_audio(self, audio) -> jnp.ndarray:
         latents = self.mimi.encode_to_latent(jnp.asarray(audio,

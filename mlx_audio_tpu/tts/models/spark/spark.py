@@ -13,6 +13,7 @@ import math
 import re
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Any, Generator, List, Optional, Tuple
 
 import jax
@@ -232,30 +233,29 @@ class FeatDecoder(Module):
                  sample_ratios: List[int] = (1, 1),
                  use_tanh_at_final: bool = False):
         self.linear_pre = nn.Linear(input_channels, vocos_dim)
-        self.upsample = [
+        # NOTE: the up-sampling list is named `downsample` to match the
+        # reference checkpoint tree (reference feat_decoder.py:66 names
+        # its upsample path "downsample")
+        self.downsample = [
             [SamplingBlock(vocos_dim, groups=vocos_dim, upsample_scale=r),
              VocosBackbone(vocos_dim, vocos_dim, vocos_intermediate_dim, 2)]
             for r in sample_ratios
         ]
+        # continuous AdaLayerNorm conditioning on the d_vector: scale/shift
+        # Linear(condition_dim → dim) inside every norm of the backbone
+        # (reference feat_decoder.py:68-74 + vocos.py:198-214)
         self.vocos_backbone = VocosBackbone(
-            vocos_dim, vocos_dim, vocos_intermediate_dim, vocos_num_layers)
-        if condition_dim is not None:
-            # continuous speaker conditioning added before the backbone
-            # (the reference routes d_vector through AdaLayerNorm ids, which
-            # only type-checks for integral conditions; a learned projection
-            # is the faithful continuous-conditioning equivalent)
-            self.cond_proj = nn.Linear(condition_dim, vocos_dim)
+            vocos_dim, vocos_dim, vocos_intermediate_dim, vocos_num_layers,
+            adanorm_num_embeddings=condition_dim)
         self.linear = nn.Linear(vocos_dim, out_channels)
         self.use_tanh_at_final = use_tanh_at_final
 
     def __call__(self, x, c=None):
         """(B, T, input_channels), cond (B, D) → (B, T', out_channels)."""
         x = self.linear_pre(x)
-        for block, backbone in self.upsample:
+        for block, backbone in self.downsample:
             x = backbone(block(x))
-        if c is not None and hasattr(self, "cond_proj"):
-            x = x + self.cond_proj(c)[:, None, :]
-        x = self.vocos_backbone(x)
+        x = self.vocos_backbone(x, bandwidth_id=c)
         x = self.linear(x)
         return jnp.tanh(x) if self.use_tanh_at_final else x
 
@@ -295,43 +295,127 @@ class WaveGenerator(Module):
 # ---------------------------------------------------------------------------
 # speaker encoder (reference modules/speaker/*)
 # ---------------------------------------------------------------------------
-class _SpkTDNN(Module):
-    def __init__(self, in_ch, out_ch, k, dilation=1):
-        self.conv = nn.Conv1d(in_ch, out_ch, k, dilation=dilation,
-                              padding=((k - 1) * dilation) // 2)
+class Conv1dReluBn(Module):
+    """conv → relu → batchnorm (reference modules/speaker/ecapa_tdnn.py:90)."""
+
+    def __init__(self, in_ch, out_ch, kernel_size=1, stride=1, padding=0,
+                 dilation=1):
+        self.conv = nn.Conv1d(in_ch, out_ch, kernel_size, stride=stride,
+                              padding=padding, dilation=dilation)
         self.bn = nn.BatchNorm(out_ch)
 
-    def __call__(self, x):
+    def __call__(self, x):  # (B, T, C)
         return self.bn(jax.nn.relu(self.conv(x)))
 
 
+class Res2Conv1dReluBn(Module):
+    """Res2Net grouped conv (reference ecapa_tdnn.py:27-82), channels-last."""
+
+    def __init__(self, channels, kernel_size=1, stride=1, padding=0,
+                 dilation=1, scale=4):
+        assert channels % scale == 0
+        self.scale = scale
+        self.width = channels // scale
+        self.nums = scale if scale == 1 else scale - 1
+        self.convs = [nn.Conv1d(self.width, self.width, kernel_size,
+                                stride=stride, padding=padding,
+                                dilation=dilation)
+                      for _ in range(self.nums)]
+        self.bns = [nn.BatchNorm(self.width) for _ in range(self.nums)]
+
+    def __call__(self, x):  # (B, T, C)
+        spx = jnp.split(x, self.scale, axis=-1)
+        out = []
+        sp = spx[0]
+        for i, (conv, bn) in enumerate(zip(self.convs, self.bns)):
+            if i >= 1:
+                sp = sp + spx[i]
+            sp = bn(jax.nn.relu(conv(sp)))
+            out.append(sp)
+        if self.scale != 1:
+            out.append(spx[self.nums])
+        return jnp.concatenate(out, axis=-1)
+
+
+class SE_Connect(Module):
+    """Squeeze-excite gate (reference ecapa_tdnn.py:119-135)."""
+
+    def __init__(self, channels, se_bottleneck_dim=128):
+        self.linear1 = nn.Linear(channels, se_bottleneck_dim)
+        self.linear2 = nn.Linear(se_bottleneck_dim, channels)
+
+    def __call__(self, x):  # (B, T, C)
+        s = jax.nn.relu(self.linear1(x.mean(axis=1)))
+        s = jax.nn.sigmoid(self.linear2(s))
+        return x * s[:, None, :]
+
+
+class SE_Res2Block(Module):
+    """reference ecapa_tdnn.py:138-155."""
+
+    def __init__(self, channels, kernel_size, stride, padding, dilation,
+                 scale):
+        self.se_res2block = [
+            Conv1dReluBn(channels, channels, 1),
+            Res2Conv1dReluBn(channels, kernel_size, stride, padding,
+                             dilation, scale=scale),
+            Conv1dReluBn(channels, channels, 1),
+            SE_Connect(channels),
+        ]
+
+    def __call__(self, x):
+        res = x
+        for m in self.se_res2block:
+            x = m(x)
+        return x + res
+
+
+class ASTP(Module):
+    """Attentive statistics pooling (reference pooling_layers.py:90-148)."""
+
+    def __init__(self, in_dim, bottleneck_dim=128):
+        self.linear1 = nn.Conv1d(in_dim, bottleneck_dim, 1)
+        self.linear2 = nn.Conv1d(bottleneck_dim, in_dim, 1)
+
+    def __call__(self, x):  # (B, T, C)
+        alpha = jnp.tanh(self.linear1(x))
+        alpha = jax.nn.softmax(
+            self.linear2(alpha).astype(jnp.float32), axis=1).astype(x.dtype)
+        mean = jnp.sum(alpha * x, axis=1)
+        var = jnp.sum(alpha * x**2, axis=1) - mean**2
+        std = jnp.sqrt(jnp.clip(var.astype(jnp.float32), 1e-7, None))
+        return jnp.concatenate([mean, std.astype(x.dtype)], axis=-1)
+
+
 class ECAPA_TDNN_GLOB(Module):
-    """Compact ECAPA returning (x_vector, pre-pool features ×3 concat)
-    (reference modules/speaker/ecapa_tdnn.py:158-283)."""
+    """Checkpoint-faithful ECAPA-TDNN (reference ecapa_tdnn.py:158-283,
+    ECAPA_TDNN_GLOB_c512 = channels=512). Returns (x_vector, latent),
+    latent = relu(conv(cat(layer2..4))) of width channels*3 — the context
+    the perceiver resampler attends over."""
 
     def __init__(self, feat_dim: int = 100, embed_dim: int = 512,
-                 channels: int = 512):
-        self.layer1 = _SpkTDNN(feat_dim, channels, 5)
-        self.layer2 = _SpkTDNN(channels, channels, 3, dilation=2)
-        self.layer3 = _SpkTDNN(channels, channels, 3, dilation=3)
-        self.layer4 = _SpkTDNN(channels, channels, 3, dilation=4)
+                 channels: int = 512, res2_scale: int = 8):
+        self.layer1 = Conv1dReluBn(feat_dim, channels, 5, padding=2)
+        self.layer2 = SE_Res2Block(channels, 3, 1, 2, 2, res2_scale)
+        self.layer3 = SE_Res2Block(channels, 3, 1, 3, 3, res2_scale)
+        self.layer4 = SE_Res2Block(channels, 3, 1, 4, 4, res2_scale)
         cat = channels * 3
         self.conv = nn.Conv1d(cat, cat, 1)
-        self.pool_linear = nn.Linear(cat * 2, embed_dim)
+        self.pool = ASTP(cat)
+        self.bn = nn.BatchNorm(cat * 2)
+        self.linear = nn.Linear(cat * 2, embed_dim)
 
     def __call__(self, mels, return_latent: bool = False):
         """mels: (B, T, feat_dim)."""
         x1 = self.layer1(mels)
-        x2 = self.layer2(x1) + x1
-        x3 = self.layer3(x2) + x2
-        x4 = self.layer4(x3) + x3
-        feats = jnp.concatenate([x2, x3, x4], axis=-1)  # (B, T, 3C)
-        h = jax.nn.relu(self.conv(feats))
-        mean = h.mean(axis=1)
-        std = jnp.sqrt(h.var(axis=1) + 1e-7)
-        x_vec = self.pool_linear(jnp.concatenate([mean, std], axis=-1))
+        x2 = self.layer2(x1)
+        x3 = self.layer3(x2)
+        x4 = self.layer4(x3)
+        cat = jnp.concatenate([x2, x3, x4], axis=-1)  # (B, T, 3C)
+        latent = jax.nn.relu(self.conv(cat))
+        x_vec = self.linear(self.bn(self.pool(latent)))
         if return_latent:
-            return x_vec, feats
+            return x_vec, latent
         return x_vec
 
 
@@ -346,7 +430,9 @@ class _PerceiverAttn(Module):
 
     def __call__(self, latents, context):
         B, Tq, _ = latents.shape
-        kv_in = jnp.concatenate([context, latents], axis=1)
+        # queries prepended to the context (reference
+        # perceiver_encoder.py:230-232, cross_attn_include_queries=True)
+        kv_in = jnp.concatenate([latents, context], axis=1)
         q = self.to_q(latents).reshape(B, Tq, self.heads, self.dim_head)
         kv = self.to_kv(kv_in)
         k, v = jnp.split(kv, 2, axis=-1)
@@ -370,10 +456,13 @@ class PerceiverResampler(Module):
         if dim_context != dim:
             self.proj_context = nn.Linear(dim_context, dim)
         self.latents = jnp.zeros((num_latents, dim))
+        # FF is a bare [Linear, GEGLU, Linear] with inner = dim*mult*2/3
+        # (reference perceiver_encoder.py:175-197) — checkpoint keys are
+        # layers.N.1.{0,2}.{weight,bias}
+        inner = int(dim * ff_mult * 2 / 3)
         self.layers = [
             [_PerceiverAttn(dim, dim_head, heads),
-             nn.Sequential(nn.RMSNorm(dim), nn.Linear(dim, dim * ff_mult * 2),
-                           _GEGLU(), nn.Linear(dim * ff_mult, dim))]
+             [nn.Linear(dim, inner * 2), _GEGLU(), nn.Linear(inner, dim)]]
             for _ in range(depth)
         ]
         self.norm = nn.RMSNorm(dim)
@@ -385,7 +474,10 @@ class PerceiverResampler(Module):
         latents = jnp.broadcast_to(self.latents, (B,) + self.latents.shape)
         for attn, ff in self.layers:
             latents = attn(latents, x) + latents
-            latents = ff(latents) + latents
+            h = latents
+            for mod in ff:
+                h = mod(h)
+            latents = latents + h
         return self.norm(latents)
 
 
@@ -429,9 +521,10 @@ class SpeakerEncoder(Module):
 # BiCodec + Model (reference bicodec.py, spark.py, audio_tokenizer.py)
 # ---------------------------------------------------------------------------
 def bicodec_mel(audio, sample_rate=16000, n_fft=1024, hop_length=320,
-                num_mels=128, fmin=10):
+                num_mels=128, fmin=10, win_length=None, **_):
     spec = stft(jnp.asarray(audio, jnp.float32), n_fft=n_fft,
-                hop_length=hop_length, win_length=n_fft, window="hann")
+                hop_length=hop_length, win_length=win_length or n_fft,
+                window="hann")
     mag = jnp.abs(spec)
     filters = mel_filters(sample_rate, n_fft, num_mels, f_min=fmin,
                           norm="slaney", mel_scale="slaney")
@@ -466,6 +559,157 @@ class BiCodec(Module):
         x = self.prenet(z_q, d_vector)
         x = x + d_vector[:, None, :]
         return self.decoder(x)[..., 0]
+
+    def sanitize(self, weights: dict) -> dict:
+        """Map the published BiCodec checkpoint layout (the reference's
+        module tree, bicodec.py:92-135 + descript WN layers) onto this
+        tree: fold weight-norm g/v pairs, strip nn.Sequential `.layers.N`
+        wrappers, remap the WaveGenerator's flat `model.N` list onto
+        conv_in/blocks/snake_out/conv_out, and fix channel layouts."""
+        n_rates = len(self.decoder.blocks)
+
+        def fold_wn(g, v):
+            g = np.asarray(g, np.float32)
+            v = np.asarray(v, np.float32)
+            # normalize_weight axes are recoverable from g's shape: the
+            # single non-1 axis is the kept dim (conv: 0, conv-transpose: 2)
+            kept = [i for i, s in enumerate(g.shape) if s != 1]
+            axes = tuple(i for i in range(v.ndim)
+                         if not kept or i != kept[0])
+            norm = np.sqrt((v * v).sum(axis=axes, keepdims=True))
+            return g * v / np.maximum(norm, 1e-12)
+
+        merged = {}
+        for k, v in weights.items():
+            if k.endswith("weight_g"):
+                v_key = k[: -len("weight_g")] + "weight_v"
+                if v_key in weights:
+                    merged[k[: -len("weight_g")] + "weight"] = fold_wn(
+                        v, weights[v_key])
+                    continue
+            if k.endswith("weight_v") and (
+                    k[: -len("weight_v")] + "weight_g") in weights:
+                continue
+            merged[k] = v
+
+        out = {}
+        for k, v in merged.items():
+            if ("num_batches_tracked" in k or "_implicit_codebook" in k
+                    or k.split(".")[-1] in ("_levels", "_basis", "_scales")):
+                continue  # FSQ geometry is derived from the config
+            # Sequential(LeakyReLU, conv) wrappers in SamplingBlock
+            k = re.sub(r"(conv_downsampler|de_conv_upsampler)\.layers\.1\.",
+                       r"\1.", k)
+            # WaveGenerator flat list → named attributes
+            m = re.match(r"^decoder\.model\.(\d+)\.(.+)$", k)
+            if m:
+                idx, rest = int(m.group(1)), m.group(2)
+                rest = rest.replace("block.layers.", "block.")
+                if idx == 0:
+                    k = f"decoder.conv_in.{rest}"
+                elif idx <= n_rates:
+                    # DecoderBlock.block Sequential → our per-block list
+                    rest = rest[len("block."):] if rest.startswith(
+                        "block.") else rest
+                    k = f"decoder.blocks.{idx - 1}.{rest}"
+                elif idx == n_rates + 1:
+                    k = f"decoder.snake_out.{rest}"
+                else:
+                    k = f"decoder.conv_out.{rest}"
+            # ResidualUnit.block Sequential → plain list
+            k = k.replace(".block.layers.", ".block.")
+            # RMSNorm parameter naming
+            k = re.sub(r"\.norm\.gamma$", ".norm.weight", k)
+            v = np.asarray(v)
+            # Snake alpha: channels-first (1, C, 1) → channels-last
+            if k.endswith(".alpha") and v.ndim == 3 and v.shape[1] > v.shape[2]:
+                v = v.transpose(0, 2, 1)
+            # torch-layout leftovers the reference also fixes up
+            # (feat_encoder.py:97-114)
+            if "dwconv.weight" in k and v.ndim == 3 and v.shape[1] < v.shape[2]:
+                v = v.transpose(0, 2, 1)
+            if k.endswith("embed.weight") and v.ndim == 3 and \
+                    v.shape[1] > v.shape[2]:
+                v = v.transpose(0, 2, 1)
+            out[k] = v
+        return out
+
+
+class SparkWav2VecFeatures:
+    """Wav2Vec2 feature extractor for BiCodec semantic tokens: runs the
+    xlsr-53 encoder shipped inside the Spark checkpoint and mixes hidden
+    states (11 + 14 + 16)/3 (reference audio_tokenizer.py:74-88)."""
+
+    def __init__(self, model_dir):
+        import json as _json
+
+        from ....nn.module import load_weights as assign
+        from ....stt.models.wav2vec.wav2vec import (Model as W2VModel,
+                                                    ModelConfig as W2VConfig)
+        from ....utils import load_weight_files
+
+        model_dir = Path(model_dir)
+        cfg = _json.loads((model_dir / "config.json").read_text())
+        cfg["vocab_size"] = 0  # encoder only, no CTC head
+        model = W2VModel(W2VConfig.from_dict(cfg))
+        weights = model.sanitize(load_weight_files(model_dir))
+        weights = {k: v for k, v in weights.items()
+                   if not k.startswith("lm_head")}
+        self.model = assign(model, weights, strict=False).eval()
+
+    def __call__(self, wavs) -> jnp.ndarray:
+        """(B, T) float waveform → (B, T', 1024) mixed hidden states."""
+        x = jnp.asarray(wavs, jnp.float32)
+        # zero-mean/unit-var per utterance (HF Wav2Vec2FeatureExtractor
+        # do_normalize=True default used by the reference processor)
+        x = (x - x.mean(axis=-1, keepdims=True)) / (
+            x.std(axis=-1, keepdims=True) + 1e-7)
+        hs = self.model.wav2vec2.hidden_states(x)
+        return (hs[11] + hs[14] + hs[16]) / 3
+
+
+def load_bicodec(model_dir) -> BiCodec:
+    """Build + load a BiCodec from a checkpoint subdir (`<repo>/BiCodec`
+    with config.yaml + model.safetensors), mirroring the reference
+    BiCodec.load_from_checkpoint (bicodec.py:92-135)."""
+    import inspect
+
+    import yaml
+
+    from ....nn.module import load_weights as assign
+    from ....utils import load_weight_files
+
+    model_dir = Path(model_dir)
+    raw = yaml.safe_load((model_dir / "config.yaml").read_text())
+    cfg = raw.get("audio_tokenizer", raw)
+
+    def build(cls, kw):
+        params = inspect.signature(cls.__init__).parameters
+        if any(p.kind == inspect.Parameter.VAR_KEYWORD
+               for p in params.values()):
+            return cls(**kw)
+        return cls(**{k: v for k, v in kw.items() if k in params})
+
+    mel = cfg.get("mel_params", {})
+    mel_params = dict(
+        sample_rate=mel.get("sample_rate", 16000),
+        n_fft=mel.get("n_fft", 1024),
+        hop_length=mel.get("hop_length", 320),
+        win_length=mel.get("win_length"),
+        num_mels=mel.get("num_mels", 128),
+        fmin=mel.get("mel_fmin", 10),
+    )
+    bc = BiCodec(
+        encoder=build(FeatEncoder, cfg["encoder"]),
+        decoder=build(WaveGenerator, cfg["decoder"]),
+        quantizer=build(FactorizedVectorQuantize, cfg["quantizer"]),
+        speaker_encoder=build(SpeakerEncoder, cfg["speaker_encoder"]),
+        prenet=build(FeatDecoder, cfg["prenet"]),
+        postnet=build(FeatDecoder, cfg["postnet"]),
+        mel_params=mel_params,
+    )
+    weights = bc.sanitize(load_weight_files(model_dir))
+    return assign(bc, weights, strict=False).eval()
 
 
 @dataclass
@@ -514,6 +758,28 @@ class Model(Module):
         if feature_extractor is not None:
             rt["feature_extractor"] = feature_extractor
 
+    def _resolve_runtime(self) -> dict:
+        """Wire tokenizer / BiCodec / wav2vec2 features from the checkpoint
+        dir when set_runtime() wasn't called (reference spark.py:73-88 +
+        audio_tokenizer.py:29-38 do this eagerly at load)."""
+        rt = Model._RUNTIME.setdefault(id(self), {})
+        mp = getattr(self.config, "model_path", None)
+        if mp:
+            mp = Path(mp)
+            if "tokenizer" not in rt:
+                from ....utils import load_hf_tokenizer
+
+                try:
+                    rt["tokenizer"] = load_hf_tokenizer(mp)
+                except Exception:
+                    pass
+            if "bicodec" not in rt and (mp / "BiCodec").exists():
+                rt["bicodec"] = load_bicodec(mp / "BiCodec")
+            w2v = mp / "wav2vec2-large-xlsr-53"
+            if "feature_extractor" not in rt and w2v.exists():
+                rt["feature_extractor"] = SparkWav2VecFeatures(w2v)
+        return rt
+
     def process_prompt_control(self, text: str, gender: str = "female",
                                pitch: str = "moderate",
                                speed: str = "moderate") -> str:
@@ -560,11 +826,15 @@ class Model(Module):
         speed = _level(speed, SPEED_MAP)
         if ref_audio is not None:
             gender = None
-        rt = Model._RUNTIME.get(id(self), {})
+        rt = self._resolve_runtime()
         tokenizer = rt.get("tokenizer")
         bicodec = rt.get("bicodec")
         if tokenizer is None or bicodec is None:
-            raise RuntimeError("Spark runtime (tokenizer/bicodec) not set")
+            raise RuntimeError(
+                "Spark runtime (tokenizer/bicodec) not set — call "
+                "set_runtime(...) or load from a full checkpoint dir "
+                "(with LLM tokenizer files + BiCodec/ subdir) via "
+                "load_model()")
         start = time.perf_counter()
 
         global_token_ids = None

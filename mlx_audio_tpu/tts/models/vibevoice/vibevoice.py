@@ -183,11 +183,37 @@ class Model(Module):
             Model._RUNTIME.setdefault(id(self), {})["tokenizer"] = tokenizer
 
     def _tokenizer(self):
-        rt = Model._RUNTIME.get(id(self), {})
-        if "tokenizer" not in rt:
+        rt = Model._RUNTIME.setdefault(id(self), {})
+        tok = rt.get("tokenizer")
+        if tok is None:
+            # reference vibevoice.py:310-320: tokenizer name comes from
+            # preprocessor_config.json (language_model_pretrained_name),
+            # falling back to Qwen2.5-0.5B; tokenizer files shipped next
+            # to the weights win when present.
+            model_path = getattr(self.config, "model_path", None)
+            if model_path:
+                import json as _json
+                from pathlib import Path as _Path
+
+                from ....utils import load_hf_tokenizer
+
+                name = None
+                if (_Path(model_path) / "tokenizer.json").exists() or (
+                        _Path(model_path) / "tokenizer_config.json").exists():
+                    name = model_path
+                else:
+                    pre = _Path(model_path) / "preprocessor_config.json"
+                    if pre.exists():
+                        name = _json.loads(pre.read_text()).get(
+                            "language_model_pretrained_name")
+                    name = name or "Qwen/Qwen2.5-0.5B"
+                tok = load_hf_tokenizer(name)
+                rt["tokenizer"] = tok
+        if tok is None:
             raise RuntimeError("VibeVoice tokenizer not loaded — call "
-                               "set_runtime(tokenizer=...)")
-        return rt["tokenizer"]
+                               "set_runtime(tokenizer=...) or load via "
+                               "load_model()")
+        return tok
 
     # ------------------------------------------------------------------
     def sanitize(self, weights: dict) -> dict:

@@ -621,10 +621,10 @@ class Model(Module):
                  inference_timesteps: int = 10, cfg_value: float = 2.0,
                  seed: Optional[int] = None,
                  **kwargs) -> Generator[GenerationResult, None, None]:
-        rt = Model._RUNTIME.get(id(self), {})
-        tokenizer = rt.get("tokenizer")
-        if tokenizer is None:
-            raise RuntimeError("VoxCPM tokenizer not set")
+        from ....utils import resolve_runtime_tokenizer
+
+        tokenizer = resolve_runtime_tokenizer(
+            self, Model._RUNTIME.setdefault(id(self), {}), "VoxCPM")
         start = time.perf_counter()
         scale_emb = (self.args.lm_config.scale_emb
                      if not self.args.lm_config.use_mup else 1.0)

@@ -137,6 +137,53 @@ def load_config(model_path: Union[str, Path], **kwargs) -> dict:
     raise FileNotFoundError(f"Config not found at {model_path}")
 
 
+def load_hf_tokenizer(model_path: Union[str, Path], trust_remote_code: bool = True):
+    """AutoTokenizer from a checkpoint dir, silencing the harmless
+    model_type-mismatch warning transformers emits for custom model types
+    (reference qwen3_asr.py:789-804). Used by per-model post_load_hooks /
+    lazy tokenizer resolvers so `load_model(path).generate(...)` works
+    without a manual set_runtime() call."""
+    import transformers
+    from transformers import AutoTokenizer
+
+    prev = transformers.logging.get_verbosity()
+    transformers.logging.set_verbosity_error()
+    try:
+        return AutoTokenizer.from_pretrained(
+            str(model_path), trust_remote_code=trust_remote_code
+        )
+    finally:
+        transformers.logging.set_verbosity(prev)
+
+
+def resolve_runtime_tokenizer(model, runtime: dict, name: str):
+    """Shared tokenizer resolution for models wired via set_runtime():
+    explicit runtime slot → lazy AutoTokenizer from the checkpoint dir
+    recorded at load time → clear error. Mirrors the reference's
+    post_load_hook eager loads (qwen3_asr.py:797, glmasr.py:519,
+    vibevoice_asr.py:403, funasr.py:952)."""
+    tok = runtime.get("tokenizer")
+    if tok is None:
+        cfg = (getattr(model, "config", None) or getattr(model, "args", None)
+               or getattr(model, "dims", None))
+        model_path = getattr(cfg, "model_path", None)
+        if model_path:
+            try:
+                tok = load_hf_tokenizer(model_path)
+            except Exception as exc:
+                raise RuntimeError(
+                    f"{name} tokenizer not set and could not be loaded "
+                    f"from {model_path}: {exc}"
+                ) from exc
+            runtime["tokenizer"] = tok
+    if tok is None:
+        raise RuntimeError(
+            f"{name} tokenizer not set — call set_runtime(tokenizer=...) "
+            "or load the model from a checkpoint dir via load_model()"
+        )
+    return tok
+
+
 def load_weight_files(model_path: Path) -> dict:
     """Load all weights in a model dir → {key: np.ndarray}.
 
@@ -358,6 +405,19 @@ def base_load_model(
 
     model = tnn.load_weights(model, weights, strict=strict)
     model = model.eval()
+
+    # Record where the checkpoint lives so runtime pieces (tokenizers,
+    # sibling codec weights) can be lazily resolved from the same dir —
+    # reference models do this eagerly in their post_load_hooks
+    # (e.g. qwen3_asr.py:789-817); lazy keeps load cheap and lets
+    # random-weight tests construct models without tokenizer files.
+    try:
+        cfg = (getattr(model, "config", None) or getattr(model, "args", None)
+               or getattr(model, "dims", None))
+        if cfg is not None and getattr(cfg, "model_path", None) is None:
+            cfg.model_path = str(model_path)
+    except Exception:
+        pass
 
     if hasattr(type(model), "post_load_hook"):
         model = type(model).post_load_hook(model, model_path)
