@@ -493,6 +493,21 @@ class FishS1DAC(Module):
         return orient_weights_to_model(self, out)
 
 
+def from_pretrained(repo_id: str = "jordand/fish-s1-dac-min") -> FishS1DAC:
+    """Load the published Fish S1 DAC weights (reference echo_tts
+    config.py:62 default repo; echo_tts.py:87)."""
+    from ....nn.module import load_weights as assign
+    from ....utils import get_model_path, load_weight_files
+
+    model = build_ae()
+    path = get_model_path(repo_id)
+    weights = model.sanitize(load_weight_files(path))
+    return assign(model, weights, strict=False).eval()
+
+
+FishS1DAC.from_pretrained = staticmethod(from_pretrained)
+
+
 def build_ae(**cfg) -> FishS1DAC:
     """Default S1 codec (reference fish_s1_dac.py:1268-1331)."""
     q_cfg = ModelArgs(block_size=4096, n_layer=8, n_head=16, dim=1024,

@@ -392,11 +392,27 @@ class S3TokenizerV2(Module):
             out[k] = value
         return orient_weights_to_model(self, out)
 
+    DEFAULT_REPO = "mlx-community/S3TokenizerV2"
+
+    @classmethod
+    def from_pretrained(cls, name: Optional[str] = None,
+                        repo_id: Optional[str] = None):
+        """Load pretrained weights from a HF repo or local dir
+        (reference model_v2.py:623-637 / model_v3.py:393-410)."""
+        from ....nn.module import load_weights as assign
+        from ....utils import get_model_path, load_weight_files
+
+        model = cls(name) if name else cls()
+        path = get_model_path(repo_id or cls.DEFAULT_REPO)
+        weights = model.sanitize(load_weight_files(path))
+        return assign(model, weights, strict=False).eval()
+
 
 class S3TokenizerV3(S3TokenizerV2):
     """v3: 12 layers (reference model_v3.py:127-410)."""
 
     version = 3
+    DEFAULT_REPO = "mlx-community/S3TokenizerV3"
 
     def __init__(self, name: str = "speech_tokenizer_v3", config=None):
         if config is None:

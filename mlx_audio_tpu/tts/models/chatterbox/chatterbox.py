@@ -133,8 +133,12 @@ class Model(Module):
                        else resample_audio(ref_wav, ref_sr, S3_SR))
         wav_16 = wav_16_full[: self.config.enc_cond_len]
 
-        s3tok = self._runtime("s3_tokenizer",
-                              default_factory=lambda: S3TokenizerV2())
+        # pretrained weights live in a separate published repo, not the
+        # chatterbox checkpoint (reference chatterbox.py:228-229,262)
+        s3tok = self._runtime(
+            "s3_tokenizer",
+            default_factory=lambda: S3TokenizerV2.from_pretrained(
+                "speech_tokenizer_v2_25hz"))
         mel, mel_len = padding([np.asarray(log_mel_spectrogram(wav_16_from_24))])
         s3gen_tokens, _ = s3tok.quantize(mel, mel_len)
         gen_ref = self.s3gen.embed_ref(wav_24, S3GEN_SR, s3gen_tokens)

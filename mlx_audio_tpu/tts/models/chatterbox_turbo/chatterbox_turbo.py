@@ -328,7 +328,12 @@ class Model(Module):
         wav_16 = resample_audio(wav_24, S3GEN_SR, S3_SR)
 
         rt = Model._RUNTIME.setdefault(id(self), {})
-        s3tok = rt.setdefault("s3_tokenizer", S3TokenizerV2())
+        if "s3_tokenizer" not in rt:
+            # weights come from the published S3TokenizerV2 repo, not the
+            # turbo checkpoint (reference chatterbox_turbo.py:272-310)
+            rt["s3_tokenizer"] = S3TokenizerV2.from_pretrained(
+                "speech_tokenizer_v2_25hz")
+        s3tok = rt["s3_tokenizer"]
         mel, mel_len = padding([np.asarray(log_mel_spectrogram(wav_16))])
         tokens, _ = s3tok.quantize(mel, mel_len)
         gen_ref = self.s3gen.embed_ref(wav_24, S3GEN_SR, tokens)
@@ -363,8 +368,23 @@ class Model(Module):
         text = punc_norm(text)
         rt = Model._RUNTIME.get(id(self), {})
         if "tokenizer" not in rt:
-            raise RuntimeError("Text tokenizer not initialized")
-        ids = np.asarray(rt["tokenizer"].text_to_tokens(text)).reshape(1, -1)
+            # turbo ships an HF tokenizer next to the weights
+            # (reference chatterbox_turbo.py:289-297)
+            mp = getattr(self.config, "model_path", None)
+            if mp:
+                from ....utils import load_hf_tokenizer
+
+                rt["tokenizer"] = load_hf_tokenizer(mp)
+        if "tokenizer" not in rt:
+            raise RuntimeError(
+                "Text tokenizer not initialized — call set_runtime() or "
+                "load via load_model()")
+        tok = rt["tokenizer"]
+        if hasattr(tok, "text_to_tokens"):
+            raw_ids = tok.text_to_tokens(text)
+        else:  # HF tokenizer (reference chatterbox_turbo.py:914-917)
+            raw_ids = tok(text, add_special_tokens=False)["input_ids"]
+        ids = np.asarray(raw_ids).reshape(1, -1)
         sot, eot = self.t3.hp.start_text_token, self.t3.hp.stop_text_token
         ids = np.concatenate([np.full((1, 1), sot), ids,
                               np.full((1, 1), eot)], axis=1)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
+from pathlib import Path
 from typing import Any, Generator, Optional
 
 import jax
@@ -299,18 +300,74 @@ class Model(Module):
         if speaker_encoder is not None:
             rt["speaker_encoder"] = speaker_encoder
 
+    # CosyVoice2-specific control tokens the reference adds at load
+    # (reference cosyvoice2.py:950-975)
+    _SPECIAL_TOKENS = [
+        "<|endofprompt|>", "[breath]", "<strong>", "</strong>", "[noise]",
+        "[laughter]", "[cough]", "[clucking]", "[accent]", "[quick_breath]",
+        "<laughter>", "</laughter>", "[hissing]", "[sigh]",
+        "[vocalized-noise]", "[lipsmack]", "[mn]",
+    ]
+
     def _runtime(self, name):
-        rt = Model._RUNTIME.get(id(self), {})
+        """Explicit runtime slot → lazy wiring from the checkpoint dir
+        (reference cosyvoice2.py:940-1028): HF tokenizer from
+        `<dir>/tokenizer` or root plus control special-tokens, S3 speech
+        tokenizer from its published repo, CAM++ weights from the
+        consolidated `campplus.*` keys or campplus.safetensors/npz."""
+        rt = Model._RUNTIME.setdefault(id(self), {})
         if name in rt:
             return rt[name]
+        mp = getattr(self.config, "model_path", None)
+        if name == "tokenizer" and mp:
+            from ....utils import load_hf_tokenizer
+
+            tok_dir = Path(mp) / "tokenizer"
+            tok = load_hf_tokenizer(tok_dir if tok_dir.exists() else mp)
+            tok.add_special_tokens(
+                {"additional_special_tokens": list(self._SPECIAL_TOKENS)})
+            rt[name] = tok
+            return tok
+        if name == "s3_tokenizer":
+            from ....codec.models.s3tokenizer import S3TokenizerV2
+
+            s3 = S3TokenizerV2.from_pretrained("speech_tokenizer_v2_25hz")
+            rt[name] = s3
+            return s3
         if name == "speaker_encoder":
             enc = CAMPPlus()
+            weights = self._campplus_weights(mp) if mp else None
+            if weights:
+                from ....nn.module import load_weights as assign
+
+                enc = assign(enc, enc.sanitize(weights), strict=False).eval()
             rt[name] = enc
-            Model._RUNTIME[id(self)] = rt
             return enc
         raise RuntimeError(
             f"CosyVoice2 runtime component '{name}' not loaded — call "
             "set_runtime() or load from a pretrained path.")
+
+    @staticmethod
+    def _campplus_weights(model_path) -> Optional[dict]:
+        """campplus.* keys from the consolidated weights, else a separate
+        campplus.safetensors / campplus.npz (reference cosyvoice2.py:
+        991-1028)."""
+        from ....utils import load_weight_files
+
+        mp = Path(model_path)
+        try:
+            consolidated = load_weight_files(mp)
+        except FileNotFoundError:
+            consolidated = {}
+        spk = {k[len("campplus."):]: v for k, v in consolidated.items()
+               if k.startswith("campplus.")}
+        if spk:
+            return spk
+        for fname in ("campplus.safetensors", "campplus.npz"):
+            f = mp / fname
+            if f.exists():
+                return load_weight_files(f)
+        return None
 
     def sanitize(self, weights: dict) -> dict:
         """Split consolidated checkpoint by stage prefix

@@ -18,6 +18,7 @@ import re
 import time
 import unicodedata
 from functools import partial
+from pathlib import Path
 from typing import Any, List, Optional
 
 import jax
@@ -414,13 +415,42 @@ class Model(Module):
             rt["speaker_encoder"] = speaker_encoder
 
     def _runtime(self, name):
-        rt = Model._RUNTIME.get(id(self), {})
+        """Explicit runtime slot → lazy wiring from the checkpoint dir
+        (reference cosyvoice3.py:1016-1092): HF tokenizer + CosyVoice3
+        special-token inventory, S3TokenizerV3 from its published repo,
+        CAM++ weights from the consolidated `campplus.*` keys."""
+        rt = Model._RUNTIME.setdefault(id(self), {})
         if name in rt:
             return rt[name]
+        mp = getattr(self.config, "model_path", None)
+        if name == "tokenizer" and mp:
+            from ....utils import load_hf_tokenizer
+
+            from .special_tokens import COSYVOICE3_TOKENIZER_SPECIAL_TOKENS
+
+            tok_dir = Path(mp) / "tokenizer"
+            tok = load_hf_tokenizer(tok_dir if tok_dir.exists() else mp)
+            tok.add_special_tokens(dict(COSYVOICE3_TOKENIZER_SPECIAL_TOKENS))
+            rt[name] = tok
+            return tok
+        if name == "s3_tokenizer":
+            from ....codec.models.s3tokenizer import S3TokenizerV3
+
+            s3 = S3TokenizerV3.from_pretrained()
+            rt[name] = s3
+            return s3
         if name == "speaker_encoder":
             enc = CAMPPlus()
+            weights = None
+            if mp:
+                from ..cosyvoice2.cosyvoice2 import Model as _CV2
+
+                weights = _CV2._campplus_weights(mp)
+            if weights:
+                from ....nn.module import load_weights as assign
+
+                enc = assign(enc, enc.sanitize(weights), strict=False).eval()
             rt[name] = enc
-            Model._RUNTIME[id(self)] = rt
             return enc
         raise RuntimeError(
             f"CosyVoice3 runtime component '{name}' not loaded — call "

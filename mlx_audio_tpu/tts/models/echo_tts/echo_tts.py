@@ -512,6 +512,37 @@ class Model(Module):
         if pca_state is not None:
             rt["pca_state"] = pca_state
 
+    def _resolve_codec(self) -> dict:
+        """Lazy codec bridge wiring (reference echo_tts.py:81-89):
+        pca_state.safetensors next to the weights, Fish S1 DAC from its
+        published repo."""
+        rt = Model._RUNTIME.setdefault(id(self), {})
+        mp = getattr(self.config, "model_path", None)
+        if "pca_state" not in rt and mp:
+            from pathlib import Path
+
+            pca = Path(mp) / "pca_state.safetensors"
+            if pca.exists():
+                from safetensors.numpy import load_file
+
+                t = load_file(str(pca))
+                rt["pca_state"] = PCAState(
+                    pca_components=jnp.asarray(t["pca_components"]),
+                    pca_mean=jnp.asarray(t["pca_mean"]),
+                    latent_scale=float(np.asarray(t["latent_scale"])))
+        if "fish_ae" not in rt and "pca_state" in rt:
+            from ....codec.models.fish_s1_dac.fish_s1_dac import \
+                from_pretrained as _fish_fp
+
+            try:
+                rt["fish_ae"] = _fish_fp()
+            except Exception as exc:
+                raise RuntimeError(
+                    "Echo-TTS could not fetch the Fish S1 DAC codec "
+                    "(jordand/fish-s1-dac-min); pass one via "
+                    "set_runtime(fish_ae=...)") from exc
+        return rt
+
     def _prepare_text(self, text: str):
         ids = tokenizer_encode(text, normalize=self.config.normalize_text)
         ids = ids[: self.config.max_text_length]
@@ -562,10 +593,11 @@ class Model(Module):
 
     def generate(self, text: str, ref_audio=None, rng_seed: int = 0,
                  **kwargs) -> Generator[GenerationResult, None, None]:
-        rt = Model._RUNTIME.get(id(self), {})
+        rt = self._resolve_codec()
         if "fish_ae" not in rt or "pca_state" not in rt:
             raise ValueError("Echo-TTS requires fish_ae and pca_state — "
-                             "call set_runtime(...)")
+                             "call set_runtime(...) or load via "
+                             "load_model()")
         start = time.perf_counter()
         speaker_latent = speaker_mask = None
         if ref_audio is not None:

@@ -617,7 +617,29 @@ class Model(Module):
             raise ValueError("Must provide ref_audio or ref_mel")
         tokenizer = rt.get("tokenizer")
         if tokenizer is None:
-            raise RuntimeError("IndexTTS tokenizer not set")
+            # sentencepiece tokenizer.model next to the weights
+            # (reference indextts.py:81-92); gated optional dep
+            mp = getattr(self.args, "model_path", None) or getattr(
+                getattr(self, "config", None), "model_path", None)
+            if mp:
+                from pathlib import Path
+
+                tok_file = Path(mp) / "tokenizer.model"
+                if tok_file.exists():
+                    try:
+                        import sentencepiece as spm
+                    except ImportError:
+                        raise RuntimeError(
+                            "IndexTTS needs the `sentencepiece` package to "
+                            f"load {tok_file}; install it or pass a "
+                            "tokenizer via set_runtime()") from None
+                    tokenizer = spm.SentencePieceProcessor(
+                        model_file=str(tok_file))
+                    Model._RUNTIME.setdefault(id(self), {})[
+                        "tokenizer"] = tokenizer
+        if tokenizer is None:
+            raise RuntimeError("IndexTTS tokenizer not set — call "
+                               "set_runtime() or load via load_model()")
         tokens = tokenizer.encode(text)
 
         embedding = self.prepare_input_embedding(tokens, ref_mel)

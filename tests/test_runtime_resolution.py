@@ -130,3 +130,38 @@ def test_tekken_missing_file_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         TekkenTokenizer.from_model_path(tmp_path)
+
+
+def test_cosyvoice2_campplus_weight_extraction(tmp_path):
+    """campplus.* keys in the consolidated checkpoint are found, else a
+    separate campplus.safetensors (reference cosyvoice2.py:991-1028)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from mlx_audio_tpu.tts.models.cosyvoice2.cosyvoice2 import Model
+
+    save_file({"campplus.xvector.tdnn.linear.weight":
+               np.zeros((4, 4), np.float32),
+               "flow.something": np.zeros((2,), np.float32)},
+              str(tmp_path / "model.safetensors"))
+    w = Model._campplus_weights(tmp_path)
+    assert set(w) == {"xvector.tdnn.linear.weight"}
+
+    sep = tmp_path / "sep"
+    sep.mkdir()
+    save_file({"xvector.tdnn.linear.weight": np.ones((4, 4), np.float32)},
+              str(sep / "campplus.safetensors"))
+    w = Model._campplus_weights(sep)
+    assert "xvector.tdnn.linear.weight" in w
+
+
+def test_cosyvoice3_special_token_inventory():
+    from mlx_audio_tpu.tts.models.cosyvoice3.special_tokens import (
+        COSYVOICE3_ADDITIONAL_SPECIAL_TOKENS,
+        COSYVOICE3_TOKENIZER_SPECIAL_TOKENS)
+
+    toks = COSYVOICE3_ADDITIONAL_SPECIAL_TOKENS
+    assert len(toks) == 280 and len(set(toks)) == 280
+    for t in ("<|endofprompt|>", "[breath]", "[AA1]", "[laughter]"):
+        assert t in toks
+    assert COSYVOICE3_TOKENIZER_SPECIAL_TOKENS["eos_token"] == "<|endoftext|>"
