@@ -240,6 +240,116 @@ class Model(Module):
     def model_quant_predicate(self, p, m):
         return not p.startswith("audio_encoder")
 
+    def _prepare_chunk_inputs(self, audio, prompt, tokenizer):
+        """[boa, audio embeddings, eoa, prompt embeddings] for one ≤30 s
+        chunk (reference glmasr.py:703-760 input assembly)."""
+        mel = A.log_mel_spectrogram(
+            A.pad_or_trim(jnp.asarray(audio)),
+            n_mels=self.config.whisper_config.num_mel_bins)[None]
+        audio_emb = _audio_embeds(self, mel)  # (1, Na, H)
+
+        boa = self.audio_encoder.audio_bos_eos_token.weight[0][None, None]
+        eoa = self.audio_encoder.audio_bos_eos_token.weight[1][None, None]
+        lm = self.language_model
+        text = prompt or "<|user|>\nPlease transcribe this audio.<|assistant|>"
+        ids = np.asarray(tokenizer.encode(text), np.int64).reshape(-1)
+        text_emb = lm.model.embed_tokens(jnp.asarray(ids[None], jnp.int32))
+        return jnp.concatenate([boa, audio_emb, eoa, text_emb], axis=1)
+
+    def _eos_ids(self):
+        return list(self.config.lm_config.eos_token_id)
+
+    def _stream_tokens(self, inputs, *, max_tokens, temperature,
+                       chunk_size=16, seed=0):
+        """On-device decode in chunk_size-token blocks, yielding ids
+        host-side between dispatches (same pattern as qwen3_asr)."""
+        lm = self.language_model
+        eos = self._eos_ids()
+        caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1,
+                                dtype=jnp.float32)
+        logits, caches = _prefill(lm, caches, inputs, _lm_call)
+        history = jnp.full((1, 64), -1, jnp.int32)
+        done = jnp.zeros((1,), bool)
+        key = jax.random.PRNGKey(seed)
+        eos_arr = jnp.asarray((eos + [-1, -1, -1])[:3], jnp.int32)
+        sampler = make_sampler(temp=float(temperature))
+        produced = 0
+        while produced < max_tokens:
+            steps = min(int(chunk_size), max_tokens - produced)
+            out, i, logits, caches, history, done, key = _decode_chunk(
+                lm, caches, logits, history, done, key, eos_arr, _lm_call,
+                sampler, 1.0, steps)
+            toks, nv, fin = jax.device_get((out, i, done))
+            nv = int(nv)
+            for t in toks[0][:nv]:
+                t = int(t)
+                if t in eos:
+                    return
+                yield t
+            produced += nv
+            if bool(fin.all()) or nv < steps:
+                return
+
+    def stream_transcribe(self, audio, *, prompt: Optional[str] = None,
+                          max_tokens: int = 512, temperature: float = 0.0,
+                          chunk_duration: float = 28.0,
+                          min_chunk_duration: float = 1.0,
+                          chunk_size: int = 16, tokenizer=None, **kwargs):
+        """Token-by-token streaming transcription of arbitrarily long
+        audio (reference glmasr.py:944-1060): low-energy chunking, partial
+        StreamingResults per decoded delta, chunk-final result carrying
+        cumulative token counts."""
+        from ....lm.detok import IncrementalDetokenizer
+        from ..qwen3_asr import StreamingResult, split_audio_into_chunks
+
+        if tokenizer is None:
+            from ....utils import resolve_runtime_tokenizer
+
+            tokenizer = resolve_runtime_tokenizer(
+                self, Model._RUNTIME.setdefault(id(self), {}), "GLM-ASR")
+        wav = ensure_waveform(audio, self.sample_rate)
+        chunks = split_audio_into_chunks(
+            wav, self.sample_rate, chunk_duration=chunk_duration,
+            min_chunk_duration=min_chunk_duration, search_expand_sec=2.0)
+
+        total_prompt = 0
+        total_gen = 0
+        remaining = max_tokens
+        for ci, (chunk_audio, offset) in enumerate(chunks):
+            chunk_sec = len(chunk_audio) / self.sample_rate
+            is_last = ci == len(chunks) - 1
+            inputs = self._prepare_chunk_inputs(chunk_audio, prompt,
+                                                tokenizer)
+            total_prompt += int(inputs.shape[1])
+            detok = IncrementalDetokenizer(tokenizer)
+            n = 0
+            for tok in self._stream_tokens(
+                    inputs, max_tokens=remaining, temperature=temperature,
+                    chunk_size=chunk_size):
+                text = detok.push(tok)
+                prev = n / max(remaining, 1)
+                n += 1
+                curr = min(n / max(remaining, 1), 1.0)
+                if not text:
+                    continue
+                yield StreamingResult(
+                    text=text, is_final=False,
+                    start_time=offset + chunk_sec * prev,
+                    end_time=offset + chunk_sec * curr)
+            tail = detok.flush()
+            if tail:
+                pos = offset + chunk_sec * min(n / max(remaining, 1), 1.0)
+                yield StreamingResult(text=tail, is_final=False,
+                                      start_time=pos, end_time=pos)
+            total_gen += n
+            remaining -= n
+            yield StreamingResult(
+                text="", is_final=is_last or remaining <= 0,
+                start_time=offset, end_time=offset + chunk_sec,
+                prompt_tokens=total_prompt, generation_tokens=total_gen)
+            if remaining <= 0:
+                break
+
     def generate(self, audio, *, prompt: Optional[str] = None,
                  max_tokens: int = 512, temperature: float = 0.0,
                  tokenizer=None, **kwargs) -> STTOutput:
@@ -281,18 +391,8 @@ class Model(Module):
                              generation_tokens=total_tokens,
                              generation_tps=total_tokens / max(wall, 1e-9))
 
-        mel = A.log_mel_spectrogram(
-            A.pad_or_trim(jnp.asarray(audio)),
-            n_mels=self.config.whisper_config.num_mel_bins)[None]
-        audio_emb = _audio_embeds(self, mel)  # (1, Na, H)
-
-        boa = self.audio_encoder.audio_bos_eos_token.weight[0][None, None]
-        eoa = self.audio_encoder.audio_bos_eos_token.weight[1][None, None]
+        inputs = self._prepare_chunk_inputs(audio, prompt, tokenizer)
         lm = self.language_model
-        text = prompt or "<|user|>\nPlease transcribe this audio.<|assistant|>"
-        ids = np.asarray(tokenizer.encode(text), np.int64).reshape(-1)
-        text_emb = lm.model.embed_tokens(jnp.asarray(ids[None], jnp.int32))
-        inputs = jnp.concatenate([boa, audio_emb, eoa, text_emb], axis=1)
 
         caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1,
                                 dtype=jnp.float32)

@@ -332,6 +332,15 @@ class BaseParakeet(Module):
             pos += step
         return sentences_to_result(tokens_to_sentences(all_tokens))
 
+    def stream_generate(self, audio, *, chunk_duration: float = 5.0,
+                        overlap_duration: float = 1.0, verbose: bool = False,
+                        **kwargs):
+        """Public streaming API (reference parakeet.py:295-394): yields
+        StreamingResult with partial-then-final text as chunks decode."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        return self._stream_generate(audio, chunk_duration,
+                                     overlap_duration, verbose)
+
     def _stream_generate(self, audio, chunk_duration, overlap_duration, verbose):
         sr = self.preprocessor_config.sample_rate
         chunk = int(chunk_duration * sr)

@@ -341,6 +341,26 @@ class Model(Module):
         return Model._forward_cross_qk(self, jnp.asarray(mel),
                                        jnp.asarray(tokens, jnp.int32))
 
+    # ---- public API parity (reference whisper.py:601-615) ----
+
+    def embed_audio(self, mel):
+        """mel (B, 3000, n_mels) → encoder features."""
+        return Model._encode(self, jnp.asarray(mel))[0]
+
+    def logits(self, tokens, audio_features):
+        """Decoder logits over a token prefix given encoder features."""
+        ckv = self.decoder.cross_kv(jnp.asarray(audio_features))
+        return self.decoder.forward_with_cross_qk(
+            jnp.asarray(tokens, jnp.int32), ckv)[0]
+
+    @property
+    def is_multilingual(self) -> bool:
+        return self.dims.n_vocab >= 51865
+
+    @property
+    def num_languages(self) -> int:
+        return self.dims.n_vocab - 51765 - int(self.is_multilingual)
+
     # ---- jitted pieces ----
 
     @staticmethod

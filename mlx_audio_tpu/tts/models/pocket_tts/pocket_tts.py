@@ -544,6 +544,27 @@ class Model(Module):
                                                          jnp.float32)[None])
         return latents @ self.speaker_proj_weight.T  # (1, T', d_model)
 
+    PREDEFINED_VOICES = ("alba", "marius", "javert", "jean", "fantine",
+                         "cosette", "eponine", "azelma")
+    _VOICE_REPO = "kyutai/pocket-tts-without-voice-cloning"
+    _VOICE_REV = "d4fdd22ae8c8e1cb3634e150ebeff1dab2d16df3"
+
+    def load_predefined_voice(self, voice_name: str) -> np.ndarray:
+        """Hosted voice embedding (reference pocket_tts utils.py:18-24,
+        61-68): embeddings/<name>.safetensors at a pinned revision, key
+        'audio_prompt', already in the flow-LM latent space."""
+        if voice_name not in self.PREDEFINED_VOICES:
+            raise ValueError(
+                f"Predefined voice '{voice_name}' not found; available: "
+                f"{list(self.PREDEFINED_VOICES)}")
+        from huggingface_hub import hf_hub_download
+        from safetensors.numpy import load_file
+
+        f = hf_hub_download(self._VOICE_REPO,
+                            f"embeddings/{voice_name}.safetensors",
+                            revision=self._VOICE_REV)
+        return load_file(f)["audio_prompt"]
+
     def _generate_latents(self, text_to_generate: str, ref_audio=None,
                           frames_after_eos: Optional[int] = None,
                           max_gen_len: Optional[int] = None,
@@ -551,7 +572,12 @@ class Model(Module):
         """One on-device AR pass → (latents (n, ldim) jnp, n)."""
         tokens = self._tokenize(text_to_generate)
         text_emb = self.flow_lm.conditioner(jnp.asarray(tokens))
-        if ref_audio is not None:
+        if isinstance(ref_audio, str):
+            # predefined hosted voice embedding (reference utils.py:18-24,
+            # pocket_tts.py:144-152); already in latent space
+            audio_cond = jnp.asarray(self.load_predefined_voice(ref_audio))
+            prefix = jnp.concatenate([audio_cond, text_emb], axis=1)
+        elif ref_audio is not None:
             audio_cond = self._encode_audio(np.asarray(ref_audio,
                                                        np.float32))
             prefix = jnp.concatenate([audio_cond, text_emb], axis=1)

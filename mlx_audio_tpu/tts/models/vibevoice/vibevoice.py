@@ -233,6 +233,23 @@ class Model(Module):
         return orient_weights_to_model(self, out)
 
     # ------------------------------------------------------------------
+    def load_voice(self, voice: str) -> dict:
+        """Load a voice-cache from `<model_path>/voices/<voice>.safetensors`
+        (or a direct file path) and parse it (reference
+        vibevoice.py:134-192)."""
+        from pathlib import Path
+
+        from safetensors.numpy import load_file
+
+        path = Path(voice)
+        if not path.exists():
+            mp = getattr(self.config, "model_path", None)
+            if mp:
+                path = Path(mp) / "voices" / f"{voice}.safetensors"
+        if not path.exists():
+            raise FileNotFoundError(f"Voice cache not found: {voice}")
+        return self.load_voice_arrays(load_file(str(path)))
+
     def load_voice_arrays(self, tensors: dict) -> dict:
         """Parse a voice-cache dict of numpy/jnp arrays into
         (lm/tts/neg caches, hiddens) (reference vibevoice.py:131-192).
@@ -355,6 +372,9 @@ class Model(Module):
         tokenizer = self._tokenizer()
         texts = text if isinstance(text, list) else [text]
         voices = voice if isinstance(voice, list) else [voice] * len(texts)
+        # voice names resolve against <model_path>/voices/*.safetensors
+        voices = [self.load_voice(v) if isinstance(v, str) else v
+                  for v in voices]
 
         start = time.time()
         segments = []

@@ -505,6 +505,51 @@ class Model(Module):
         top = np.sort(np.argsort(-scores)[:target_len])
         return embs[:, top], preds[:, top]
 
+    def feed(self, chunk, state: StreamingState, *,
+             sample_rate: int = 16000, threshold: float = 0.5,
+             min_duration: float = 0.0, merge_gap: float = 0.0,
+             spkcache_max: int = 188, fifo_max: int = 188):
+        """Feed one incrementally-arriving audio chunk (mic streaming) and
+        return ``(DiarizationOutput, new_state)`` with segment times offset
+        by the audio already processed (reference sortformer.py:1313-1419).
+
+        Use :meth:`init_streaming_state` for the initial state."""
+        proc = self.config.processor_config
+        sub = self.config.fc_encoder_config.subsampling_factor
+        frame_duration = proc.hop_length * sub / proc.sampling_rate
+
+        wav = np.asarray(chunk, np.float32)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=-1)
+        if sample_rate != proc.sampling_rate:
+            from ....utils import resample_audio
+
+            wav = resample_audio(wav, sample_rate, proc.sampling_rate)
+        offset = state.frames_processed * frame_duration
+        wav = wav / (np.abs(wav).max() + 1e-3)
+
+        feats = extract_mel_features(
+            wav, sample_rate=proc.sampling_rate, n_fft=proc.n_fft,
+            hop_length=proc.hop_length, win_length=proc.win_length,
+            n_mels=proc.feature_size, preemphasis_coeff=proc.preemphasis,
+        )
+        chunk_preds, state = self.streaming_step(
+            feats, np.asarray([feats.shape[2]], np.int32), state,
+            spkcache_max=spkcache_max, fifo_max=fifo_max,
+        )
+        segments = [
+            DiarizationSegment(start=s.start + offset, end=s.end + offset,
+                               speaker=s.speaker)
+            for s in self._preds_to_segments(
+                chunk_preds, frame_duration, threshold, min_duration,
+                merge_gap)
+        ]
+        out = DiarizationOutput(
+            segments=segments, speaker_probs=chunk_preds,
+            num_speakers=len({s.speaker for s in segments}), state=state,
+        )
+        return out, state
+
     def generate_stream(self, audio, *, state: Optional[StreamingState] = None,
                         sample_rate: int = 16000, chunk_duration: float = 5.0,
                         threshold: float = 0.5, min_duration: float = 0.0,

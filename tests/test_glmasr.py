@@ -76,3 +76,20 @@ def test_long_audio_chunks(monkeypatch):
     assert len(calls) >= 4
     assert all(c <= 30.5 for c in calls[1:])
     assert isinstance(out.text, str)
+
+
+def test_stream_transcribe_partial_then_final():
+    """Streaming yields partial text deltas then a final result whose
+    concatenation matches cumulative decode (reference glmasr.py:944-1060
+    contract)."""
+    model = Model(tiny_cfg())
+    model.set_runtime(tokenizer=FakeTok())
+    audio = np.random.randn(16000).astype(np.float32) * 0.1
+    results = list(model.stream_transcribe(audio, max_tokens=6,
+                                           chunk_size=2))
+    assert results, "no streaming results"
+    assert results[-1].is_final
+    assert results[-1].generation_tokens <= 6
+    partial_text = "".join(r.text for r in results if not r.is_final)
+    out = model.generate(audio, max_tokens=6)
+    assert partial_text == out.text or partial_text.strip() == out.text
