@@ -474,3 +474,17 @@ class SAMAudio(Module):
                 k = f"{m.group(1)}.{m.group(3)}.{remap[m.group(2)]}"
             out[k] = value
         return orient_weights_to_model(self, out)
+
+
+def save_audio(audio, path: str, sample_rate: int = 48000) -> None:
+    """Write a separated stem to disk (reference sam_audio/processor.py:403).
+
+    Accepts (length,) or (length, 1) arrays of any array type; squeezes and
+    delegates to the native RIFF writer.
+    """
+    from ....audio_io import write as audio_write
+
+    audio = np.asarray(audio)
+    if audio.ndim > 1:
+        audio = audio.squeeze()
+    audio_write(path, audio.astype(np.float32), sample_rate)

@@ -79,3 +79,29 @@ print("OK")
     )
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
+
+
+def test_subpackage_export_surface():
+    """Reference users rely on `from mlx_audio.tts import load, load_model`
+    (reference tts/stt/vad `__init__.py`), `mlx_audio.sts`'s SAMAudio /
+    MossFormer2 / VoicePipeline exports, and `mlx_audio.codec`'s codec
+    classes. Ours resolve lazily (PEP 562) but must resolve."""
+    import mlx_audio_tpu.codec as codec
+    import mlx_audio_tpu.sts as sts
+    import mlx_audio_tpu.stt as stt
+    import mlx_audio_tpu.tts as tts
+    import mlx_audio_tpu.vad as vad
+
+    for pkg in (tts, stt, vad):
+        assert callable(pkg.load) and callable(pkg.load_model)
+    for name in ("SAMAudio", "SAMAudioProcessor", "SeparationResult",
+                 "Batch", "save_audio", "SAMAudioConfig", "MossFormer2SE",
+                 "MossFormer2SEConfig", "MossFormer2SEModel",
+                 "VoicePipeline"):
+        assert getattr(sts, name) is not None
+    for name in ("DAC", "Encodec", "Mimi", "SNAC", "Vocos"):
+        assert getattr(codec, name) is not None
+    import pytest
+
+    with pytest.raises(AttributeError):
+        tts.no_such_symbol
