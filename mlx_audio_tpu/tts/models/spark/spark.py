@@ -535,7 +535,8 @@ class BiCodec(Module):
     """reference bicodec.py:53-267."""
 
     def __init__(self, encoder, decoder, quantizer, speaker_encoder, prenet,
-                 postnet, mel_params: Optional[dict] = None):
+                 postnet, mel_params: Optional[dict] = None,
+                 ref_clip_params: Optional[dict] = None):
         self.encoder = encoder
         self.decoder = decoder
         self.quantizer = quantizer
@@ -543,6 +544,23 @@ class BiCodec(Module):
         self.prenet = prenet
         self.postnet = postnet
         self.mel_params = mel_params or {}
+        # sample_rate / ref_segment_duration / latent_hop_length from the
+        # checkpoint's tokenizer config (reference audio_tokenizer.py:40-53)
+        self.ref_clip_params = ref_clip_params or {}
+
+    def get_ref_clip(self, wav: np.ndarray) -> np.ndarray:
+        """Fixed-duration speaker-reference clip: `ref_segment_duration`
+        seconds rounded down to a whole number of latent hops, tiling the
+        waveform when it is shorter (reference audio_tokenizer.py:40-53)."""
+        p = self.ref_clip_params
+        sr = int(p.get("sample_rate", 16000))
+        dur = float(p.get("ref_segment_duration", 6.0))
+        hop = int(p.get("latent_hop_length", 320))
+        ref_len = int(sr * dur) // hop * hop
+        wav = np.asarray(wav).reshape(-1)
+        if ref_len > wav.shape[0]:
+            wav = np.tile(wav, ref_len // wav.shape[0] + 1)
+        return wav[:ref_len]
 
     def tokenize(self, feat, ref_wav):
         """feat (B, T, D) wav2vec-style features; ref_wav (B, T_ref)."""
@@ -707,6 +725,12 @@ def load_bicodec(model_dir) -> BiCodec:
         prenet=build(FeatDecoder, cfg["prenet"]),
         postnet=build(FeatDecoder, cfg["postnet"]),
         mel_params=mel_params,
+        ref_clip_params={
+            k: raw[k]
+            for k in ("sample_rate", "ref_segment_duration",
+                      "latent_hop_length", "volume_normalize")
+            if k in raw
+        },
     )
     weights = bc.sanitize(load_weight_files(model_dir))
     return assign(bc, weights, strict=False).eval()
@@ -844,11 +868,27 @@ class Model(Module):
             if ref_audio is None:
                 raise ValueError("Provide ref_audio or gender controls")
             fe = rt.get("feature_extractor")
+            clip_params = getattr(bicodec, "ref_clip_params", {}) or {}
+            if isinstance(ref_audio, (str, Path)):
+                # reference audio_tokenizer.py:55-68 loads paths with the
+                # checkpoint's volume_normalize setting
+                from ....utils import load_audio as _load_audio
+
+                ref_audio = _load_audio(
+                    ref_audio,
+                    sample_rate=int(clip_params.get("sample_rate", 16000)),
+                    volume_normalize=bool(
+                        clip_params.get("volume_normalize", False)),
+                )
             wav = np.asarray(ref_audio, np.float32).reshape(1, -1)
+            # speaker/global tokens use a fixed-duration ref clip
+            # (reference audio_tokenizer.py:70); semantic tokens use the
+            # full waveform's wav2vec features
+            ref_wav = bicodec.get_ref_clip(wav)[None]
             feat = (fe(wav) if fe is not None
                     else jnp.zeros((1, max(1, wav.shape[1] // 320), 1024)))
             semantic, global_token_ids = bicodec.tokenize(
-                jnp.asarray(feat), jnp.asarray(wav))
+                jnp.asarray(feat), jnp.asarray(ref_wav))
             prompt = self.process_prompt(text, np.asarray(global_token_ids),
                                          np.asarray(semantic)
                                          if ref_text else None, ref_text)

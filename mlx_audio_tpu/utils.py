@@ -497,9 +497,19 @@ def load_audio(
     sample_rate: Optional[int] = None,
     dtype=np.float32,
     mono: bool = True,
+    length: Optional[int] = None,
+    volume_normalize: bool = False,
+    segment_duration: Optional[float] = None,
 ) -> np.ndarray:
     """Read an audio file → float32 samples, optionally resampled to
-    `sample_rate` (polyphase, like the reference's stt/utils.py:21-28)."""
+    `sample_rate` (polyphase, like the reference's stt/utils.py:21-28).
+
+    The extra options mirror the reference top-level loader
+    (reference utils.py:507-575): `length` pads/truncates to an exact
+    sample count, `volume_normalize` applies percentile volume
+    normalization, and `segment_duration` randomly selects a clip of
+    that many seconds (requires `sample_rate`).
+    """
     from . import audio_io
 
     x, sr = audio_io.read(path)
@@ -507,7 +517,52 @@ def load_audio(
         x = x.mean(axis=1)
     if sample_rate is not None and sr != sample_rate:
         x = resample_audio(x, sr, sample_rate)
-    return x.astype(dtype)
+        sr = sample_rate
+    x = x.astype(dtype)
+    if segment_duration is not None:
+        x = random_select_audio_segment(x, int(segment_duration * sr))
+    if volume_normalize:
+        x = audio_volume_normalize(x)
+    if length is not None:
+        if x.shape[0] < length:
+            x = np.pad(x, (0, length - x.shape[0]))
+        else:
+            x = x[:length]
+    return x
+
+
+def audio_volume_normalize(audio: np.ndarray, coeff: float = 0.2) -> np.ndarray:
+    """Percentile-based volume normalization (reference utils.py:443-483):
+    scale so the mean of the 90th-99th percentile |sample| values hits
+    `coeff`, with a 0.1× – 10× clamp and a final |x| ≤ 1 guarantee."""
+    audio = np.asarray(audio)
+    temp = np.sort(np.abs(audio))
+    if temp.size == 0:
+        return audio
+    if temp[-1] < 0.1:
+        audio = audio / max(float(temp[-1]), 1e-3) * 0.1
+        temp = np.sort(np.abs(audio))
+    temp = temp[temp > 0.01]
+    if temp.shape[0] <= 10:
+        return audio
+    volume = float(np.mean(temp[int(0.9 * len(temp)): int(0.99 * len(temp))]))
+    audio = audio * np.clip(coeff / volume, 0.1, 10)
+    max_value = float(np.max(np.abs(audio)))
+    if max_value > 1:
+        audio = audio / max_value
+    return audio
+
+
+def random_select_audio_segment(audio: np.ndarray, length: int) -> np.ndarray:
+    """Random fixed-length clip, zero-padded if too short
+    (reference utils.py:485-505)."""
+    import random
+
+    audio = np.asarray(audio)
+    if audio.shape[0] < length:
+        audio = np.pad(audio, (0, int(length - audio.shape[0])))
+    start = random.randint(0, audio.shape[0] - length)
+    return audio[start: start + length]
 
 
 def resample_audio(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

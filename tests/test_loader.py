@@ -118,3 +118,38 @@ def test_mixed_bit_checkpoint_loads_and_matches_dequant(tmp_path):
     np.testing.assert_allclose(
         np.asarray(m(x)), np.asarray(mf(x)), atol=1e-4, rtol=1e-4
     )
+
+
+def test_audio_volume_normalize_and_load_audio_options(tmp_path):
+    """Reference utils.py:443-505 volume normalization and the
+    length/volume_normalize/segment_duration load_audio options."""
+    import numpy as np
+
+    from mlx_audio_tpu import audio_io
+    from mlx_audio_tpu.utils import (
+        audio_volume_normalize,
+        load_audio,
+        random_select_audio_segment,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16000).astype(np.float32) * 0.01
+    y = audio_volume_normalize(x, coeff=0.2)
+    top = np.sort(np.abs(y))
+    top = top[top > 0.01]
+    vol = top[int(0.9 * len(top)): int(0.99 * len(top))].mean()
+    assert abs(vol - 0.2) < 0.05 or np.abs(y).max() == 1.0
+    assert np.abs(y).max() <= 1.0
+
+    seg = random_select_audio_segment(x, 32000)
+    assert seg.shape == (32000,)  # padded up
+    seg2 = random_select_audio_segment(x, 4000)
+    assert seg2.shape == (4000,)
+
+    p = tmp_path / "a.wav"
+    audio_io.write(str(p), x, 16000)
+    got = load_audio(p, sample_rate=16000, length=20000)
+    assert got.shape == (20000,) and np.allclose(got[16000:], 0)
+    got2 = load_audio(p, sample_rate=16000, segment_duration=0.5,
+                      volume_normalize=True)
+    assert got2.shape == (8000,) and np.abs(got2).max() <= 1.0

@@ -97,3 +97,22 @@ def test_float_controls_snap_to_levels():
 
     assert PITCH_MAP[min(PITCH_MAP, key=lambda k: abs(k - 1.2))] == "moderate"
     assert PITCH_MAP[min(PITCH_MAP, key=lambda k: abs(k - 0.25))] in ("very_low", "low")
+
+
+def test_get_ref_clip_fixed_length_and_tiling():
+    """Speaker-reference clip is ref_segment_duration seconds rounded to a
+    whole number of latent hops; short audio tiles (reference
+    audio_tokenizer.py:40-53)."""
+    bc = make_bicodec()
+    bc.ref_clip_params = dict(sample_rate=16000, ref_segment_duration=6,
+                              latent_hop_length=320)
+    expect = 16000 * 6 // 320 * 320
+    long = np.random.randn(16000 * 10).astype(np.float32)
+    clip = bc.get_ref_clip(long)
+    assert clip.shape == (expect,)
+    assert np.array_equal(clip, long[:expect])
+    short = np.random.randn(1000).astype(np.float32)
+    clip2 = bc.get_ref_clip(short)
+    assert clip2.shape == (expect,)
+    assert np.array_equal(clip2[:1000], short)
+    assert np.array_equal(clip2[1000:2000], short)  # tiled, not zero-padded
