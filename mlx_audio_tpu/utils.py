@@ -458,8 +458,48 @@ _STT_TYPES = {
 _VAD_TYPES = {"sortformer", "smart_turn"}
 
 
+def get_model_name_parts(model_path: Union[str, Path]) -> List[str]:
+    """Lowercased dash-split tokens of the repo/dir name, used as category
+    hints when config lacks model_type (reference utils.py:657-667)."""
+    name = str(model_path).rstrip("/").split("/")[-1]
+    return name.lower().split("--")[-1].split("-")
+
+
+def get_model_category(model_type: Optional[str],
+                       name_parts: Optional[List[str]] = None) -> Optional[str]:
+    """tts / stt / vad from model_type or name hints
+    (reference utils.py:619-655): registry remapping keys first, then
+    direct model-package names."""
+    import importlib.util
+
+    candidates = [h for h in [model_type] + list(name_parts or []) if h]
+
+    def _remaps():
+        from .stt.utils import MODEL_REMAPPING as stt_remap
+        from .tts.utils import MODEL_REMAPPING as tts_remap
+        from .vad.utils import MODEL_REMAPPING as vad_remap
+
+        return [("tts", tts_remap), ("stt", stt_remap), ("vad", vad_remap)]
+
+    categories = _remaps()
+    for category, remap in categories:
+        for hint in candidates:
+            if hint in remap:
+                return category
+    for category, _ in categories:
+        for hint in candidates:
+            if not hint.isidentifier():
+                continue
+            spec = importlib.util.find_spec(
+                f"{__package__}.{category}.models.{hint}")
+            if spec is not None:
+                return category
+    return None
+
+
 def load_model(model_path: Union[str, Path], **kwargs):
-    """Load a model, sniffing its domain from config/model_type."""
+    """Load a model, sniffing its domain from config/model_type, with
+    repo-name hints as fallback (reference utils.py:669-704)."""
     path = (
         get_model_path(model_path) if isinstance(model_path, str) else Path(model_path)
     )
@@ -468,6 +508,21 @@ def load_model(model_path: Union[str, Path], **kwargs):
     except FileNotFoundError:
         config = {}
     model_type = (config.get("model_type") or "").lower().replace("-", "_")
+
+    if not model_type:
+        category = get_model_category(None, get_model_name_parts(model_path))
+        if category == "stt":
+            from .stt.utils import load_model as load_stt
+
+            return load_stt(path, **kwargs)
+        if category == "vad":
+            from .vad.utils import load_model as load_vad
+
+            return load_vad(path, **kwargs)
+        if category == "tts":
+            from .tts.utils import load_model as load_tts
+
+            return load_tts(path, **kwargs)
 
     if model_type in _STT_TYPES:
         from .stt.utils import load_model as load_stt

@@ -153,3 +153,17 @@ def test_audio_volume_normalize_and_load_audio_options(tmp_path):
     got2 = load_audio(p, sample_rate=16000, segment_duration=0.5,
                       volume_normalize=True)
     assert got2.shape == (8000,) and np.abs(got2).max() <= 1.0
+
+
+def test_model_category_from_name_hints():
+    """Top-level load_model falls back to repo-name hints when config has
+    no model_type (reference utils.py:619-704)."""
+    from mlx_audio_tpu.utils import get_model_category, get_model_name_parts
+
+    assert get_model_name_parts("org/Whisper-Large-V3") == \
+        ["whisper", "large", "v3"]
+    assert get_model_category(None, ["whisper", "tiny"]) == "stt"
+    assert get_model_category(None, ["kokoro", "82m"]) == "tts"
+    assert get_model_category(None, ["sortformer"]) == "vad"
+    assert get_model_category("spark", None) == "tts"
+    assert get_model_category(None, ["not_a_model"]) is None
