@@ -283,11 +283,17 @@ def _hf_to_native(weights: dict) -> dict:
 
 class Model(Module):
     def __init__(self, dims: Union[ModelDimensions, dict], dtype=jnp.float32):
+        heads = dims.pop("alignment_heads", None) if isinstance(dims, dict) \
+            else None
         if isinstance(dims, dict):
             dims = ModelDimensions.from_dict(dims)
         self.dims = dims
         self.encoder = AudioEncoder(dims)
         self.decoder = TextDecoder(dims)
+        if heads:
+            # persisted by convert.py for OpenAI variants (reference
+            # scripts/convert.py:197,263)
+            self.set_alignment_heads(heads)
 
     # ---- loading ----
 

@@ -591,6 +591,35 @@ class Model(Module):
             z = cnx(conv(z))
         return fish.decoder(z)
 
+    @staticmethod
+    def find_flattening_point(latent: np.ndarray, target_value: float = 0.0,
+                              window_size: int = 20,
+                              std_threshold: float = 0.05) -> int:
+        """First frame index where the latent flattens out (a window of
+        near-constant frames at `target_value`) — the end of actual speech
+        in the fixed-length DiT output (reference echo_tts/audio.py:44-61).
+        Vectorized sliding-window mean/std instead of the reference's
+        python loop."""
+        latent = np.asarray(latent, np.float32)
+        T, L = latent.shape
+        padded = np.concatenate(
+            [latent, np.zeros((window_size, L), np.float32)], axis=0)
+        # sliding windows over axis 0: (T, window_size, L)
+        win = np.lib.stride_tricks.sliding_window_view(
+            padded, window_size, axis=0)[:T]  # (T, L, window_size)
+        means = win.mean(axis=(1, 2))
+        stds = win.std(axis=(1, 2))
+        hits = np.flatnonzero(
+            (stds < std_threshold) & (np.abs(means - target_value) < 0.1))
+        return int(hits[0]) if hits.size else T
+
+    def crop_audio_to_flattening_point(self, audio: np.ndarray,
+                                       latent: np.ndarray) -> np.ndarray:
+        """Trim trailing silence: crop decoded audio at the latent
+        flattening point × the codec downsample factor (2048)
+        (reference echo_tts/audio.py:64-67)."""
+        return audio[..., : self.find_flattening_point(latent) * 2048]
+
     def generate(self, text: str, ref_audio=None, rng_seed: int = 0,
                  **kwargs) -> Generator[GenerationResult, None, None]:
         rt = self._resolve_codec()
@@ -610,6 +639,10 @@ class Model(Module):
         latents = self.generate_latents(text, speaker_latent, speaker_mask,
                                         rng_seed=rng_seed, **kwargs)
         audio_out = np.asarray(self.ae_decode(latents))[0, :, 0]
+        # trim trailing silence past the latent flattening point
+        # (reference echo_tts.py:209)
+        audio_out = self.crop_audio_to_flattening_point(
+            audio_out, np.asarray(latents[0]))
         elapsed = time.perf_counter() - start
         dur = len(audio_out) / self.sample_rate
         yield GenerationResult(

@@ -10,6 +10,7 @@ decodes c1/c2 code pairs.
 from __future__ import annotations
 
 import json
+import logging
 import re
 import time
 from dataclasses import dataclass
@@ -120,6 +121,83 @@ class Model(CausalLM):
             })
         return {"text": ref_text, "words": out_words,
                 "global_features": {"energy": 0, "spectral_centroid": 0, "pitch": 0}}
+
+    def save_speaker(self, speaker: dict, path: str) -> None:
+        """Persist a speaker profile as JSON (reference
+        audio_processor.py:332-340); `~` expands, directories are created."""
+        import os
+
+        path = os.path.expanduser(path)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        Path(path).write_text(json.dumps(speaker))
+
+    def create_speaker_from_dict(self, data: dict) -> dict:
+        """Build a speaker profile from `{"audio": {"bytes"|array}, "text",
+        "words": [{word, start, end}]}` with real word timings (reference
+        audio_processor.py:279-330): DAC codes are split at word boundaries
+        at 75 tokens/s, with a ±20-token extension at the clip edges."""
+        audio = data["audio"]
+        if isinstance(audio, dict):
+            audio = audio.get("bytes", audio.get("array"))
+        from ....stt.models.base import ensure_waveform
+
+        audio = ensure_waveform(audio, self.sample_rate)
+        wav = np.asarray(audio, np.float32).reshape(1, 1, -1)
+        _, codes, _, _, _ = self.codec.encode(wav)
+        codes = np.asarray(codes)[0]
+        c1, c2 = codes[0], codes[1]
+
+        tps = 75
+        max_extension = 20
+        words = data["words"]
+        out_words = []
+        start = None
+        for idx, w in enumerate(words):
+            if start is None:
+                start = max(0, int(w["start"] * tps) - max_extension)
+            if idx == len(words) - 1:
+                end = min(len(c1), int(w["end"] * tps) + max_extension)
+            else:
+                end = int(w["end"] * tps)
+            out_words.append({
+                "word": w["word"].strip(),
+                "duration": round((end - start) / tps, 2),
+                "features": {"energy": 0, "spectral_centroid": 0,
+                             "pitch": 0},
+                "c1": c1[start:end].tolist(),
+                "c2": c2[start:end].tolist(),
+            })
+            start = end
+        return {"text": data["text"], "words": out_words,
+                "global_features": {"energy": 0, "spectral_centroid": 0,
+                                    "pitch": 0}}
+
+    def create_speaker_from_whisper(self, audio, stt_model) -> dict:
+        """Transcribe the reference clip with word timestamps and build a
+        speaker profile from the real alignment (reference
+        audio_processor.py:223-277). `stt_model` is a loaded STT model
+        (e.g. Whisper) supporting `generate(..., word_timestamps=True)`."""
+        from ....stt.models.base import ensure_waveform
+        from ....utils import resample_audio
+
+        wav = ensure_waveform(audio, self.sample_rate)
+        if len(wav) / self.sample_rate > 15:
+            logging.getLogger(__name__).warning(
+                "Speaker audio is longer than 15 seconds; for best results "
+                "use a clip up to 15 seconds.")
+        wav16 = resample_audio(np.asarray(wav, np.float32),
+                               self.sample_rate, 16000)
+        result = stt_model.generate(wav16, word_timestamps=True)
+        words = []
+        for seg in result.segments or []:
+            for w in seg.get("words", []):
+                words.append({"word": str(w["word"]).strip(),
+                              "start": float(w["start"]),
+                              "end": float(w["end"])})
+        if not words:
+            return self.create_speaker(wav, result.text)
+        return self.create_speaker_from_dict(
+            {"audio": wav, "text": result.text, "words": words})
 
     # ---- generation ----
 

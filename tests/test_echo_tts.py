@@ -51,3 +51,45 @@ def test_generate_with_speaker_conditioning():
     mask = jnp.ones((1, 4), bool)
     lat = model.generate_latents("hi", speaker_latent=spk, speaker_mask=mask)
     assert lat.shape == (1, 16, 8)
+
+
+def test_find_flattening_point_and_crop():
+    """Matches the reference python-loop semantics
+    (echo_tts/audio.py:44-67): first window of near-constant frames at the
+    target value ends the speech region; audio crops at 2048 samples/frame."""
+    from mlx_audio_tpu.tts.models.echo_tts.echo_tts import Model
+
+    rng = np.random.default_rng(0)
+    lat = np.concatenate([
+        rng.standard_normal((30, 80)).astype(np.float32),  # speech
+        np.zeros((50, 80), np.float32),                    # flat tail
+    ])
+    fp = Model.find_flattening_point(lat)
+    assert fp == 30
+
+    # reference loop semantics check on random latents
+    def ref_loop(data, window=20, std_th=0.05, target=0.0):
+        padded = np.concatenate([data, np.zeros((window, data.shape[-1]),
+                                                np.float32)])
+        for i in range(padded.shape[0] - window):
+            w = padded[i:i + window]
+            if w.std() < std_th and abs(w.mean() - target) < 0.1:
+                return i
+        return data.shape[0]
+
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        cut = int(r.integers(5, 60))
+        data = np.concatenate([
+            r.standard_normal((cut, 80)).astype(np.float32) * 0.5,
+            np.zeros((64 - cut if cut < 64 else 4, 80), np.float32)])
+        assert Model.find_flattening_point(data) == ref_loop(data)
+
+    # all-speech latents: no crop
+    noisy = rng.standard_normal((40, 80)).astype(np.float32)
+    assert Model.find_flattening_point(noisy) == 40
+
+    audio = np.zeros(80 * 2048, np.float32)
+    m = object.__new__(Model)
+    out = m.crop_audio_to_flattening_point(audio, lat)
+    assert out.shape == (30 * 2048,)

@@ -138,3 +138,49 @@ def test_generate_audio_auto_transcribes_ref_audio(tmp_path):
         output_path=str(tmp_path), verbose=False,
     )
     assert seen["ref_text"] == "spoken words"
+
+
+def test_outetts_speaker_profile_roundtrip(tmp_path):
+    """create_speaker_from_dict splits codes at word boundaries at 75 tps
+    (reference audio_processor.py:279-330); save/load roundtrip
+    (reference :332-350)."""
+    from mlx_audio_tpu.tts.models.outetts import Model, ModelConfig
+
+    cfg = ModelConfig(hidden_size=64, num_hidden_layers=2,
+                      intermediate_size=128, num_attention_heads=4,
+                      num_key_value_heads=2, vocab_size=5000,
+                      model_type="qwen3")
+    m = Model(cfg)
+
+    class Codec:
+        def encode(self, audio):
+            T = max(audio.shape[-1] // 512, 2)
+            codes = np.arange(2 * T, dtype=np.int64).reshape(1, 2, T)
+            return None, codes, None, None, None
+
+    m.set_runtime(tokenizer=FakeTok(), codec=Codec())
+    wav = np.random.default_rng(0).standard_normal(24000 * 2).astype(np.float32)
+    sp = m.create_speaker_from_dict({
+        "audio": wav, "text": "hello world",
+        "words": [{"word": "hello", "start": 0.0, "end": 0.8},
+                  {"word": "world", "start": 0.8, "end": 1.8}],
+    })
+    assert [w["word"] for w in sp["words"]] == ["hello", "world"]
+    assert all(isinstance(w["c1"], list) for w in sp["words"])
+    # word 0 starts at max(0, 0*75-20)=0, ends at int(0.8*75)=60
+    assert len(sp["words"][0]["c1"]) == 60
+
+    p = tmp_path / "voices" / "spk.json"
+    m.save_speaker(sp, str(p))
+    loaded = m.load_speaker(str(p))
+    assert loaded == sp
+
+    # whisper-path fallback: stt model without word segments
+    class FakeSTT:
+        def generate(self, audio, **kw):
+            from mlx_audio_tpu.stt.models.base import STTOutput
+
+            return STTOutput(text="hi there", segments=[])
+
+    sp2 = m.create_speaker_from_whisper(wav, FakeSTT())
+    assert sp2["text"] == "hi there"

@@ -259,3 +259,26 @@ def test_decode_option_validation(tiny):
         condition_on_previous_text=False, no_speech_threshold=None,
     )
     assert out is not None
+
+
+def test_alignment_heads_decode_and_config_roundtrip():
+    """base85 alignment-head dumps decode to (layer, head) pairs and flow
+    through config into the model (reference scripts/convert.py:50-66,
+    whisper.py:518-526)."""
+    from mlx_audio_tpu.stt.models.whisper.convert import (
+        _ALIGNMENT_HEADS,
+        available_models,
+        decode_alignment_heads,
+    )
+
+    assert "large-v3-turbo" in available_models()
+    # tiny: 4 text layers, 6 heads
+    pairs = decode_alignment_heads(_ALIGNMENT_HEADS["tiny"], 4, 6)
+    assert pairs and all(0 <= l < 4 and 0 <= h < 6 for l, h in pairs)
+
+    dims = dict(n_mels=80, n_audio_ctx=1500, n_audio_state=64,
+                n_audio_head=2, n_audio_layer=1, n_vocab=2000,
+                n_text_ctx=448, n_text_state=64, n_text_head=2,
+                n_text_layer=2, alignment_heads=[[1, 0], [1, 1]])
+    m = Model(dims)
+    assert m.alignment_heads == ((1, 0), (1, 1))
