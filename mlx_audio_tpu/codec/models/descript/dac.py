@@ -13,7 +13,9 @@ latents, ...)`, `decode(z)`, `quantizer.from_codes(codes)`; audio shapes are
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from functools import partial
+from pathlib import Path
 from typing import List, Optional, Union
 
 import jax
@@ -24,7 +26,7 @@ from ....nn import Conv1d, ConvTranspose1d, Embedding, Module
 from ....nn.activations import snake
 from ..base import fold_weight_norm_pairs
 
-__all__ = ["DAC"]
+__all__ = ["DAC", "DACFile"]
 
 
 class Snake1d(Module):
@@ -369,3 +371,133 @@ class DAC(Module):
         model = cls(**config)
         weights = model.sanitize(load_weight_files(path))
         return assign(model, weights, strict=False).eval()
+
+
+SUPPORTED_VERSIONS = ["1.0.0"]
+
+
+@dataclass
+class DACFile:
+    """Compressed-audio artifact, `.dac`-format compatible with the
+    reference (codec/models/descript/base.py:14-52): an np.save'd dict of
+    uint16 codes + metadata."""
+
+    codes: np.ndarray
+    chunk_length: int
+    original_length: float
+    input_db: float
+    channels: int
+    sample_rate: int
+    padding: bool
+    dac_version: str = SUPPORTED_VERSIONS[-1]
+
+    def save(self, path) -> Path:
+        artifacts = {
+            "codes": np.asarray(self.codes).astype(np.uint16),
+            "metadata": {
+                "input_db": float(self.input_db),
+                "original_length": self.original_length,
+                "sample_rate": self.sample_rate,
+                "chunk_length": self.chunk_length,
+                "channels": self.channels,
+                "padding": self.padding,
+                "dac_version": SUPPORTED_VERSIONS[-1],
+            },
+        }
+        path = Path(path).with_suffix(".dac")
+        with open(path, "wb") as f:
+            np.save(f, artifacts)
+        return path
+
+    @classmethod
+    def load(cls, path) -> "DACFile":
+        artifacts = np.load(path, allow_pickle=True)[()]
+        meta = artifacts["metadata"]
+        if meta.get("dac_version") not in SUPPORTED_VERSIONS:
+            raise RuntimeError(
+                f"{path} can't be loaded with this version of the codec "
+                f"(dac_version={meta.get('dac_version')})")
+        return cls(codes=artifacts["codes"].astype(np.int32), **meta)
+
+
+def _dac_compress(self: "DAC", audio, win_duration: float = 1.0,
+                  normalize_db: float = -16,
+                  n_quantizers: Optional[int] = None) -> DACFile:
+    """Encode a file/waveform into a portable DACFile (reference
+    base.py:123-196). Loudness is normalized to `normalize_db`, the signal
+    is encoded in fixed windows, and the original level is stored for
+    exact restoration at decompress. Windows here are hop-aligned with
+    per-window padding (the reference instead threads the conv delay
+    through unpadded convs; boundary frames may differ)."""
+    if isinstance(audio, (str, Path)):
+        from ....audio_io import read as audio_read
+
+        signal, sr = audio_read(audio)
+        if signal.ndim == 2:
+            signal = signal.mean(axis=1)
+        if sr != self.sample_rate:
+            raise ValueError(
+                f"Sample rate of the audio signal ({sr}) does not match "
+                f"the sample rate of the model ({self.sample_rate}).")
+    else:
+        signal = np.asarray(audio, np.float32).reshape(-1)
+    duration = signal.shape[-1] / self.sample_rate
+
+    rms = float(np.sqrt(np.mean(signal.astype(np.float64) ** 2) + 1e-12))
+    input_db = 20 * math.log10(rms + 1e-12)
+    if normalize_db is not None:
+        signal = signal * 10 ** ((normalize_db - input_db) / 20)
+
+    x = signal[None, None, :].astype(np.float32)
+    nt = x.shape[-1]
+    if win_duration is None or duration <= win_duration:
+        n_samples, hop, padding = nt, max(nt, 1), True
+    else:
+        n_samples = int(win_duration * self.sample_rate)
+        n_samples = int(math.ceil(n_samples / self.hop_length)
+                        * self.hop_length)
+        hop, padding = n_samples, False
+
+    codes, chunk_length = [], 0
+    for i in range(0, nt, hop):
+        chunk = x[..., i: i + n_samples]
+        pad = n_samples - chunk.shape[-1] if not padding else 0
+        if pad > 0:
+            chunk = np.pad(chunk, [(0, 0), (0, 0), (0, pad)])
+        chunk = self.preprocess(chunk, self.sample_rate)
+        _, c, _, _, _ = self.encode(chunk, n_quantizers)
+        codes.append(np.asarray(c))
+        chunk_length = codes[-1].shape[-1]
+
+    all_codes = np.concatenate(codes, axis=-1)
+    if n_quantizers is not None:
+        all_codes = all_codes[:, :n_quantizers, :]
+    return DACFile(
+        codes=all_codes, chunk_length=chunk_length,
+        original_length=duration, input_db=input_db, channels=1,
+        sample_rate=self.sample_rate, padding=padding,
+    )
+
+
+def _dac_decompress(self: "DAC", obj) -> np.ndarray:
+    """DACFile (or path) → waveform (1, T), restoring the original
+    loudness (reference base.py:198-233)."""
+    if isinstance(obj, (str, Path)):
+        obj = DACFile.load(obj)
+    if self.sample_rate != obj.sample_rate:
+        raise ValueError(
+            f"Sample rate of the audio signal ({obj.sample_rate}) does not "
+            f"match the sample rate of the model ({self.sample_rate}).")
+    codes = np.asarray(obj.codes, np.int32)
+    recons = []
+    for i in range(0, codes.shape[-1], obj.chunk_length):
+        c = jnp.asarray(codes[..., i: i + obj.chunk_length])
+        recons.append(np.asarray(self.decode_codes(c)))  # (1, 1, T)
+    out = np.concatenate(recons, axis=-1)[:, 0]
+    out = out * 10 ** ((obj.input_db - (-16)) / 20)
+    n = int(obj.original_length * obj.sample_rate)
+    return out[..., :n] if n > 0 else out
+
+
+DAC.compress = _dac_compress
+DAC.decompress = _dac_decompress

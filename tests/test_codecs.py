@@ -279,3 +279,34 @@ def test_dacvae_streaming_decode_matches_chunked():
     # frame/sample index converters
     assert m.wav_idx_to_feature_idx(40) == 10
     assert m.feature_idx_to_wav_idx(10) == 40
+
+
+def test_dac_compress_decompress_roundtrip(dac, tmp_path):
+    """DACFile .dac format save/load + compress/decompress with loudness
+    restoration (reference descript/base.py:14-233)."""
+    from mlx_audio_tpu.codec.models.descript.dac import DACFile
+
+    sr = dac.sample_rate
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(sr // 2).astype(np.float32) * 0.05)
+
+    f = dac.compress(wav, win_duration=1.0)
+    assert f.codes.ndim == 3 and f.codes.shape[1] == 4
+    assert f.padding is True  # short signal: whole-signal path
+
+    p = f.save(tmp_path / "clip")
+    assert p.suffix == ".dac"
+    loaded = DACFile.load(p)
+    assert np.array_equal(loaded.codes, f.codes.astype(np.int32))
+    assert loaded.sample_rate == sr
+
+    out = dac.decompress(loaded)
+    assert out.ndim == 2 and out.shape[0] == 1
+    assert out.shape[1] == len(wav)
+
+    # long signal: windowed path, multiple chunks
+    wav2 = rng.standard_normal(int(sr * 2.5)).astype(np.float32) * 0.05
+    f2 = dac.compress(wav2, win_duration=1.0, n_quantizers=2)
+    assert f2.padding is False and f2.codes.shape[1] == 2
+    out2 = dac.decompress(f2)
+    assert abs(out2.shape[1] - len(wav2)) <= dac.hop_length * 2
