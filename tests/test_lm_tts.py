@@ -144,3 +144,30 @@ def test_sesame_sanitize_key_mapping():
     assert "model.backbone.layers.0.input_layernorm.weight" in out
     assert "model.backbone.layers.0.mlp.gate_proj.weight" in out
     assert "model.decoder.norm.weight" in out
+
+
+def test_orpheus_streaming_generate_yields_chunks():
+    """stream=True decodes incrementally with code context
+    (reference llama.py:371-497 streaming path)."""
+    from mlx_audio_tpu.tts.models.llama import Model, ModelConfig
+
+    cfg = ModelConfig(
+        hidden_size=64, num_hidden_layers=2, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=130000,
+    )
+    m = Model(cfg)
+
+    class StreamSnac(FakeSnac):
+        def decode_stream(self, layers, prev_codes=None, context_frames=8):
+            n = np.asarray(layers[2]).shape[-1]
+            ctx = [np.asarray(l)[:, -context_frames:] for l in layers]
+            return np.zeros((1, 1, n * 512), np.float32), ctx
+
+    m.set_runtime(tokenizer=FakeTok(), codec=StreamSnac())
+    results = list(m.generate("hello world", voice="zoe", max_tokens=60,
+                              temperature=0.9, stream=True,
+                              streaming_interval=0.05))
+    # random weights: audio-range tokens may or may not appear; must not
+    # crash, and any yielded chunk is well-formed
+    for r in results:
+        assert r.sample_rate == 24000 and r.samples > 0
