@@ -640,7 +640,12 @@ class Model(Module):
         if tokenizer is None:
             raise RuntimeError("IndexTTS tokenizer not set — call "
                                "set_runtime() or load via load_model()")
-        tokens = tokenizer.encode(text)
+        # text normalization + CJK char spacing before the sentencepiece
+        # tokenizer (reference indextts.py:276)
+        from . import normalize as _norm
+
+        tokens = tokenizer.encode(
+            _norm.tokenize_by_CJK_char(_norm.normalize(text)))
 
         embedding = self.prepare_input_embedding(tokens, ref_mel)
         T0 = embedding.shape[1]

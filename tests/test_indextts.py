@@ -55,3 +55,24 @@ def test_generate_end_to_end():
     assert len(results) == 1
     assert results[0].audio.size > 0
     assert np.isfinite(results[0].audio).all()
+
+
+def test_text_normalization():
+    """Reference normalize.py behavior: en numbers/currency spelled out,
+    contractions expanded, zh punctuation folded, pinyin j/q/x respelled,
+    CJK chars space-tokenized and uppercased."""
+    from mlx_audio_tpu.tts.models.indextts import normalize as N
+
+    assert N.normalize("I have $42 and 3 cats") == \
+        "I have forty two dollars and three cats"
+    assert N.normalize("what's 1 2 3") == "what is one two three"
+    assert N.number_to_words(0) == "zero"
+    assert N.number_to_words(1234567) == \
+        "one million two hundred thirty four thousand five hundred sixty seven"
+    assert N.use_chinese("你好") and not N.use_chinese("hello")
+    assert N.use_chinese("ni3 hao3")  # pinyin routes to zh
+    assert N.normalize_chinese("你好，世界！") == "你好,世界!"
+    assert N.correct_pinyin("ju4") == "JV4"
+    assert N.correct_pinyin("ma1") == "ma1"
+    assert N.tokenize_by_CJK_char("你好世界是 hello world 的中文") == \
+        "你 好 世 界 是 HELLO WORLD 的 中 文"
