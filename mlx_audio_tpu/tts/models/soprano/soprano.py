@@ -209,8 +209,11 @@ class Model(Module):
 
     @staticmethod
     def _clean_text(text: str) -> str:
-        text = re.sub(r"\s+", " ", text).strip()
-        return text
+        # full cleaning pipeline the checkpoint was trained on
+        # (reference soprano/text.py:324-343)
+        from .text import clean_text
+
+        return clean_text(text)
 
     def _sentences(self, text: str):
         parts = re.split(r"(?<=[.!?])\s+", self._clean_text(text))

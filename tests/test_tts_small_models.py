@@ -184,3 +184,33 @@ def test_outetts_speaker_profile_roundtrip(tmp_path):
 
     sp2 = m.create_speaker_from_whisper(wav, FakeSTT())
     assert sp2["text"] == "hi there"
+
+
+def test_soprano_clean_text_pipeline():
+    """Reference soprano/text.py clean_text behavior: ascii fold, number
+    and currency spelling, abbreviation/symbol expansion, lowercase,
+    unknown-char strip, whitespace/punctuation cleanup."""
+    from mlx_audio_tpu.tts.models.soprano.text import (
+        clean_text,
+        num_to_words,
+        ordinal_to_words,
+    )
+
+    assert num_to_words(0) == "zero"
+    assert num_to_words(21) == "twenty one"
+    assert num_to_words(105) == "one hundred five"
+    assert num_to_words(1500) == "one thousand five hundred"
+    assert ordinal_to_words(3) == "third"
+    assert ordinal_to_words(21) == "twenty first"
+    assert ordinal_to_words(40) == "fortieth"
+
+    assert clean_text("Dr. Smith has $5") == "doctor smith has five dollars"
+    assert clean_text("The API & CPU") == "the a p i and c p u"
+    assert clean_text("born in 1987") == "born in nineteen eighty seven"
+    assert clean_text("the 3rd time") == "the third time"
+    assert clean_text("50% off!!") == "fifty percent off!"
+    assert clean_text("café") == "cafe"
+    assert clean_text("a   b  .  c") == "a b. c"
+    # "..." collapses to "." in the final dedup pass (reference rule order:
+    # the [.,]*\.[.,]* rule runs after the ellipsis rule and subsumes it)
+    assert clean_text("wow... ok??") == "wow. ok?"
