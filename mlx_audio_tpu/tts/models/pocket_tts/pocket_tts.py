@@ -662,20 +662,56 @@ class Model(Module):
                 held = None
                 yield out
 
+    def split_into_best_sentences(self, text: str,
+                                  max_tokens_per_chunk: int = 50
+                                  ) -> List[str]:
+        """Split long text at sentence boundaries into chunks of at most
+        `max_tokens_per_chunk` tokenizer tokens (reference
+        pocket_tts.py:495-545): sentences end at ./!/…/? tokens, and
+        whole sentences pack greedily into chunks."""
+        import re
+
+        text = text.strip()
+        sentences = [s for s in re.split(r"(?<=[.!?…])\s+", text)
+                     if s.strip()]
+        chunks: List[str] = []
+        cur, cur_n = "", 0
+        for s in sentences:
+            n = int(self._tokenize(s).shape[1])
+            if not cur:
+                cur, cur_n = s, n
+            elif cur_n + n > max_tokens_per_chunk:
+                chunks.append(cur.strip())
+                cur, cur_n = s, n
+            else:
+                cur += " " + s
+                cur_n += n
+        if cur:
+            chunks.append(cur.strip())
+        return chunks or [text]
+
     def generate(self, text: str, ref_audio=None, seed: Optional[int] = None,
                  **kwargs) -> Generator[GenerationResult, None, None]:
-        start = time.time()
         key = (jax.random.PRNGKey(seed) if seed is not None else None)
-        wav = self.generate_audio(text, ref_audio=ref_audio, key=key)
-        elapsed = time.time() - start
-        dur = len(wav) / self.sample_rate
-        yield GenerationResult(
-            audio=wav, samples=len(wav), sample_rate=self.sample_rate,
-            segment_idx=0, token_count=0,
-            audio_duration=format_duration(dur),
-            real_time_factor=round(elapsed / max(dur, 1e-9), 2),
-            prompt={}, audio_samples={},
-            processing_time_seconds=elapsed, peak_memory_usage=0.0)
+        # long text: synthesize per sentence-packed chunk (reference
+        # pocket_tts.py:186-198 chunks through split_into_best_sentences)
+        chunks = self.split_into_best_sentences(text)
+        for segment_idx, chunk in enumerate(chunks):
+            start = time.time()
+            if key is not None:
+                key, sub = jax.random.split(key)
+            else:
+                sub = None
+            wav = self.generate_audio(chunk, ref_audio=ref_audio, key=sub)
+            elapsed = time.time() - start
+            dur = len(wav) / self.sample_rate
+            yield GenerationResult(
+                audio=wav, samples=len(wav), sample_rate=self.sample_rate,
+                segment_idx=segment_idx, token_count=0,
+                audio_duration=format_duration(dur),
+                real_time_factor=round(elapsed / max(dur, 1e-9), 2),
+                prompt={}, audio_samples={},
+                processing_time_seconds=elapsed, peak_memory_usage=0.0)
 
     def sanitize(self, weights: dict) -> dict:
         out = {}

@@ -103,3 +103,23 @@ def test_generate_audio_stream_concatenates_to_full():
     # receptive field of each chunk — overall signal must stay close
     err = np.abs(joined - full).mean()
     assert err < 0.1, err
+
+
+def test_split_into_best_sentences():
+    """Sentence-boundary chunking packs whole sentences up to the token
+    budget (reference pocket_tts.py:495-545)."""
+    model = tiny_model()
+    model.set_runtime(tokenizer=FakeTok())
+    s1 = "One two three."
+    s2 = "Four five six!"
+    s3 = "Seven eight nine?"
+    text = f"{s1} {s2} {s3}"
+    # generous budget: single chunk
+    assert model.split_into_best_sentences(text, max_tokens_per_chunk=500) \
+        == [text]
+    # tiny budget: one sentence per chunk
+    chunks = model.split_into_best_sentences(text, max_tokens_per_chunk=1)
+    assert chunks == [s1, s2, s3]
+    # generate yields one segment per chunk on long input
+    out = list(model.generate(text, seed=0))
+    assert all(r.sample_rate == model.sample_rate for r in out)
