@@ -310,6 +310,11 @@ class MsgProcessor(Module):
         aux = self.msg_processor(idx).sum(axis=1)  # (B, C)
         return hidden + aux[:, None, :]
 
+    def random_message(self, batch_size: int, seed: int = 0) -> jnp.ndarray:
+        """Random nbits-bit watermark payload (reference codec.py:771-773)."""
+        return jax.random.randint(jax.random.PRNGKey(seed),
+                                  (batch_size, self.nbits), 0, 2)
+
 
 class WatermarkEncoderBlock(Module):
     def __init__(self, out_dim: int = 128, wm_channels: int = 32,
@@ -445,6 +450,18 @@ class DACVAE(Module):
         """Frame index → sample index (reference codec.py:1595-1610)."""
         sr = sample_rate or self.sample_rate
         return int(feature_idx * self.hop_length * (sr / self.sample_rate))
+
+    def decode_stream(self, encoded_frames, callback, chunk_size: int = 50,
+                      overlap: int = 4, message=None) -> int:
+        """Callback-style streaming decode (reference codec.py:1302-1340):
+        calls `callback(chunk, index, is_last)` per chunk and returns the
+        total number of samples produced."""
+        total = 0
+        for i, (chunk, is_last) in enumerate(self.decode_streaming(
+                encoded_frames, chunk_size, overlap, message=message)):
+            total += int(chunk.shape[1])
+            callback(chunk, i, is_last)
+        return total
 
     def decode_streaming(self, encoded_frames, chunk_size: int = 50,
                          overlap: int = 4, message=None):

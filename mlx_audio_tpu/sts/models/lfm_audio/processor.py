@@ -96,6 +96,30 @@ class LFM2AudioProcessor:
             self.tokenizer.encode(text, add_special_tokens=False),
             np.int32)
 
+    def format_chat(self, messages, add_generation_prompt: bool = True
+                    ) -> str:
+        """Render role/content messages with the tokenizer's chat template
+        (reference processor.py:329-349); falls back to ChatMLish markers
+        when the tokenizer has no template."""
+        apply = getattr(self.tokenizer, "apply_chat_template", None)
+        if apply is not None:
+            try:
+                return apply(messages, tokenize=False,
+                             add_generation_prompt=add_generation_prompt)
+            except (ValueError, TypeError):
+                pass
+        parts = [f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>"
+                 for m in messages]
+        if add_generation_prompt:
+            parts.append("<|im_start|>assistant\n")
+        return "\n".join(parts)
+
+    def tokenize_chat(self, messages, add_generation_prompt: bool = True
+                      ) -> np.ndarray:
+        """format_chat + tokenize (reference processor.py:351-368)."""
+        return self.tokenize_text(
+            self.format_chat(messages, add_generation_prompt))
+
     def decode_text(self, tokens) -> str:
         return self.tokenizer.decode(
             [int(t) for t in np.asarray(tokens).reshape(-1)])

@@ -332,3 +332,31 @@ def test_snac_decode_stream_continuity(snac):
     total = np.concatenate([np.asarray(out_a), np.asarray(out_b)], axis=-1)
     assert total.shape == full.shape
     assert ctx[0].shape[1] <= 8
+
+
+def test_dacvae_decode_stream_callback_and_random_message():
+    """Callback streaming wrapper totals match generator output; watermark
+    payload sampling (reference codec.py:771-773, 1302-1340)."""
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.codec.models.dacvae.dacvae import (
+        DACVAE,
+        DACVAEConfig,
+        MsgProcessor,
+    )
+
+    cfg = DACVAEConfig(encoder_dim=8, encoder_rates=[2, 2], latent_dim=32,
+                       decoder_dim=24, decoder_rates=[2, 2], codebook_dim=8)
+    m = DACVAE(cfg)
+    lat = jnp.asarray(np.random.randn(1, 8, 40).astype(np.float32) * 0.1)
+    got = []
+    total = m.decode_stream(lat, lambda c, i, last: got.append(
+        (np.asarray(c), i, last)), chunk_size=16)
+    assert got[-1][2] and not got[0][2]
+    assert total == sum(c.shape[1] for c, _, _ in got)
+    assert [i for _, i, _ in got] == list(range(len(got)))
+
+    mp = MsgProcessor(nbits=16, hidden_size=8)
+    msg = mp.random_message(3, seed=1)
+    assert msg.shape == (3, 16)
+    assert set(np.unique(np.asarray(msg))) <= {0, 1}

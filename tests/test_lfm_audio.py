@@ -145,3 +145,36 @@ def test_chat_state_modalities():
     assert (mods == LFMModality.AUDIO_IN).sum() > 0
     assert mods[0] == LFMModality.TEXT  # BOS
     assert st.get_audio_features().shape[-1] == 16
+
+
+def test_processor_chat_formatting():
+    """format_chat/tokenize_chat (reference processor.py:329-368): chat
+    template when available, ChatML fallback otherwise."""
+    import numpy as np
+
+    from mlx_audio_tpu.sts.models.lfm_audio.processor import (
+        LFM2AudioProcessor,
+    )
+
+    class Tok:
+        def encode(self, t, add_special_tokens=False):
+            return list(range(len(t.split())))
+
+    p = LFM2AudioProcessor(tokenizer=Tok())
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hello"}]
+    s = p.format_chat(msgs)
+    assert "system" in s and "be brief" in s and s.rstrip().endswith(
+        "<|im_start|>assistant")
+    s2 = p.format_chat(msgs, add_generation_prompt=False)
+    assert "assistant" not in s2
+    ids = p.tokenize_chat(msgs)
+    assert isinstance(ids, np.ndarray) and ids.size > 0
+
+    class TemplTok(Tok):
+        def apply_chat_template(self, messages, tokenize=False,
+                                add_generation_prompt=True):
+            return "TEMPLATED"
+
+    p2 = LFM2AudioProcessor(tokenizer=TemplTok())
+    assert p2.format_chat(msgs) == "TEMPLATED"
