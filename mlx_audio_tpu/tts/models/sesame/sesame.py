@@ -363,6 +363,54 @@ class Model(Module):
 
     # ---- generation ----
 
+    # fallback transcripts for the hosted speaker prompts (fixed constants,
+    # reference sesame.py:559-580; used when prompts/<voice>.txt is absent)
+    _SPEAKER_PROMPT_TEXTS = {
+        "conversational_a": (
+            "like revising for an exam I'd have to try and like keep up the "
+            "momentum because I'd start really early I'd be like okay I'm "
+            "gonna start revising now and then like you're revising for ages "
+            "and then I just like start losing steam I didn't do that for "
+            "the exam we had recently to be fair that was a more of a last "
+            "minute scenario but like yeah I'm trying to like yeah I noticed "
+            "this yesterday that like Mondays I sort of start the day with "
+            "this not like a panic but like a"
+        ),
+        "conversational_b": (
+            "like a super Mario level. Like it's very like high detail. And "
+            "like, once you get into the park, it just like, everything "
+            "looks like a computer game and they have all these, like, you "
+            "know, if, if there's like a, you know, like in a Mario game, "
+            "they will have like a question block. And if you like, you "
+            "know, punch it, a coin will come out. So like everyone, when "
+            "they come into the park, they get like this little"
+        ),
+    }
+
+    def default_speaker_prompt(self, voice: str,
+                               repo_id: str = "sesame/csm-1b"
+                               ) -> List[Segment]:
+        """Hosted speaker prompt for a named voice: downloads
+        prompts/<voice>.wav (+ .txt transcript when present) from the
+        checkpoint repo and wraps it as a context Segment (reference
+        sesame.py:556-593)."""
+        from pathlib import Path as _P
+
+        from huggingface_hub import hf_hub_download
+
+        from ....utils import load_audio
+
+        wav_path = hf_hub_download(repo_id=repo_id,
+                                   filename=f"prompts/{voice}.wav")
+        try:
+            txt_path = hf_hub_download(repo_id=repo_id,
+                                       filename=f"prompts/{voice}.txt")
+            prompt_text = _P(txt_path).read_text()
+        except Exception:
+            prompt_text = self._SPEAKER_PROMPT_TEXTS[voice]
+        audio = load_audio(wav_path, sample_rate=self.sample_rate)
+        return [Segment(speaker=0, text=prompt_text, audio=audio)]
+
     def generate(
         self,
         text: Union[str, List[str]],
@@ -386,10 +434,14 @@ class Model(Module):
             ref_audio = load_audio(ref_audio, sample_rate=self.sample_rate)
         if not context and ref_audio is not None and ref_text is not None:
             context = [Segment(speaker=speaker, text=ref_text, audio=ref_audio)]
+        if not context and voice is not None:
+            # hosted speaker prompt by name (reference sesame.py:695-701)
+            context = self.default_speaker_prompt(voice)
         if not context:
             raise ValueError(
-                "CSM requires a reference: pass ref_audio+ref_text or context "
-                "segments (default HF speaker prompts need network access)."
+                "CSM requires a reference: pass ref_audio+ref_text, a voice "
+                "name, or context segments (hosted speaker prompts need "
+                "network access)."
             )
 
         max_frames = int(max_audio_length_ms / 80)
