@@ -108,19 +108,95 @@ class Model(CausalLM):
         codes = np.asarray(codes)[0]  # (n_q, T) — c1, c2 rows
         words = [w for w in ref_text.split() if w]
         T = codes.shape[1]
-        dur = len(ref_audio) / self.sample_rate / max(len(words), 1)
+        wav = np.asarray(ref_audio, np.float32).reshape(-1)
+        spw = len(wav) / max(len(words), 1)
+        dur = spw / self.sample_rate
         out_words = []
         for i, w in enumerate(words):
             lo = i * T // len(words)
             hi = (i + 1) * T // len(words)
+            seg = wav[int(i * spw): int((i + 1) * spw)]
             out_words.append({
                 "word": w, "duration": round(dur, 2),
-                "features": {"energy": 0, "spectral_centroid": 0, "pitch": 0},
+                "features": self.extract_audio_features(seg,
+                                                        self.sample_rate),
                 "c1": codes[0, lo:hi].tolist(),
                 "c2": codes[1, lo:hi].tolist(),
             })
         return {"text": ref_text, "words": out_words,
-                "global_features": {"energy": 0, "spectral_centroid": 0, "pitch": 0}}
+                "global_features": self.extract_audio_features(
+                    wav, self.sample_rate)}
+
+    # ---- audio features for speaker prompts ----
+
+    @staticmethod
+    def calculate_pitch(audio: np.ndarray, sr: int, min_freq: float = 75.0,
+                        max_freq: float = 600.0, frame_length: int = 400,
+                        hop_length: int = 160,
+                        threshold: float = 0.3) -> np.ndarray:
+        """Per-frame pitch via FFT autocorrelation with parabolic peak
+        interpolation and a voicing threshold (reference
+        audio_processor.py:17-96). Fully vectorized: frames are gathered
+        with stride tricks and peak gathers use take_along_axis instead of
+        the reference's python loops."""
+        x = np.asarray(audio, np.float32)
+        if x.ndim > 1:
+            x = x.mean(axis=0)
+        x = np.squeeze(x)
+        pad = (frame_length - (x.shape[-1] % hop_length)) % hop_length
+        x = np.pad(x, (0, pad))
+        n_frames = (len(x) - frame_length) // hop_length + 1
+        if n_frames <= 0:
+            return np.zeros((0,), np.float32)
+        frames = np.lib.stride_tricks.sliding_window_view(
+            x, frame_length)[::hop_length][:n_frames]
+        frames = frames * np.hanning(frame_length)
+
+        fft = np.fft.rfft(frames, n=2 * frame_length, axis=1)
+        autocorr = np.fft.irfft(fft.real ** 2 + fft.imag ** 2,
+                                axis=1)[:, :frame_length]
+
+        min_idx = max(1, int(sr / max_freq))
+        max_idx = min(frame_length, int(sr / min_freq))
+        peak_idx = autocorr[:, min_idx:max_idx].argmax(axis=1) + min_idx
+        peak_val = np.take_along_axis(autocorr, peak_idx[:, None],
+                                      axis=1)[:, 0]
+
+        idx = np.clip(peak_idx, 1, frame_length - 2)
+        alpha = np.take_along_axis(autocorr, idx[:, None] - 1, axis=1)[:, 0]
+        beta = np.take_along_axis(autocorr, idx[:, None], axis=1)[:, 0]
+        gamma = np.take_along_axis(autocorr, idx[:, None] + 1, axis=1)[:, 0]
+        delta = 0.5 * (alpha - gamma) / (alpha - 2 * beta + gamma + 1e-8)
+        delta = np.where((peak_idx > 0) & (peak_idx < frame_length - 1),
+                         delta, 0.0)
+
+        period = (peak_idx + delta) / sr
+        pitch = np.where(period > 0, 1.0 / np.maximum(period, 1e-12), 0.0)
+        voiced = peak_val / (autocorr[:, 0] + 1e-8) > threshold
+        return np.clip(np.where(voiced, pitch, 0.0), min_freq,
+                       max_freq).astype(np.float32)
+
+    @classmethod
+    def extract_audio_features(cls, audio, sr: int) -> dict:
+        """{energy, spectral_centroid, pitch} each scaled to 0-100 for the
+        speaker-prompt feature tokens (reference audio_processor.py:171-221)."""
+        x = np.asarray(audio, np.float32)
+        if x.size == 0 or not np.isfinite(x).all():
+            return {"energy": 0, "spectral_centroid": 0, "pitch": 0}
+        if x.ndim == 2 and x.shape[0] > 1:
+            x = x.mean(axis=0, keepdims=True)
+        energy = float(np.sqrt(np.mean(x ** 2)))
+        spec = np.abs(np.fft.rfft(x))
+        freqs = np.linspace(0, sr / 2, spec.shape[-1])
+        centroid = float(np.sum(freqs * spec.squeeze())
+                         / (np.sum(spec) + 1e-10) / (sr / 2))
+        pitches = cls.calculate_pitch(x, sr)
+        avg = float(pitches.mean()) if pitches.size else 0.0
+        pitch = min(max((avg - 75.0) / (600.0 - 75.0), 0.0), 1.0)
+        return {name: round(min(max(v, 0.0), 1.0) * 100)
+                for name, v in (("energy", energy),
+                                ("spectral_centroid", centroid),
+                                ("pitch", pitch))}
 
     def save_speaker(self, speaker: dict, path: str) -> None:
         """Persist a speaker profile as JSON (reference
@@ -159,18 +235,20 @@ class Model(CausalLM):
                 end = min(len(c1), int(w["end"] * tps) + max_extension)
             else:
                 end = int(w["end"] * tps)
+            seg = audio[int(w["start"] * self.sample_rate):
+                        int(w["end"] * self.sample_rate)]
             out_words.append({
                 "word": w["word"].strip(),
                 "duration": round((end - start) / tps, 2),
-                "features": {"energy": 0, "spectral_centroid": 0,
-                             "pitch": 0},
+                "features": self.extract_audio_features(seg,
+                                                        self.sample_rate),
                 "c1": c1[start:end].tolist(),
                 "c2": c2[start:end].tolist(),
             })
             start = end
         return {"text": data["text"], "words": out_words,
-                "global_features": {"energy": 0, "spectral_centroid": 0,
-                                    "pitch": 0}}
+                "global_features": self.extract_audio_features(
+                    audio, self.sample_rate)}
 
     def create_speaker_from_whisper(self, audio, stt_model) -> dict:
         """Transcribe the reference clip with word timestamps and build a

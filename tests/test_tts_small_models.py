@@ -214,3 +214,26 @@ def test_soprano_clean_text_pipeline():
     # "..." collapses to "." in the final dedup pass (reference rule order:
     # the [.,]*\.[.,]* rule runs after the ellipsis rule and subsumes it)
     assert clean_text("wow... ok??") == "wow. ok?"
+
+
+def test_outetts_audio_feature_extraction():
+    """Pitch autocorrelation and 0-100 feature scaling
+    (reference audio_processor.py:17-221)."""
+    from mlx_audio_tpu.tts.models.outetts import Model
+
+    sr = 24000
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 200.0 * t).astype(np.float32)
+    pitches = Model.calculate_pitch(tone, sr)
+    voiced = pitches[pitches > 75.0]
+    assert voiced.size > 0
+    assert abs(np.median(voiced) - 200.0) < 10.0
+
+    feats = Model.extract_audio_features(tone, sr)
+    assert set(feats) == {"energy", "spectral_centroid", "pitch"}
+    assert all(0 <= v <= 100 for v in feats.values())
+    # 200 Hz normalized: (200-75)/525 ≈ 0.238 → ≈ 24
+    assert abs(feats["pitch"] - 24) <= 3
+    # silence/invalid → defaults
+    assert Model.extract_audio_features(np.zeros(0, np.float32), sr) == \
+        {"energy": 0, "spectral_centroid": 0, "pitch": 0}
