@@ -46,33 +46,128 @@ class WriteTXT(ResultWriter):
             print(segment["text"].strip(), file=file, flush=True)
 
 
-class WriteVTT(ResultWriter):
+def _group_words_into_subtitles(segments, max_line_width, max_line_count,
+                                max_words_per_line):
+    """Group word timings into subtitle blocks (reference
+    writers.py:95-147 iterate_subtitles): lines wrap at `max_line_width`
+    chars, blocks break at `max_line_count` lines, at >3 s pauses (when
+    line limits are set), or at segment boundaries (when they are not)."""
+    preserve_segments = max_line_count is None or max_line_width is None
+    width = max_line_width or 1000
+    per_line = max_words_per_line or 1000
+
+    subtitle = []
+    line_len = 0
+    line_count = 1
+    starts = [w["start"] for s in segments for w in s.get("words", [])]
+    last = starts[0] if starts else 0.0
+    for segment in segments:
+        words = segment.get("words", [])
+        for chunk_index in range(0, len(words), per_line):
+            for i, original in enumerate(words[chunk_index:
+                                               chunk_index + per_line]):
+                timing = dict(original)
+                long_pause = (not preserve_segments
+                              and timing["start"] - last > 3.0)
+                has_room = line_len + len(timing["word"]) <= width
+                seg_break = i == 0 and subtitle and preserve_segments
+                if line_len > 0 and has_room and not long_pause \
+                        and not seg_break:
+                    line_len += len(timing["word"])
+                else:
+                    timing["word"] = timing["word"].strip()
+                    if (subtitle and max_line_count is not None
+                            and (long_pause or line_count >= max_line_count)
+                            or seg_break):
+                        yield subtitle
+                        subtitle = []
+                        line_count = 1
+                    elif line_len > 0:
+                        line_count += 1
+                        timing["word"] = "\n" + timing["word"]
+                    line_len = len(timing["word"].strip())
+                subtitle.append(timing)
+                last = timing["start"]
+    if subtitle:
+        yield subtitle
+
+
+class SubtitlesWriter(ResultWriter):
+    """Shared VTT/SRT logic incl. word-level subtitle options
+    (reference writers.py:70-180)."""
+
+    always_include_hours: bool = False
+    decimal_marker: str = "."
+
+    def _ts(self, seconds: float) -> str:
+        return format_timestamp(seconds, self.always_include_hours,
+                                self.decimal_marker)
+
+    def iterate_result(self, result, options: Optional[dict] = None, *,
+                       max_line_width: Optional[int] = None,
+                       max_line_count: Optional[int] = None,
+                       highlight_words: bool = False,
+                       max_words_per_line: Optional[int] = None):
+        """Yield (start, end, text) cues. With word timestamps present,
+        cues follow the line/word wrapping options; `highlight_words`
+        emits one cue per word with the active word <u>underlined</u>."""
+        import re
+
+        options = options or {}
+        max_line_width = max_line_width or options.get("max_line_width")
+        max_line_count = max_line_count or options.get("max_line_count")
+        highlight_words = highlight_words or options.get(
+            "highlight_words", False)
+        max_words_per_line = max_words_per_line or options.get(
+            "max_words_per_line")
+
+        segments = result.segments or []
+        if segments and segments[0].get("words"):
+            for subtitle in _group_words_into_subtitles(
+                    segments, max_line_width, max_line_count,
+                    max_words_per_line):
+                sub_start = self._ts(subtitle[0]["start"])
+                sub_end = self._ts(subtitle[-1]["end"])
+                text = "".join(w["word"] for w in subtitle)
+                if not highlight_words:
+                    yield sub_start, sub_end, text
+                    continue
+                last = sub_start
+                all_words = [w["word"] for w in subtitle]
+                for i, w in enumerate(subtitle):
+                    start, end = self._ts(w["start"]), self._ts(w["end"])
+                    if last != start:
+                        yield last, start, text
+                    yield start, end, "".join(
+                        re.sub(r"^(\s*)(.*)$", r"\1<u>\2</u>", word)
+                        if j == i else word
+                        for j, word in enumerate(all_words))
+                    last = end
+        else:
+            for seg in segments:
+                yield (self._ts(seg["start"]), self._ts(seg["end"]),
+                       seg["text"].strip().replace("-->", "->"))
+
+
+class WriteVTT(SubtitlesWriter):
     extension = "vtt"
 
     def write_result(self, result, file, **kwargs):
         print("WEBVTT\n", file=file)
-        for seg in result.segments or []:
-            print(
-                f"{format_timestamp(seg['start'])} --> {format_timestamp(seg['end'])}\n"
-                f"{seg['text'].strip().replace('-->', '->')}\n",
-                file=file,
-                flush=True,
-            )
+        for start, end, text in self.iterate_result(result, **kwargs):
+            print(f"{start} --> {end}\n{text}\n", file=file, flush=True)
 
 
-class WriteSRT(ResultWriter):
+class WriteSRT(SubtitlesWriter):
     extension = "srt"
+    always_include_hours = True
+    decimal_marker = ","
 
     def write_result(self, result, file, **kwargs):
-        for i, seg in enumerate(result.segments or [], start=1):
-            print(
-                f"{i}\n"
-                f"{format_timestamp(seg['start'], True, ',')} --> "
-                f"{format_timestamp(seg['end'], True, ',')}\n"
-                f"{seg['text'].strip().replace('-->', '->')}\n",
-                file=file,
-                flush=True,
-            )
+        for i, (start, end, text) in enumerate(
+                self.iterate_result(result, **kwargs), start=1):
+            print(f"{i}\n{start} --> {end}\n{text}\n", file=file,
+                  flush=True)
 
 
 class WriteTSV(ResultWriter):
