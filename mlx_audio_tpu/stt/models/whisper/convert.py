@@ -129,9 +129,15 @@ def convert(torch_ckpt: str, output_dir: str, dtype: str = "float32") -> Path:
     dims["model_type"] = "whisper"
     variant = _variant_from_name(torch_ckpt)
     if variant is not None:
-        dims["alignment_heads"] = decode_alignment_heads(
-            _ALIGNMENT_HEADS[variant], dims["n_text_layer"],
-            dims["n_text_head"])
+        try:
+            dims["alignment_heads"] = decode_alignment_heads(
+                _ALIGNMENT_HEADS[variant], dims["n_text_layer"],
+                dims["n_text_head"])
+        except ValueError:
+            # filename matched an official variant but the checkpoint's
+            # decoder shape doesn't (e.g. a custom model named tiny.pt) —
+            # skip the heads rather than mis-assign them
+            pass
     weights = {}
     if dtype == "bfloat16":
         import ml_dtypes
