@@ -252,6 +252,48 @@ class TextDecoder(Module):
         return self.token_embedding.as_linear(x), qks
 
 
+def _get_end(segments: List[dict]) -> Optional[float]:
+    """Last word-level end time across segments, falling back to the last
+    segment end (reference whisper.py:255-259)."""
+    for s in reversed(segments):
+        for w in reversed(s.get("words") or []):
+            return w["end"]
+    return segments[-1]["end"] if segments else None
+
+
+# hallucination heuristics (reference whisper.py:1022-1046): anomalous words
+# are very short/long or improbable; a segment whose first words are mostly
+# anomalous is treated as hallucinated when surrounded by silence
+_ANOMALY_PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
+
+
+def _word_anomaly_score(word: dict) -> float:
+    probability = word.get("probability", 0.0)
+    duration = word["end"] - word["start"]
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def _is_segment_anomaly(segment: Optional[dict]) -> bool:
+    if segment is None or not segment.get("words"):
+        return False
+    words = [
+        w for w in segment["words"] if w["word"] not in _ANOMALY_PUNCTUATION
+    ][:8]
+    score = sum(_word_anomaly_score(w) for w in words)
+    return score >= 3 or score + 0.01 >= len(words)
+
+
+def _next_words_segment(segments: List[dict]) -> Optional[dict]:
+    return next((s for s in segments if s.get("words")), None)
+
+
 def _hf_to_native(weights: dict) -> dict:
     """Map HF transformers whisper keys → native (openai/mlx) naming."""
     out = {}
@@ -486,6 +528,10 @@ class Model(Module):
         condition_on_previous_text: bool = True,
         initial_prompt: Optional[str] = None,
         word_timestamps: bool = False,
+        prepend_punctuations: str = "\"'“¿([{-",
+        append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+        clip_timestamps: Union[str, Sequence[float]] = "0",
+        hallucination_silence_threshold: Optional[float] = None,
         verbose: Optional[bool] = None,
         without_timestamps: bool = False,
         tokenizer=None,
@@ -540,15 +586,40 @@ class Model(Module):
 
         hook = get_infer_hook(self)
 
-        while seek < content_frames:
-            window = mel_all[seek : seek + A.N_FRAMES]
+        # clip_timestamps → (start, end) frame ranges (reference
+        # whisper.py:881-897): comma-separated seconds, odd count implies
+        # end-of-audio, last end clamped to the content length
+        if isinstance(clip_timestamps, str):
+            clip_timestamps = [
+                float(ts)
+                for ts in (clip_timestamps.split(",") if clip_timestamps else [])
+            ]
+        seek_points = [round(ts * A.FRAMES_PER_SECOND) for ts in clip_timestamps]
+        if not seek_points:
+            seek_points.append(0)
+        if len(seek_points) % 2 == 1:
+            seek_points.append(content_frames)
+        else:
+            seek_points[-1] = min(content_frames, seek_points[-1])
+        seek_clips = list(zip(seek_points[::2], seek_points[1::2]))
+        seek = seek_clips[0][0]
+        clip_idx = 0
+
+        while clip_idx < len(seek_clips):
+            clip_start, clip_end = seek_clips[clip_idx]
+            seek = max(seek, clip_start)
+            if seek >= clip_end:
+                clip_idx += 1
+                continue
+            segment_size = min(A.N_FRAMES, content_frames - seek, clip_end - seek)
+            window = mel_all[seek : seek + segment_size]
             if window.shape[0] < A.N_FRAMES:
                 window = np.pad(window, ((0, A.N_FRAMES - window.shape[0]), (0, 0)))
             window = jnp.asarray(window)
-            seg_duration = min(
-                (content_frames - seek) * A.HOP_LENGTH / A.SAMPLE_RATE, 30.0
-            )
+            seg_duration = segment_size * A.HOP_LENGTH / A.SAMPLE_RATE
             time_offset = seek * A.HOP_LENGTH / A.SAMPLE_RATE
+            window_end_time = (seek + A.N_FRAMES) * A.HOP_LENGTH / A.SAMPLE_RATE
+            previous_seek = seek
 
             cross_kv = None
             if hook is None or detected_language is None:
@@ -620,7 +691,7 @@ class Model(Module):
                 and (logprob_threshold is None
                      or result.avg_logprob < logprob_threshold)
             ):
-                seek += A.N_FRAMES
+                seek += segment_size
                 continue
 
             tokens = result.tokens
@@ -633,10 +704,19 @@ class Model(Module):
                 for i in range(len(tokens) - 1)
                 if tokens[i] >= ts and tokens[i + 1] >= ts
             ]
+            # a lone timestamp at the very end means "no speech after it":
+            # keep the trailing segment and advance the full window
+            # (reference whisper.py:1048-1090)
+            single_timestamp_ending = (
+                len(tokens) >= 2 and tokens[-2] < ts <= tokens[-1]
+            )
             segments_here = []
             if consecutive:
+                slices = list(consecutive)
+                if single_timestamp_ending:
+                    slices.append(len(tokens))
                 last_slice = 0
-                for cut in consecutive:
+                for cut in slices:
                     seg = tokens[last_slice:cut]
                     start_ts = (seg[0] - ts) * time_precision
                     end_ts = (seg[-1] - ts) * time_precision
@@ -647,8 +727,13 @@ class Model(Module):
                         )
                     )
                     last_slice = cut
-                last_ts_tok = tokens[last_slice - 1] - ts
-                seek += max(1, round(last_ts_tok * time_precision * A.FRAMES_PER_SECOND))
+                if single_timestamp_ending:
+                    seek += segment_size
+                else:
+                    last_ts_tok = tokens[last_slice - 1] - ts
+                    seek += max(
+                        1, round(last_ts_tok * time_precision * A.FRAMES_PER_SECOND)
+                    )
             else:
                 ts_tokens = [t for t in tokens if t >= ts]
                 end_ts = seg_duration
@@ -659,23 +744,100 @@ class Model(Module):
                         time_offset, time_offset + end_ts, tokens, tokenizer, result
                     )
                 )
-                seek += A.N_FRAMES
+                seek += segment_size
 
             if word_timestamps:
                 from .timing import add_word_timestamps
 
-                window_seek = round(time_offset * A.FRAMES_PER_SECOND)
-                segment_frames = min(A.N_FRAMES, content_frames - window_seek)
                 for s in segments_here:
-                    s["seek"] = window_seek
+                    s["seek"] = previous_seek
                 add_word_timestamps(
                     segments=segments_here, model=self, tokenizer=tokenizer,
-                    mel=window, num_frames=segment_frames,
+                    mel=window, num_frames=segment_size,
+                    prepend_punctuations=prepend_punctuations,
+                    append_punctuations=append_punctuations,
                     last_speech_timestamp=last_speech_timestamp,
                 )
-                for s in segments_here:
-                    if s.get("words"):
-                        last_speech_timestamp = s["end"]
+                # the decoder's final timestamp may overshoot the last word:
+                # re-seek to the last attested word end (reference :1127-1135)
+                if not single_timestamp_ending:
+                    last_word_end = _get_end(segments_here)
+                    if last_word_end is not None and last_word_end > time_offset:
+                        seek = round(last_word_end * A.FRAMES_PER_SECOND)
+
+                # skip silence around likely hallucinations (reference
+                # whisper.py:1137-1203): a window whose words are anomalously
+                # short/long/improbable, surrounded by silence, is dropped and
+                # the seek pointer jumps over the silent span instead
+                if hallucination_silence_threshold is not None:
+                    threshold = hallucination_silence_threshold
+                    if not single_timestamp_ending:
+                        last_word_end = _get_end(segments_here)
+                        if (
+                            last_word_end is not None
+                            and last_word_end > time_offset
+                        ):
+                            remaining = window_end_time - last_word_end
+                            if remaining > threshold:
+                                seek = round(last_word_end * A.FRAMES_PER_SECOND)
+                            else:
+                                seek = previous_seek + segment_size
+
+                    # leading hallucination: re-decode from past the gap
+                    first_segment = _next_words_segment(segments_here)
+                    if first_segment is not None and _is_segment_anomaly(
+                        first_segment
+                    ):
+                        gap = first_segment["start"] - time_offset
+                        if gap > threshold:
+                            seek = previous_seek + round(gap * A.FRAMES_PER_SECOND)
+                            continue
+
+                    # hallucination surrounded by silence (or more of them)
+                    hal_last_end = last_speech_timestamp
+                    for si, segment in enumerate(segments_here):
+                        if not segment.get("words"):
+                            continue
+                        if _is_segment_anomaly(segment):
+                            next_segment = _next_words_segment(
+                                segments_here[si + 1:]
+                            )
+                            if next_segment is not None:
+                                hal_next_start = next_segment["words"][0]["start"]
+                            else:
+                                hal_next_start = time_offset + seg_duration
+                            silence_before = (
+                                segment["start"] - hal_last_end > threshold
+                                or segment["start"] < threshold
+                                or segment["start"] - time_offset < 2.0
+                            )
+                            silence_after = (
+                                hal_next_start - segment["end"] > threshold
+                                or _is_segment_anomaly(next_segment)
+                                or window_end_time - segment["end"] < 2.0
+                            )
+                            if silence_before and silence_after:
+                                seek = round(
+                                    max(time_offset + 1, segment["start"])
+                                    * A.FRAMES_PER_SECOND
+                                )
+                                if content_duration - segment["end"] < threshold:
+                                    seek = content_frames
+                                segments_here[si:] = []
+                                break
+                        hal_last_end = segment["end"]
+
+                last_word_end = _get_end(segments_here)
+                if last_word_end is not None:
+                    last_speech_timestamp = last_word_end
+
+            # instantaneous or text-free segments carry no content: blank
+            # them instead of emitting phantom entries (reference :1218-1227)
+            for s in segments_here:
+                if s["start"] == s["end"] or not s["text"].strip():
+                    s["text"] = ""
+                    s["tokens"] = []
+                    s["words"] = []
 
             for s in segments_here:
                 s["id"] = len(all_segments)

@@ -282,3 +282,82 @@ def test_alignment_heads_decode_and_config_roundtrip():
                 n_text_layer=2, alignment_heads=[[1, 0], [1, 1]])
     m = Model(dims)
     assert m.alignment_heads == ((1, 0), (1, 1))
+
+
+def test_clip_timestamps(tiny):
+    """clip_timestamps restricts transcription to the given ranges
+    (reference whisper.py:785,881-897)."""
+    model, tok = tiny
+    audio = (
+        np.random.default_rng(3).standard_normal(int(16000 * 6)).astype(np.float32)
+        * 0.05
+    )
+    out = model.generate(
+        audio, tokenizer=tok, language="en", temperature=0.0,
+        condition_on_previous_text=False, no_speech_threshold=None,
+        clip_timestamps="0,2",
+    )
+    assert out.segments is not None
+    # every segment lives inside the 2 s clip (+30 s timestamp-token slack
+    # is impossible here: the window itself is capped at the clip)
+    for s in out.segments:
+        assert s["start"] >= 0.0
+
+    # odd count implies "to end of audio"; later start offsets all segments
+    out2 = model.generate(
+        audio, tokenizer=tok, language="en", temperature=0.0,
+        condition_on_previous_text=False, no_speech_threshold=None,
+        clip_timestamps=[3.0],
+    )
+    for s in out2.segments:
+        assert s["start"] >= 3.0 - 1e-6
+
+
+def test_hallucination_heuristics_unit():
+    """Anomaly scoring matches the reference's constants
+    (whisper.py:1022-1046)."""
+    from mlx_audio_tpu.stt.models.whisper.whisper import (
+        _get_end,
+        _is_segment_anomaly,
+        _next_words_segment,
+        _word_anomaly_score,
+    )
+
+    good = {"word": " hello", "start": 1.0, "end": 1.4, "probability": 0.9}
+    assert _word_anomaly_score(good) == 0.0
+    improbable = dict(good, probability=0.01)
+    assert _word_anomaly_score(improbable) == 1.0
+    too_long = dict(good, end=4.0)
+    assert _word_anomaly_score(too_long) == pytest.approx(1.0)
+
+    seg_ok = {"words": [good] * 4, "start": 1.0, "end": 2.0}
+    seg_bad = {"words": [improbable] * 4, "start": 1.0, "end": 2.0}
+    assert not _is_segment_anomaly(seg_ok)
+    assert _is_segment_anomaly(seg_bad)
+    assert not _is_segment_anomaly(None)
+
+    segs = [{"words": [], "end": 5.0}, seg_ok]
+    assert _next_words_segment(segs) is seg_ok
+    assert _get_end(segs) == good["end"]
+    assert _get_end([{"words": [], "end": 5.0}]) == 5.0
+    assert _get_end([]) is None
+
+
+def test_hallucination_silence_threshold_runs(tiny):
+    """word_timestamps + hallucination_silence_threshold exercises the
+    silence-skip path end to end (reference whisper.py:1137-1203)."""
+    model, tok = tiny
+    audio = (
+        np.random.default_rng(5).standard_normal(int(16000 * 4)).astype(np.float32)
+        * 0.05
+    )
+    out = model.generate(
+        audio, tokenizer=tok, language="en", temperature=0.0,
+        condition_on_previous_text=False, no_speech_threshold=None,
+        word_timestamps=True, hallucination_silence_threshold=2.0,
+    )
+    assert isinstance(out, STTOutput)
+    # blanked segments (instantaneous/text-free) must carry no tokens
+    for s in out.segments:
+        if s["start"] == s["end"]:
+            assert s["tokens"] == []
