@@ -566,3 +566,94 @@ def compute_fbank_kaldi(
     mel_banks = jnp.pad(mel_banks, [(0, 0), (0, 1)])
     feats = jnp.matmul(spectrum, mel_banks.T, preferred_element_type=jnp.float32)
     return jnp.log(jnp.maximum(feats, 1e-8))
+
+
+# ---------------------------------------------------------------------------
+# ITU-R BS.1770-4 integrated loudness (host-side numpy; used for reference-
+# audio loudness normalization, e.g. Chatterbox-Turbo's norm_loudness —
+# reference tts/models/chatterbox_turbo/chatterbox_turbo.py:628-643, which
+# delegates to pyloudnorm; this is a dependency-free equivalent meter)
+# ---------------------------------------------------------------------------
+
+def _k_weighting_coeffs(sample_rate: float):
+    """Biquad coefficients for the two K-weighting stages (high shelf +
+    high pass), designed parametrically so any sample rate works."""
+    import math as _math
+
+    # bilinear-transform designs that reproduce the standard's 48 kHz
+    # coefficient tables exactly and generalize to any sample rate
+    def shelf(fc, q, gain_db):
+        K = _math.tan(_math.pi * fc / sample_rate)
+        Vh = 10.0 ** (gain_db / 20.0)
+        Vb = Vh ** 0.4996667741545416
+        d = 1.0 + K / q + K * K
+        b = [(Vh + Vb * K / q + K * K) / d,
+             2.0 * (K * K - Vh) / d,
+             (Vh - Vb * K / q + K * K) / d]
+        a = [1.0, 2.0 * (K * K - 1.0) / d, (1.0 - K / q + K * K) / d]
+        return b, a
+
+    def highpass(fc, q):
+        K = _math.tan(_math.pi * fc / sample_rate)
+        d = 1.0 + K / q + K * K
+        b = [1.0, -2.0, 1.0]
+        a = [1.0, 2.0 * (K * K - 1.0) / d, (1.0 - K / q + K * K) / d]
+        return b, a
+
+    stage1 = shelf(1681.974450955533, 0.7071752369554196, 3.999843853973347)
+    stage2 = highpass(38.13547087602444, 0.5003270373238773)
+    return stage1, stage2
+
+
+def integrated_loudness(wav, sample_rate: int) -> float:
+    """BS.1770-4 gated integrated loudness (LUFS) of a mono/multi-channel
+    host array shaped (T,) or (T, C)."""
+    import numpy as _np
+    from scipy.signal import lfilter
+
+    x = _np.asarray(wav, _np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    (b1, a1), (b2, a2) = _k_weighting_coeffs(float(sample_rate))
+    y = lfilter(b2, a2, lfilter(b1, a1, x, axis=0), axis=0)
+
+    block = int(round(0.400 * sample_rate))
+    step = int(round(0.100 * sample_rate))
+    if y.shape[0] < block:
+        return -float("inf")
+    n_blocks = 1 + (y.shape[0] - block) // step
+    # per-block mean square, per channel, then channel-weighted sum
+    # (weights 1.0 for up to two channels; surround weighting out of scope)
+    z = _np.empty((n_blocks, y.shape[1]))
+    sq = y * y
+    csum = _np.concatenate([_np.zeros((1, y.shape[1])), _np.cumsum(sq, axis=0)])
+    for j in range(n_blocks):
+        s = j * step
+        z[j] = (csum[s + block] - csum[s]) / block
+    zj = z.sum(axis=1)
+    with _np.errstate(divide="ignore"):
+        lj = -0.691 + 10.0 * _np.log10(zj)
+    keep = lj > -70.0
+    if not keep.any():
+        return -float("inf")
+    rel_gate = -0.691 + 10.0 * _np.log10(zj[keep].mean()) - 10.0
+    keep &= lj > rel_gate
+    if not keep.any():
+        return -float("inf")
+    return float(-0.691 + 10.0 * _np.log10(zj[keep].mean()))
+
+
+def normalize_loudness(wav, sample_rate: int, target_lufs: float = -27.0):
+    """Scale `wav` so its integrated loudness hits `target_lufs`; returns the
+    input unchanged when loudness is unmeasurable (silence / too short)."""
+    import math as _math
+
+    import numpy as _np
+
+    loudness = integrated_loudness(wav, sample_rate)
+    if not _math.isfinite(loudness):
+        return wav
+    gain = 10.0 ** ((target_lufs - loudness) / 20.0)
+    if not _math.isfinite(gain) or gain <= 0.0:
+        return wav
+    return _np.asarray(wav) * gain

@@ -175,10 +175,15 @@ class Model(Module):
         max_new_tokens: int = 1000,
         lang_code: str = "en",
         seed: Optional[int] = None,
+        max_tokens: Optional[int] = None,
         **kwargs,
     ) -> Generator[GenerationResult, None, None]:
-        """reference chatterbox.py:767-982."""
+        """reference chatterbox.py:767-982. `voice`/`speed`/`stream` are
+        accepted-and-ignored there (:807-813); `max_tokens` aliases
+        max_new_tokens (:826-827)."""
         start = time.time()
+        if max_tokens is not None and max_new_tokens == 1000:
+            max_new_tokens = max_tokens
         if audio_prompt is None and ref_audio is not None:
             audio_prompt = ref_audio
             audio_prompt_sr = audio_prompt_sr or self.sample_rate

@@ -165,6 +165,75 @@ def _turbo_decode_loop(t3, caches, input_embeds, prefill_len, key,
     return out, n
 
 
+@partial(jax.jit, donate_argnames=("caches",))
+def _turbo_prefill(t3, caches, input_embeds, prefill_len):
+    """Prefill half of _turbo_decode_loop, split out so streaming decode can
+    resume from (h_last, caches) across chunk calls."""
+    Tp = input_embeds.shape[1]
+    S = caches[0].max_len
+    q_idx = jnp.arange(Tp)[:, None]
+    k_idx = jnp.arange(S)[None, :]
+    ok = (k_idx <= q_idx) & (k_idx < prefill_len)
+    mask = jnp.where(ok, 0.0, -jnp.inf)[None, None]
+    hidden, caches = t3.tfmr(input_embeds, caches, positions=jnp.arange(Tp),
+                             mask=mask)
+    last = jnp.clip(prefill_len - 1, 0, Tp - 1)
+    return hidden[:, last], caches
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk", "max_gen_len", "temperature", "top_k", "top_p",
+                     "repetition_penalty", "prompt_width"),
+    donate_argnames=("caches",),
+)
+def _turbo_decode_chunk(t3, caches, h_last, hist, start_step, prefill_len,
+                        key, chunk: int, max_gen_len: int, prompt_width: int,
+                        temperature: float, top_k: int, top_p: float,
+                        repetition_penalty: float):
+    """Up to `chunk` AR steps starting at absolute step `start_step`; same
+    per-step math as _turbo_decode_loop (reference models/t3/t3.py:322-440
+    inference_turbo_stream), returning resumable state. One compile serves
+    every chunk because start_step is traced."""
+    stop = t3.hp.stop_speech_token
+    S = caches[0].max_len
+    k_idx = jnp.arange(S)
+    out = jnp.zeros((chunk,), jnp.int32)
+
+    def cond_fn(s):
+        return (s[0] < chunk) & ~s[6] & (start_step + s[0] < max_gen_len)
+
+    def body(s):
+        local, caches, h_last, out, hist, key, done = s
+        logits = t3.speech_head(h_last).astype(jnp.float32)
+        if repetition_penalty != 1.0:
+            logits = apply_repetition_penalty(logits, hist,
+                                              repetition_penalty)
+        key, sub = jax.random.split(key)
+        tok = _sample_topk_topp(logits, sub, temperature, top_k, top_p)[0]
+        done_now = tok == stop
+        out = jnp.where(done_now | done, out, out.at[local].set(tok))
+        hist = jnp.concatenate([hist[:, 1:], tok[None, None]], axis=1)
+        done = done | done_now
+
+        emb = t3.speech_emb.weight[tok][None, None]
+        step = start_step + local
+        q_pos = prefill_len + step
+        valid = (k_idx < prefill_len) | ((k_idx >= prompt_width)
+                                         & (k_idx <= prompt_width + step))
+        dmask = jnp.where(valid, 0.0, -jnp.inf)[None, None, None, :]
+        hidden, ncaches = t3.tfmr(emb, caches, positions=q_pos[None],
+                                  mask=dmask)
+        local = jnp.where(done, local, local + 1)
+        return (local, ncaches, hidden[:, -1], out, hist, key, done)
+
+    state = (jnp.array(0, jnp.int32), caches, h_last, out, hist, key,
+             jnp.array(False))
+    local, caches, h_last, out, hist, key, done = jax.lax.while_loop(
+        cond_fn, body, state)
+    return out, local, caches, h_last, hist, key, done
+
+
 class T3Turbo(Module):
     """GPT-2 medium speech-token LM (reference models/t3/t3.py:16-440)."""
 
@@ -216,6 +285,50 @@ class T3Turbo(Module):
             float(temperature), int(top_k), float(top_p),
             float(repetition_penalty))
         return np.asarray(out)[: int(n)][None]
+
+    def inference_turbo_stream(self, t3_cond: T3Cond, text_tokens,
+                               temperature: float = 0.8, top_k: int = 1000,
+                               top_p: float = 0.95,
+                               repetition_penalty: float = 1.2,
+                               chunk_size: int = 40,
+                               max_gen_len: int = 1000, key=None):
+        """Generator of (new_tokens, is_final) chunks (reference
+        models/t3/t3.py:322-440). Decode state (KV caches, last hidden,
+        repetition history) carries across jitted chunk calls, so tokens
+        match a single monolithic decode with the same key."""
+        text_tokens = np.asarray(text_tokens)
+        if text_tokens.ndim == 1:
+            text_tokens = text_tokens[None]
+        bos = np.full((1, 1), self.hp.start_speech_token, np.int32)
+        embeds = self.prepare_input_embeds(t3_cond, text_tokens, bos)
+        T0 = embeds.shape[1]
+        Tp = max(32, ((T0 + 31) // 32) * 32)
+        embeds = jnp.pad(embeds, ((0, 0), (0, Tp - T0), (0, 0)))
+        max_gen = min(max_gen_len, self.hp.max_speech_tokens)
+        caches = [
+            KVCache(1, self.cfg.n_head, Tp + max_gen + 1,
+                    self.cfg.n_embd // self.cfg.n_head, jnp.float32)
+            for _ in range(self.cfg.n_layer)
+        ]
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        h_last, caches = _turbo_prefill(self, caches, embeds,
+                                        jnp.array(T0, jnp.int32))
+        hist = jnp.full((1, 128), -1, jnp.int32)
+        start = 0
+        chunk = max(1, int(chunk_size))
+        while start < max_gen:
+            out, n, caches, h_last, hist, key, done = _turbo_decode_chunk(
+                self, caches, h_last, hist, jnp.array(start, jnp.int32),
+                jnp.array(T0, jnp.int32), key, chunk, max_gen, Tp,
+                float(temperature), int(top_k), float(top_p),
+                float(repetition_penalty))
+            n = int(n)
+            start += n
+            is_final = bool(done) or start >= max_gen
+            yield np.asarray(out)[:n], is_final
+            if is_final:
+                return
 
     def sanitize(self, weights: dict) -> dict:
         out = {}
@@ -315,8 +428,18 @@ class Model(Module):
         if s3_tokenizer is not None:
             rt["s3_tokenizer"] = s3_tokenizer
 
+    def norm_loudness(self, wav: np.ndarray, sr: int,
+                      target_lufs: float = -27.0) -> np.ndarray:
+        """BS.1770 loudness normalization of the reference clip
+        (reference chatterbox_turbo.py:628-643)."""
+        from ....dsp import normalize_loudness
+
+        return np.asarray(normalize_loudness(wav, sr, target_lufs),
+                          np.float32)
+
     def prepare_conditionals(self, ref_wav, sample_rate: Optional[int] = None,
-                             **_):
+                             exaggeration: float = 0.5,
+                             norm_loudness: bool = True, **_):
         from ....utils import resample_audio
         from ..chatterbox.chatterbox import Conditionals
 
@@ -324,6 +447,8 @@ class Model(Module):
         sr = sample_rate or self.sample_rate
         wav_24 = ref_wav if sr == S3GEN_SR else resample_audio(ref_wav, sr,
                                                                S3GEN_SR)
+        if norm_loudness:
+            wav_24 = self.norm_loudness(wav_24, S3GEN_SR)
         wav_24 = wav_24[: 10 * S3GEN_SR]
         wav_16 = resample_audio(wav_24, S3GEN_SR, S3_SR)
 
@@ -353,19 +478,8 @@ class Model(Module):
     def hp_prompt_len(self):
         return self.t3.hp.speech_cond_prompt_len
 
-    def generate(self, text: str, ref_audio=None,
-                 sample_rate: Optional[int] = None,
-                 temperature: float = 0.8, top_k: int = 1000,
-                 top_p: float = 0.95, repetition_penalty: float = 1.2,
-                 max_tokens: int = 800, seed: Optional[int] = None,
-                 **kwargs) -> Generator[GenerationResult, None, None]:
-        start = time.time()
-        if ref_audio is not None:
-            self.prepare_conditionals(ref_audio, sample_rate)
-        if self._conds is None:
-            raise ValueError("prepare_conditionals first or pass ref_audio")
-
-        text = punc_norm(text)
+    def _tokenize_text(self, text: str) -> np.ndarray:
+        """text → (1, T) token ids with SOT/EOT (reference :914-931)."""
         rt = Model._RUNTIME.get(id(self), {})
         if "tokenizer" not in rt:
             # turbo ships an HF tokenizer next to the weights
@@ -386,22 +500,47 @@ class Model(Module):
             raw_ids = tok(text, add_special_tokens=False)["input_ids"]
         ids = np.asarray(raw_ids).reshape(1, -1)
         sot, eot = self.t3.hp.start_text_token, self.t3.hp.stop_text_token
-        ids = np.concatenate([np.full((1, 1), sot), ids,
-                              np.full((1, 1), eot)], axis=1)
+        return np.concatenate([np.full((1, 1), sot), ids,
+                               np.full((1, 1), eot)], axis=1)
 
-        key = (jax.random.PRNGKey(seed) if seed is not None
-               else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)))
-        k1, k2 = jax.random.split(key)
-        tokens = self.t3.inference_turbo(
-            self._conds.t3, ids, temperature=temperature, top_k=top_k,
-            top_p=top_p, repetition_penalty=repetition_penalty,
-            max_gen_len=max_tokens, key=k1)
-        tokens = tokens.reshape(-1)
+    @staticmethod
+    def _split_text(text: str, split_pattern: Optional[str],
+                    max_tokens: int) -> list:
+        """Sentence-boundary split + greedy packing so each chunk's speech
+        tokens stay under max_tokens (reference :862-899: ~8 speech tokens
+        per text token, ~4 chars per text token)."""
+        import re
+
+        max_chars = (max_tokens // 8) * 4
+        if not split_pattern:
+            return [text]
+        chunks, current = [], ""
+        for sentence in re.split(split_pattern, text):
+            sentence = sentence.strip()
+            if not sentence:
+                continue
+            if current and len(current) + len(sentence) + 1 > max_chars:
+                chunks.append(current)
+                current = sentence
+            else:
+                current = f"{current} {sentence}" if current else sentence
+        if current:
+            chunks.append(current)
+        return chunks or [text]
+
+    def _filter_speech_tokens(self, tokens: np.ndarray,
+                              n_silence: int = 3) -> np.ndarray:
+        """Drop OOV tokens and append trailing silence (reference :938-943)."""
+        tokens = np.asarray(tokens).reshape(-1)
         tokens = tokens[tokens < min(SPEECH_VOCAB_SIZE,
                                      self.t3.hp.start_speech_token)]
-        if tokens.size == 0:
-            raise RuntimeError("T3 turbo produced no valid speech tokens")
+        if n_silence:
+            tokens = np.concatenate(
+                [tokens, np.full(n_silence, S3GEN_SIL, tokens.dtype)])
+        return tokens
 
+    def _synthesize(self, tokens: np.ndarray, key) -> np.ndarray:
+        """speech tokens → waveform via meanflow CFM (2 steps) + HiFT."""
         mels, _ = self.s3gen.flow.inference(
             token=jnp.asarray(tokens[None], jnp.int32),
             token_len=jnp.asarray([tokens.shape[0]], jnp.int32),
@@ -412,20 +551,139 @@ class Model(Module):
             prompt_feat=jnp.asarray(self._conds.gen["prompt_feat"]),
             embedding=jnp.asarray(self._conds.gen["embedding"]),
             n_timesteps=2, meanflow=True)
-        wav, _ = self.s3gen.hift_inference(mels, key=k2)
-        wav = np.asarray(wav).reshape(-1)
+        wav, _ = self.s3gen.hift_inference(mels, key=key)
+        return np.asarray(wav).reshape(-1)
 
+    @staticmethod
+    def _warn_unsupported(cfg_weight: float, exaggeration: float,
+                          min_p: float) -> None:
+        if cfg_weight > 0.0 or exaggeration > 0.0 or min_p > 0.0:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "CFG, min_p and exaggeration are not supported by the Turbo "
+                "version and will be ignored.")
+
+    def _result(self, wav, start, segment_idx, token_count, total_samples):
         elapsed = time.time() - start
         dur = len(wav) / self.sample_rate
-        yield GenerationResult(
+        total_dur = total_samples / self.sample_rate
+        return GenerationResult(
             audio=wav, samples=len(wav), sample_rate=self.sample_rate,
-            segment_idx=0, token_count=int(ids.shape[1]),
+            segment_idx=segment_idx, token_count=token_count,
             audio_duration=format_duration(dur),
-            real_time_factor=round(elapsed / max(dur, 1e-9), 2),
-            prompt={"tokens": int(ids.shape[1])},
+            real_time_factor=round(elapsed / max(total_dur, 1e-9), 2),
+            prompt={"tokens": token_count},
             audio_samples={"samples-per-sec":
-                           round(len(wav) / max(elapsed, 1e-9), 2)},
+                           round(total_samples / max(elapsed, 1e-9), 2)},
             processing_time_seconds=elapsed, peak_memory_usage=0.0)
+
+    def generate(self, text: str, ref_audio=None,
+                 sample_rate: Optional[int] = None,
+                 temperature: float = 0.8, top_k: int = 1000,
+                 top_p: float = 0.95, repetition_penalty: float = 1.2,
+                 min_p: float = 0.0, exaggeration: float = 0.0,
+                 cfg_weight: float = 0.0, norm_loudness: bool = True,
+                 stream: bool = False, streaming_interval: float = 2.0,
+                 split_pattern: Optional[str] = r"(?<=[.!?])\s+",
+                 max_tokens: int = 800, seed: Optional[int] = None,
+                 **kwargs) -> Generator[GenerationResult, None, None]:
+        """reference chatterbox_turbo.py:775-1011."""
+        if stream:
+            # ~40 ms of audio per speech token (25 Hz), reference :820-840
+            yield from self.stream_generate(
+                text, ref_audio=ref_audio, sample_rate=sample_rate,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty, min_p=min_p,
+                exaggeration=exaggeration, cfg_weight=cfg_weight,
+                norm_loudness=norm_loudness,
+                chunk_size=max(10, int(streaming_interval * 25)),
+                split_pattern=split_pattern, max_tokens=max_tokens,
+                seed=seed)
+            return
+
+        start = time.time()
+        if ref_audio is not None:
+            self.prepare_conditionals(ref_audio, sample_rate,
+                                      exaggeration=exaggeration,
+                                      norm_loudness=norm_loudness)
+        if self._conds is None:
+            raise ValueError("prepare_conditionals first or pass ref_audio")
+        self._warn_unsupported(cfg_weight, exaggeration, min_p)
+
+        text = punc_norm(text)
+        key = (jax.random.PRNGKey(seed) if seed is not None
+               else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)))
+        total_samples = 0
+        for segment_idx, chunk in enumerate(
+                self._split_text(text, split_pattern, max_tokens)):
+            ids = self._tokenize_text(chunk)
+            key, k1, k2 = jax.random.split(key, 3)
+            tokens = self.t3.inference_turbo(
+                self._conds.t3, ids, temperature=temperature, top_k=top_k,
+                top_p=top_p, repetition_penalty=repetition_penalty,
+                max_gen_len=max_tokens, key=k1)
+            tokens = self._filter_speech_tokens(tokens)
+            if tokens.size <= 3:
+                raise RuntimeError("T3 turbo produced no valid speech tokens")
+            wav = self._synthesize(tokens, k2)
+            total_samples += len(wav)
+            yield self._result(wav, start, segment_idx, int(ids.shape[1]),
+                               total_samples)
+
+    def stream_generate(self, text: str, ref_audio=None,
+                        sample_rate: Optional[int] = None,
+                        temperature: float = 0.8, top_k: int = 1000,
+                        top_p: float = 0.95, repetition_penalty: float = 1.2,
+                        min_p: float = 0.0, exaggeration: float = 0.0,
+                        cfg_weight: float = 0.0, norm_loudness: bool = True,
+                        chunk_size: int = 40,
+                        split_pattern: Optional[str] = r"(?<=[.!?])\s+",
+                        max_tokens: int = 800, seed: Optional[int] = None,
+                        **kwargs) -> Generator[GenerationResult, None, None]:
+        """Streaming synthesis (reference chatterbox_turbo.py:1013-1300):
+        every `chunk_size` new speech tokens, the full accumulated prefix is
+        re-synthesized (the reference's inference_stream does the same) and
+        only the samples past what was already emitted are yielded; the HiFT
+        noise key is held fixed per text chunk so the prefix is identical
+        across re-syntheses."""
+        start = time.time()
+        if ref_audio is not None:
+            self.prepare_conditionals(ref_audio, sample_rate,
+                                      exaggeration=exaggeration,
+                                      norm_loudness=norm_loudness)
+        if self._conds is None:
+            raise ValueError("prepare_conditionals first or pass ref_audio")
+        self._warn_unsupported(cfg_weight, exaggeration, min_p)
+
+        text = punc_norm(text)
+        key = (jax.random.PRNGKey(seed) if seed is not None
+               else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)))
+        segment_idx = 0
+        global_samples = 0
+        for chunk in self._split_text(text, split_pattern, max_tokens):
+            ids = self._tokenize_text(chunk)
+            key, k1, k2 = jax.random.split(key, 3)
+            acc = np.zeros(0, np.int32)
+            prev_samples = 0
+            for new_tokens, is_final in self.t3.inference_turbo_stream(
+                    self._conds.t3, ids, temperature=temperature,
+                    top_k=top_k, top_p=top_p,
+                    repetition_penalty=repetition_penalty,
+                    chunk_size=chunk_size, max_gen_len=max_tokens, key=k1):
+                acc = np.concatenate([acc, np.asarray(new_tokens, np.int32)])
+                tokens = self._filter_speech_tokens(
+                    acc, n_silence=5 if is_final else 0)
+                if tokens.size == 0:
+                    continue
+                wav = self._synthesize(tokens, k2)
+                if prev_samples < len(wav):
+                    new_wav = wav[prev_samples:]
+                    prev_samples = len(wav)
+                    global_samples += len(new_wav)
+                    yield self._result(new_wav, start, segment_idx,
+                                       int(ids.shape[1]), global_samples)
+                segment_idx += 1
 
     def sanitize(self, weights: dict) -> dict:
         """Turbo checkpoints keep flow parts at the s3gen top level
