@@ -621,7 +621,13 @@ class Model(Module):
         return audio[..., : self.find_flattening_point(latent) * 2048]
 
     def generate(self, text: str, ref_audio=None, rng_seed: int = 0,
+                 voice: Optional[str] = None, stream: bool = False,
                  **kwargs) -> Generator[GenerationResult, None, None]:
+        # voice is accepted-unused and stream raises, matching the
+        # reference echo_tts.py:157-166
+        if stream:
+            raise NotImplementedError(
+                "Echo-TTS streaming is not implemented yet.")
         rt = self._resolve_codec()
         if "fish_ae" not in rt or "pca_state" not in rt:
             raise ValueError("Echo-TTS requires fish_ae and pca_state — "

@@ -690,28 +690,88 @@ class Model(Module):
             chunks.append(cur.strip())
         return chunks or [text]
 
-    def generate(self, text: str, ref_audio=None, seed: Optional[int] = None,
+    def _result(self, wav, start, segment_idx, token_count=0):
+        dur = len(wav) / self.sample_rate
+        elapsed = time.time() - start
+        return GenerationResult(
+            audio=wav, samples=len(wav), sample_rate=self.sample_rate,
+            segment_idx=segment_idx, token_count=token_count,
+            audio_duration=format_duration(dur),
+            real_time_factor=round(elapsed / max(dur, 1e-9), 2),
+            prompt={}, audio_samples={},
+            processing_time_seconds=elapsed, peak_memory_usage=0.0)
+
+    def generate(self, text: str, voice: Optional[str] = None,
+                 ref_audio=None, temperature: Optional[float] = None,
+                 verbose: bool = False, stream: bool = False,
+                 streaming_interval: float = 2.0,
+                 frames_after_eos: Optional[int] = None,
+                 seed: Optional[int] = None,
                  **kwargs) -> Generator[GenerationResult, None, None]:
-        key = (jax.random.PRNGKey(seed) if seed is not None else None)
-        # long text: synthesize per sentence-packed chunk (reference
-        # pocket_tts.py:186-198 chunks through split_into_best_sentences)
-        chunks = self.split_into_best_sentences(text)
-        for segment_idx, chunk in enumerate(chunks):
-            start = time.time()
-            if key is not None:
-                key, sub = jax.random.split(key)
-            else:
-                sub = None
-            wav = self.generate_audio(chunk, ref_audio=ref_audio, key=sub)
-            elapsed = time.time() - start
-            dur = len(wav) / self.sample_rate
-            yield GenerationResult(
-                audio=wav, samples=len(wav), sample_rate=self.sample_rate,
-                segment_idx=segment_idx, token_count=0,
-                audio_duration=format_duration(dur),
-                real_time_factor=round(elapsed / max(dur, 1e-9), 2),
-                prompt={}, audio_samples={},
-                processing_time_seconds=elapsed, peak_memory_usage=0.0)
+        """reference pocket_tts.py:234-330: `voice` names a hosted prompt
+        embedding, `ref_audio` clones; sampler knobs (temperature /
+        lsd_decode_steps / noise_clamp / eos_threshold) override the model
+        defaults for this call; stream=True yields ~streaming_interval-
+        second audio chunks."""
+        # audio prompt: explicit ref_audio wins; else a named hosted voice
+        # (a string ref routes through load_predefined_voice downstream)
+        prompt = ref_audio if ref_audio is not None else voice
+        if verbose and voice and ref_audio is None:
+            print(f"[pocket_tts] using hosted voice '{voice}'")
+
+        prev = (self.temp, self.lsd_decode_steps, self.noise_clamp,
+                self.eos_threshold)
+        if temperature is not None:
+            self.temp = float(temperature)
+        if kwargs.get("lsd_decode_steps") is not None:
+            self.lsd_decode_steps = int(kwargs["lsd_decode_steps"])
+        if kwargs.get("noise_clamp") is not None:
+            self.noise_clamp = float(kwargs["noise_clamp"])
+        if kwargs.get("eos_threshold") is not None:
+            self.eos_threshold = float(kwargs["eos_threshold"])
+        try:
+            key = (jax.random.PRNGKey(seed) if seed is not None else None)
+            # long text: synthesize per sentence-packed chunk (reference
+            # pocket_tts.py:186-198 chunks via split_into_best_sentences)
+            chunks = self.split_into_best_sentences(text)
+            segment_idx = 0
+            for chunk in chunks:
+                if key is not None:
+                    key, sub = jax.random.split(key)
+                else:
+                    sub = None
+                if not stream:
+                    start = time.time()
+                    wav = self.generate_audio(
+                        chunk, ref_audio=prompt,
+                        frames_after_eos=frames_after_eos, key=sub)
+                    yield self._result(wav, start, segment_idx)
+                    segment_idx += 1
+                    continue
+                # stream: re-chunk codec output to ~streaming_interval s
+                interval = max(1, int(streaming_interval * self.sample_rate))
+                buf: List[np.ndarray] = []
+                buffered = 0
+                start = time.time()
+                for piece in self.generate_audio_stream(
+                        chunk, ref_audio=prompt,
+                        frames_after_eos=frames_after_eos, key=sub):
+                    piece = np.asarray(piece)
+                    buf.append(piece)
+                    buffered += len(piece)
+                    if buffered >= interval:
+                        yield self._result(np.concatenate(buf), start,
+                                           segment_idx)
+                        segment_idx += 1
+                        buf, buffered = [], 0
+                        start = time.time()
+                if buffered:
+                    yield self._result(np.concatenate(buf), start,
+                                       segment_idx)
+                    segment_idx += 1
+        finally:
+            (self.temp, self.lsd_decode_steps, self.noise_clamp,
+             self.eos_threshold) = prev
 
     def sanitize(self, weights: dict) -> dict:
         out = {}

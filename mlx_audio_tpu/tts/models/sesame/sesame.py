@@ -171,11 +171,16 @@ class SesameModel(Module):
 
     # ---- one frame (in-graph) ----
 
-    def sample_frame(self, h_last, key, temp: float, top_k: int):
-        """h_last (B, D) → frame (B, 32) with the depth-decoder inner loop."""
+    def sample_frame(self, h_last, key, temp: float, top_k: int,
+                     sampler=None):
+        """h_last (B, D) → frame (B, 32) with the depth-decoder inner loop.
+        `sampler` (traceable (logits, key) → ids) overrides the built-in
+        temp/top-k sampling (reference sesame.py:679 sampler arg)."""
         from ....lm.sample import top_k_filter
 
         def sample(logits, k):
+            if sampler is not None:
+                return sampler(logits, k).astype(jnp.int32)
             if temp == 0.0:
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)
             x = logits.astype(jnp.float32) / temp
@@ -222,9 +227,10 @@ class Segment:
     audio: np.ndarray
 
 
-@partial(jax.jit, static_argnames=("max_frames", "temp", "top_k"), donate_argnames=("caches",))
+@partial(jax.jit, static_argnames=("max_frames", "temp", "top_k", "sampler"),
+         donate_argnames=("caches",))
 def _generate_frames(model: SesameModel, caches, h_last, key,
-                     max_frames: int, temp: float, top_k: int):
+                     max_frames: int, temp: float, top_k: int, sampler=None):
     """Full on-device frame loop; returns (frames (1, max_frames, 32), n)."""
     K = model.args.audio_num_codebooks
 
@@ -234,7 +240,7 @@ def _generate_frames(model: SesameModel, caches, h_last, key,
 
     def body(state):
         i, caches, h_last, frames, done, key = state
-        frame, key = model.sample_frame(h_last, key, temp, top_k)
+        frame, key = model.sample_frame(h_last, key, temp, top_k, sampler)
         is_eos = jnp.all(frame == 0)
         frames = jax.lax.dynamic_update_slice(
             frames, frame[:, None, :], (0, i, 0)
@@ -255,6 +261,44 @@ def _generate_frames(model: SesameModel, caches, h_last, key,
     state = (0, caches, h_last, frames, jnp.array(False), key)
     n, caches, h_last, frames, done, key = jax.lax.while_loop(cond, body, state)
     return frames, n
+
+
+@partial(jax.jit, static_argnames=("chunk", "temp", "top_k", "sampler"),
+         donate_argnames=("caches",))
+def _generate_frames_chunk(model: SesameModel, caches, h_last, key, budget,
+                           chunk: int, temp: float, top_k: int, sampler=None):
+    """Up to `chunk` frames of the same loop, resumable: (caches, h_last)
+    carry across calls so streamed frames match a monolithic decode.
+    `budget` (traced) caps total frames at the caller's max_frames."""
+    K = model.args.audio_num_codebooks
+
+    def cond(state):
+        i, _, _, _, done, _ = state
+        return (i < chunk) & ~done & (i < budget)
+
+    def body(state):
+        i, caches, h_last, frames, done, key = state
+        frame, key = model.sample_frame(h_last, key, temp, top_k, sampler)
+        is_eos = jnp.all(frame == 0)
+        frames = jax.lax.dynamic_update_slice(
+            frames, frame[:, None, :], (0, i, 0)
+        )
+        tokens = jnp.concatenate(
+            [frame, jnp.zeros((1, 1), jnp.int32)], axis=1
+        )[:, None, :]
+        mask = jnp.concatenate(
+            [jnp.ones((1, K), bool), jnp.zeros((1, 1), bool)], axis=1
+        )[:, None, :]
+        emb = model.embed_frames(tokens, mask)
+        h, caches = model.backbone(emb, caches)
+        i = jnp.where(is_eos, i, i + 1)
+        return i, caches, h[:, -1], frames, done | is_eos, key
+
+    frames = jnp.zeros((1, chunk, K), jnp.int32)
+    state = (0, caches, h_last, frames, jnp.array(False), key)
+    n, caches, h_last, frames, done, key = jax.lax.while_loop(
+        cond, body, state)
+    return frames, n, caches, h_last, done, key
 
 
 @partial(jax.jit, donate_argnames=("caches",))
@@ -424,9 +468,15 @@ class Model(Module):
         ref_audio=None,
         ref_text: Optional[str] = None,
         stream: bool = False,
+        streaming_interval: float = 0.5,
+        sampler=None,
         voice_match: bool = True,
         **kwargs,
     ):
+        """reference sesame.py:672-830. stream=True yields partial audio
+        every ~streaming_interval seconds of frames, decoded incrementally
+        with the Mimi streaming decoder; `sampler` (a traceable
+        (logits, key) → ids fn) overrides temp/top-k frame sampling."""
         from ....utils import load_audio
 
         context = list(context or [])
@@ -469,9 +519,16 @@ class Model(Module):
             h_last, caches = _prefill(
                 self.model, caches, jnp.asarray(tokens), jnp.asarray(tokens_mask)
             )
+            if stream:
+                yield from self._generate_streaming(
+                    caches, h_last, kwargs.get("seed", 0), max_frames,
+                    float(temperature), int(top_k), sampler,
+                    streaming_interval, segment_idx, tokens.shape[1], t0,
+                    apply_watermark=kwargs.get("apply_watermark", True))
+                continue
             frames, n = _generate_frames(
                 self.model, caches, h_last, jax.random.PRNGKey(kwargs.get("seed", 0)),
-                max_frames, float(temperature), int(top_k),
+                max_frames, float(temperature), int(top_k), sampler,
             )
             frames_np, n = jax.device_get((frames, n))
             n = int(n)
@@ -508,3 +565,62 @@ class Model(Module):
                 processing_time_seconds=elapsed,
                 peak_memory_usage=0.0,
             )
+
+    def _generate_streaming(self, caches, h_last, seed, max_frames,
+                            temp, top_k, sampler, streaming_interval,
+                            segment_idx, prompt_tokens, t0,
+                            apply_watermark=True):
+        """Streaming tail of generate (reference sesame.py:760-830): every
+        ~streaming_interval seconds of frames, decode incrementally through
+        the Mimi streaming decoder and yield a partial result. The AR loop
+        resumes on device across chunks, so streamed frames match a
+        monolithic decode with the same seed."""
+        from ....codec.models.mimi.mimi import MimiStreamingDecoder
+
+        interval = max(1, int(streaming_interval * 12.5))
+        decoder = MimiStreamingDecoder(self.audio_tokenizer)
+        key = jax.random.PRNGKey(seed)
+        produced = 0
+        start = t0
+        watermarker = None
+        if apply_watermark:
+            from .watermarking import load_watermarker
+
+            watermarker = load_watermarker()
+        while produced < max_frames:
+            frames, n, caches, h_last, done, key = _generate_frames_chunk(
+                self.model, caches, h_last, key,
+                jnp.array(max_frames - produced, jnp.int32), interval,
+                temp, top_k, sampler)
+            n = int(n)
+            produced += n
+            if n:
+                codes = np.asarray(frames)[0, :n].T[None]  # (1, K, n)
+                audio = np.asarray(decoder.decode_frames(codes)).reshape(-1)
+                if watermarker is not None:
+                    from .watermarking import CSM_1B_GH_WATERMARK, watermark
+
+                    audio = watermark(watermarker, audio, self.sample_rate,
+                                      CSM_1B_GH_WATERMARK)
+                elapsed = time.perf_counter() - start
+                dur = len(audio) / self.sample_rate
+                yield GenerationResult(
+                    audio=audio,
+                    samples=len(audio),
+                    sample_rate=self.sample_rate,
+                    segment_idx=segment_idx,
+                    token_count=n,
+                    audio_duration=format_duration(dur),
+                    real_time_factor=(round(elapsed / dur, 3) if dur
+                                      else 0.0),
+                    prompt={"tokens": int(prompt_tokens)},
+                    audio_samples={"samples": len(audio),
+                                   "samples-per-sec":
+                                   round(len(audio) / max(elapsed, 1e-9),
+                                         2)},
+                    processing_time_seconds=elapsed,
+                    peak_memory_usage=0.0,
+                )
+                start = time.perf_counter()
+            if bool(done):
+                break

@@ -834,11 +834,13 @@ class Model(Module):
     def generate(self, text: str, ref_audio=None, ref_text=None,
                  gender: Optional[str] = "male", pitch=1.0,
                  speed=1.0, max_tokens: int = 3000,
-                 temperature: float = 0.8, top_p: float = 0.95,
-                 seed: int = 0, **kwargs
+                 temperature: float = 0.8, top_k: int = 50,
+                 top_p: float = 0.95, split_pattern: str = "\n",
+                 verbose: bool = False, seed: int = 0, **kwargs
                  ) -> Generator[GenerationResult, None, None]:
-        # reference spark.py:218-258: float pitch/speed map to level
-        # tokens; a reference audio switches to voice-clone mode
+        # reference spark.py:218-320: float pitch/speed map to level
+        # tokens; a reference audio switches to voice-clone mode; text is
+        # split on split_pattern with one yielded segment per split
         def _level(v, table):
             if isinstance(v, str):
                 return v
@@ -859,12 +861,10 @@ class Model(Module):
                 "set_runtime(...) or load from a full checkpoint dir "
                 "(with LLM tokenizer files + BiCodec/ subdir) via "
                 "load_model()")
-        start = time.perf_counter()
 
-        global_token_ids = None
-        if gender is not None:
-            prompt = self.process_prompt_control(text, gender, pitch, speed)
-        else:
+        ref_global = None
+        ref_semantic = None
+        if gender is None:
             if ref_audio is None:
                 raise ValueError("Provide ref_audio or gender controls")
             fe = rt.get("feature_extractor")
@@ -887,40 +887,55 @@ class Model(Module):
             ref_wav = bicodec.get_ref_clip(wav)[None]
             feat = (fe(wav) if fe is not None
                     else jnp.zeros((1, max(1, wav.shape[1] // 320), 1024)))
-            semantic, global_token_ids = bicodec.tokenize(
+            ref_semantic, ref_global = bicodec.tokenize(
                 jnp.asarray(feat), jnp.asarray(ref_wav))
-            prompt = self.process_prompt(text, np.asarray(global_token_ids),
-                                         np.asarray(semantic)
-                                         if ref_text else None, ref_text)
 
-        ids = np.asarray(tokenizer.encode(prompt), np.int64).reshape(-1)
-        out_ids, _ = generate_tokens(
-            self.llm, jnp.asarray(ids, jnp.int32), max_tokens=max_tokens,
-            temp=temperature, top_p=top_p,
-            eos_token_ids=(tokenizer.eos_token_id,)
-            if hasattr(tokenizer, "eos_token_id") else (), seed=seed)
-        text_out = tokenizer.decode(list(np.asarray(out_ids).reshape(-1)))
+        splits = [s for s in text.split(split_pattern) if s.strip()] or [text]
+        for segment_idx, text_split in enumerate(splits):
+            start = time.perf_counter()
+            global_token_ids = ref_global
+            if gender is not None:
+                prompt = self.process_prompt_control(text_split, gender,
+                                                     pitch, speed)
+            else:
+                prompt = self.process_prompt(
+                    text_split, np.asarray(ref_global),
+                    np.asarray(ref_semantic) if ref_text else None, ref_text)
 
-        semantic_ids = [int(m) for m in
-                        re.findall(r"bicodec_semantic_(\d+)", text_out)]
-        if gender is not None:
-            g_ids = [int(m) for m in
-                     re.findall(r"bicodec_global_(\d+)", text_out)]
-            global_token_ids = np.asarray(g_ids)[None, :, None]
-        if not semantic_ids:
-            raise RuntimeError("LLM produced no semantic tokens")
-        gt = np.asarray(global_token_ids)
-        if gt.ndim == 2:
-            gt = gt[:, :, None]
-        wav = bicodec.detokenize(jnp.asarray([semantic_ids], jnp.int32),
-                                 jnp.asarray(gt, jnp.int32))
-        audio = np.asarray(wav).reshape(-1)
-        elapsed = time.perf_counter() - start
-        dur = len(audio) / self.sample_rate
-        yield GenerationResult(
-            audio=audio, samples=len(audio), sample_rate=self.sample_rate,
-            segment_idx=0, token_count=len(semantic_ids),
-            audio_duration=format_duration(dur),
-            real_time_factor=round(elapsed / max(dur, 1e-9), 2),
-            prompt={"tokens": int(ids.shape[0])}, audio_samples={},
-            processing_time_seconds=elapsed, peak_memory_usage=0.0)
+            ids = np.asarray(tokenizer.encode(prompt), np.int64).reshape(-1)
+            out_ids, _ = generate_tokens(
+                self.llm, jnp.asarray(ids, jnp.int32), max_tokens=max_tokens,
+                temp=temperature, top_k=top_k, top_p=top_p,
+                repetition_penalty=kwargs.get("repetition_penalty", 1.3),
+                repetition_context_size=kwargs.get(
+                    "repetition_context_size", 20),
+                eos_token_ids=(tokenizer.eos_token_id,)
+                if hasattr(tokenizer, "eos_token_id") else (), seed=seed)
+            text_out = tokenizer.decode(list(np.asarray(out_ids).reshape(-1)))
+
+            semantic_ids = [int(m) for m in
+                            re.findall(r"bicodec_semantic_(\d+)", text_out)]
+            if gender is not None:
+                g_ids = [int(m) for m in
+                         re.findall(r"bicodec_global_(\d+)", text_out)]
+                global_token_ids = np.asarray(g_ids)[None, :, None]
+            if not semantic_ids:
+                raise RuntimeError("LLM produced no semantic tokens")
+            gt = np.asarray(global_token_ids)
+            if gt.ndim == 2:
+                gt = gt[:, :, None]
+            wav = bicodec.detokenize(jnp.asarray([semantic_ids], jnp.int32),
+                                     jnp.asarray(gt, jnp.int32))
+            audio = np.asarray(wav).reshape(-1)
+            elapsed = time.perf_counter() - start
+            dur = len(audio) / self.sample_rate
+            if verbose:
+                print(f"[spark] segment {segment_idx}: "
+                      f"{len(semantic_ids)} tokens, {dur:.2f}s audio")
+            yield GenerationResult(
+                audio=audio, samples=len(audio), sample_rate=self.sample_rate,
+                segment_idx=segment_idx, token_count=len(semantic_ids),
+                audio_duration=format_duration(dur),
+                real_time_factor=round(elapsed / max(dur, 1e-9), 2),
+                prompt={"tokens": int(ids.shape[0])}, audio_samples={},
+                processing_time_seconds=elapsed, peak_memory_usage=0.0)

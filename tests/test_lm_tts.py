@@ -171,3 +171,63 @@ def test_orpheus_streaming_generate_yields_chunks():
     # crash, and any yielded chunk is well-formed
     for r in results:
         assert r.sample_rate == 24000 and r.samples > 0
+
+
+def test_sesame_chunked_frames_match_monolithic():
+    """_generate_frames_chunk resumes (caches, h_last) across calls, so the
+    concatenated chunks equal one monolithic decode with the same key
+    (streaming path of reference sesame.py:760-830)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.tts.models.sesame.sesame import (
+        ModelConfig,
+        SesameModel,
+        _generate_frames,
+        _generate_frames_chunk,
+        _prefill,
+    )
+
+    cfg = ModelConfig(
+        text_vocab_size=100, audio_vocab_size=32, audio_num_codebooks=4,
+        hidden_size=64, num_hidden_layers=2, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        depth_decoder_config=dict(
+            backbone_hidden_size=64, hidden_size=32, intermediate_size=64,
+            num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+            num_hidden_layers=1, num_codebooks=4, vocab_size=32,
+        ),
+        rope_scaling={"rope_type": "default"},
+    )
+    model = SesameModel(cfg)
+    T = 6
+    tokens = np.zeros((1, T, 5), np.int32)
+    tokens[:, :, -1] = np.arange(T)
+    mask = np.zeros((1, T, 5), bool)
+    mask[:, :, -1] = True
+    max_frames = 9
+
+    def prefill():
+        caches = model.make_backbone_caches(1, T + max_frames + 2)
+        return _prefill(model, caches, jnp.asarray(tokens),
+                        jnp.asarray(mask))
+
+    h_last, caches = prefill()
+    frames, n = _generate_frames(
+        model, caches, h_last, jax.random.PRNGKey(3), max_frames, 0.9, 8)
+    full = np.asarray(frames)[0, : int(n)]
+
+    h_last, caches = prefill()
+    key = jax.random.PRNGKey(3)
+    got = []
+    produced = 0
+    while produced < max_frames:
+        f, k, caches, h_last, done, key = _generate_frames_chunk(
+            model, caches, h_last, key,
+            jnp.array(max_frames - produced, jnp.int32), 4, 0.9, 8)
+        k = int(k)
+        produced += k
+        got.append(np.asarray(f)[0, :k])
+        if bool(done):
+            break
+    np.testing.assert_array_equal(np.concatenate(got), full)
