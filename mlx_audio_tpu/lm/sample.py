@@ -36,12 +36,18 @@ def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
     return jnp.where(logits < threshold, -jnp.inf, logits)
 
 
-def min_p_filter(logits: jax.Array, min_p: float) -> jax.Array:
+def min_p_filter(logits: jax.Array, min_p: float,
+                 min_tokens_to_keep: int = 1) -> jax.Array:
     if min_p <= 0.0:
         return logits
     probs = jax.nn.softmax(logits, axis=-1)
     cutoff = min_p * jnp.max(probs, axis=-1, keepdims=True)
-    return jnp.where(probs < cutoff, -jnp.inf, logits)
+    keep = probs >= cutoff
+    if min_tokens_to_keep > 1:
+        # never filter below the top-k tokens (mlx-lm min_p semantics)
+        kth = jnp.sort(logits, axis=-1)[..., -min_tokens_to_keep][..., None]
+        keep = keep | (logits >= kth)
+    return jnp.where(keep, logits, -jnp.inf)
 
 
 def apply_repetition_penalty(
@@ -72,6 +78,7 @@ def make_sampler(
     top_p: float = 1.0,
     top_k: int = 0,
     min_p: float = 0.0,
+    min_tokens_to_keep: int = 1,
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Returns sampler(logits (..., V), key) -> token ids (...,)."""
 
@@ -84,7 +91,7 @@ def make_sampler(
         if top_p < 1.0:
             x = top_p_filter(x, top_p)
         if min_p > 0.0:
-            x = min_p_filter(x, min_p)
+            x = min_p_filter(x, min_p, min_tokens_to_keep)
         return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
 
     return sampler

@@ -414,7 +414,20 @@ class Model(Module):
                  initial_prompt: Optional[str] = None,
                  max_tokens: Optional[int] = None,
                  temperature: Optional[float] = None,
-                 tokenizer=None, **kwargs) -> STTOutput:
+                 top_p: float = 0.95, top_k: int = 0,
+                 verbose: bool = False, stream: bool = False,
+                 tokenizer=None, **kwargs):
+        """reference funasr.py:561-640; sampler knobs per the reference
+        signature. stream=True returns the stream_generate generator."""
+        if stream:
+            return self.stream_generate(
+                audio, language=language, task=task,
+                target_language=target_language,
+                initial_prompt=initial_prompt,
+                max_tokens=max_tokens or self.config.max_tokens,
+                temperature=(self.config.temperature if temperature is None
+                             else temperature),
+                top_k=top_k, top_p=top_p, tokenizer=tokenizer)
         t0 = time.perf_counter()
         audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
@@ -435,13 +448,16 @@ class Model(Module):
             self.llm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
             jnp.zeros((1,), bool), jax.random.PRNGKey(0),
             jnp.asarray(eos, jnp.int32), _lm_call,
-            make_sampler(temp=float(temperature)), 1.0, int(max_tokens))
+            make_sampler(temp=float(temperature), top_p=float(top_p),
+                         top_k=int(top_k)), 1.0, int(max_tokens))
         toks, n = jax.device_get((out, i))
         seq = [int(t) for t in toks[0][: int(n)] if int(t) not in eos]
         wall = time.perf_counter() - t0
         text = self._clean_output(tokenizer.decode(seq))
         if language == "auto":
             language = self._detect_language_from_text(text)
+        if verbose:
+            print(text)
         return STTOutput(text=text,
                          duration=duration, language=language,
                          generation_tokens=len(seq),

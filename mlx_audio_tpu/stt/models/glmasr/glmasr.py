@@ -260,6 +260,7 @@ class Model(Module):
         return list(self.config.lm_config.eos_token_id)
 
     def _stream_tokens(self, inputs, *, max_tokens, temperature,
+                       top_p=1.0, top_k=0, min_p=0.0, min_tokens_to_keep=1,
                        chunk_size=16, seed=0):
         """On-device decode in chunk_size-token blocks, yielding ids
         host-side between dispatches (same pattern as qwen3_asr)."""
@@ -272,7 +273,9 @@ class Model(Module):
         done = jnp.zeros((1,), bool)
         key = jax.random.PRNGKey(seed)
         eos_arr = jnp.asarray((eos + [-1, -1, -1])[:3], jnp.int32)
-        sampler = make_sampler(temp=float(temperature))
+        sampler = make_sampler(temp=float(temperature), top_p=float(top_p),
+                               top_k=int(top_k), min_p=float(min_p),
+                               min_tokens_to_keep=int(min_tokens_to_keep))
         produced = 0
         while produced < max_tokens:
             steps = min(int(chunk_size), max_tokens - produced)
@@ -292,6 +295,8 @@ class Model(Module):
 
     def stream_transcribe(self, audio, *, prompt: Optional[str] = None,
                           max_tokens: int = 512, temperature: float = 0.0,
+                          top_p: float = 1.0, top_k: int = 0,
+                          min_p: float = 0.0, min_tokens_to_keep: int = 1,
                           chunk_duration: float = 28.0,
                           min_chunk_duration: float = 1.0,
                           chunk_size: int = 16, tokenizer=None, **kwargs):
@@ -325,6 +330,8 @@ class Model(Module):
             n = 0
             for tok in self._stream_tokens(
                     inputs, max_tokens=remaining, temperature=temperature,
+                    top_p=top_p, top_k=top_k, min_p=min_p,
+                    min_tokens_to_keep=min_tokens_to_keep,
                     chunk_size=chunk_size):
                 text = detok.push(tok)
                 prev = n / max(remaining, 1)
@@ -352,7 +359,18 @@ class Model(Module):
 
     def generate(self, audio, *, prompt: Optional[str] = None,
                  max_tokens: int = 512, temperature: float = 0.0,
-                 tokenizer=None, **kwargs) -> STTOutput:
+                 top_p: float = 1.0, top_k: int = 0, min_p: float = 0.0,
+                 min_tokens_to_keep: int = 1, verbose: bool = False,
+                 stream: bool = False,
+                 tokenizer=None, **kwargs):
+        """reference glmasr.py:703-860; sampler knobs per the reference
+        signature. stream=True returns the stream_transcribe generator."""
+        if stream:
+            return self.stream_transcribe(
+                audio, prompt=prompt, max_tokens=max_tokens,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                min_p=min_p, min_tokens_to_keep=min_tokens_to_keep,
+                tokenizer=tokenizer)
         t0 = time.perf_counter()
         audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
@@ -381,7 +399,10 @@ class Model(Module):
             for chunk_audio, _off in chunks:
                 out = self.generate(chunk_audio, prompt=prompt,
                                     max_tokens=max_tokens,
-                                    temperature=temperature,
+                                    temperature=temperature, top_p=top_p,
+                                    top_k=top_k, min_p=min_p,
+                                    min_tokens_to_keep=min_tokens_to_keep,
+                                    verbose=verbose,
                                     tokenizer=tokenizer, **kwargs)
                 parts.append(out.text)
                 total_tokens += out.generation_tokens
@@ -402,10 +423,15 @@ class Model(Module):
             lm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
             jnp.zeros((1,), bool), jax.random.PRNGKey(0),
             jnp.asarray(eos, jnp.int32), _lm_call,
-            make_sampler(temp=float(temperature)), 1.0, int(max_tokens))
+            make_sampler(temp=float(temperature), top_p=float(top_p),
+                         top_k=int(top_k), min_p=float(min_p),
+                         min_tokens_to_keep=int(min_tokens_to_keep)),
+            1.0, int(max_tokens))
         toks, n = jax.device_get((out, i))
         seq = [int(t) for t in toks[0][: int(n)] if int(t) not in eos]
         wall = time.perf_counter() - t0
+        if verbose:
+            print(tokenizer.decode(seq).strip())
         return STTOutput(text=tokenizer.decode(seq).strip(),
                          duration=duration,
                          prompt_tokens=int(inputs.shape[1]),

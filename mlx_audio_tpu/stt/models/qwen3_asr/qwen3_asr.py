@@ -527,39 +527,80 @@ class Model(Module):
 
     def generate(self, audio, *, language: str = "English",
                  system_prompt: Optional[str] = None, max_tokens: int = 8192,
-                 temperature: float = 0.0, tokenizer=None,
-                 **kwargs) -> STTOutput:
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 top_k: int = 0, min_p: float = 0.0,
+                 min_tokens_to_keep: int = 1,
+                 repetition_penalty: Optional[float] = None,
+                 repetition_context_size: int = 100,
+                 chunk_duration: float = 1200.0,
+                 min_chunk_duration: float = 1.0,
+                 verbose: bool = False, stream: bool = False,
+                 tokenizer=None, **kwargs):
+        """Transcribe, chunking long audio sequentially (reference
+        qwen3_asr.py:1021-1180). stream=True delegates to stream_transcribe
+        and returns its generator (reference :1051-1070)."""
+        if stream:
+            return self.stream_transcribe(
+                audio, language=language, system_prompt=system_prompt,
+                max_tokens=max_tokens, temperature=temperature,
+                top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty or 1.0,
+                chunk_duration=chunk_duration,
+                min_chunk_duration=min_chunk_duration, tokenizer=tokenizer)
         t0 = time.perf_counter()
         audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
         tokenizer = self._resolve_tokenizer(tokenizer)
-        inputs, ids = self._prepare_inputs(
-            audio, language, system_prompt, tokenizer)
         eos = self._eos_ids(tokenizer)
         eos = (eos + [-1, -1, -1])[:3]
+        sampler = make_sampler(
+            temp=float(temperature), top_p=float(top_p), top_k=int(top_k),
+            min_p=float(min_p), min_tokens_to_keep=int(min_tokens_to_keep))
+        rep_p = float(repetition_penalty or 1.0)
 
+        chunks = split_audio_into_chunks(
+            audio, self.sample_rate, chunk_duration=chunk_duration,
+            min_chunk_duration=min_chunk_duration)
         lm = self.language_model
-        caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1,
-                                dtype=jnp.float32)
         from ....lm.generate import _decode_chunk, _prefill
 
-        logits, caches = _prefill(lm, caches, inputs, _lm_call)
-        out, i, *_ = _decode_chunk(
-            lm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
-            jnp.zeros((1,), bool), jax.random.PRNGKey(0),
-            jnp.asarray(eos, jnp.int32), _lm_call,
-            make_sampler(temp=float(temperature)), 1.0, int(max_tokens))
-        toks, nt = jax.device_get((out, i))
-        seq = [int(t) for t in toks[0][: int(nt)] if int(t) not in eos]
-        text = tokenizer.decode(seq)
-        if "<asr_text>" in text:
-            text = text.split("<asr_text>")[-1]
+        texts = []
+        total_prompt = 0
+        total_gen = 0
+        remaining = max_tokens
+        for chunk_audio, _offset in chunks:
+            if remaining <= 0:
+                break
+            inputs, ids = self._prepare_inputs(
+                chunk_audio, language, system_prompt, tokenizer)
+            total_prompt += int(ids.shape[0])
+            caches = lm.make_caches(
+                1, max_len=inputs.shape[1] + remaining + 1,
+                dtype=jnp.float32)
+            logits, caches = _prefill(lm, caches, inputs, _lm_call)
+            out, i, *_ = _decode_chunk(
+                lm, caches, logits,
+                jnp.full((1, max(repetition_context_size, 1)), -1,
+                         jnp.int32),
+                jnp.zeros((1,), bool), jax.random.PRNGKey(0),
+                jnp.asarray(eos, jnp.int32), _lm_call,
+                sampler, rep_p, int(remaining))
+            toks, nt = jax.device_get((out, i))
+            seq = [int(t) for t in toks[0][: int(nt)] if int(t) not in eos]
+            total_gen += len(seq)
+            remaining -= len(seq)
+            text = tokenizer.decode(seq)
+            if "<asr_text>" in text:
+                text = text.split("<asr_text>")[-1]
+            if verbose:
+                print(text.strip())
+            texts.append(text.strip())
         wall = time.perf_counter() - t0
         return STTOutput(
-            text=text.strip(), duration=duration,
-            language=language, prompt_tokens=int(ids.shape[0]),
-            generation_tokens=len(seq),
-            generation_tps=len(seq) / max(wall, 1e-9))
+            text=" ".join(t for t in texts if t).strip(), duration=duration,
+            language=language, prompt_tokens=total_prompt,
+            generation_tokens=total_gen,
+            generation_tps=total_gen / max(wall, 1e-9))
 
     def sanitize(self, weights: dict) -> dict:
         from ....nn.sanitize import orient_weights_to_model

@@ -218,12 +218,25 @@ class Model(Module):
             yield tail
 
     def generate(self, audio, *, context: Optional[str] = None,
+                 sampling_rate: Optional[int] = None,
                  max_tokens: int = 8192, temperature: float = 0.0,
+                 top_p: float = 1.0, top_k: int = 0, min_p: float = 0.0,
+                 min_tokens_to_keep: int = 1,
+                 repetition_penalty: Optional[float] = 1.0,
+                 repetition_context_size: int = 100,
+                 verbose: bool = False,
                  tokenizer=None, **kwargs) -> STTOutput:
         """Transcribe audio → structured JSON segments
-        (reference vibevoice_asr.py:635-838)."""
+        (reference vibevoice_asr.py:635-838). Sampler knobs mirror the
+        reference signature (:642-648); `sampling_rate` declares the rate
+        of a raw array input."""
         t0 = time.perf_counter()
         tokenizer = tokenizer or self._tokenizer()
+        if sampling_rate is not None and sampling_rate != self.sample_rate:
+            from ....utils import resample_audio
+
+            audio = resample_audio(np.asarray(audio, np.float32),
+                                   int(sampling_rate), self.sample_rate)
         inputs, ids, duration = self._prepare_inputs(audio, context,
                                                      tokenizer)
 
@@ -236,13 +249,19 @@ class Model(Module):
         eos = (eos + [-1])[:3]
         logits, caches = _prefill(lm, caches, inputs, _lm_call)
         out, i, *_ = _decode_chunk(
-            lm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
+            lm, caches, logits,
+            jnp.full((1, max(repetition_context_size, 1)), -1, jnp.int32),
             jnp.zeros((1,), bool), jax.random.PRNGKey(0),
             jnp.asarray(eos, jnp.int32), _lm_call,
-            make_sampler(temp=float(temperature)), 1.0, int(max_tokens))
+            make_sampler(temp=float(temperature), top_p=float(top_p),
+                         top_k=int(top_k), min_p=float(min_p),
+                         min_tokens_to_keep=int(min_tokens_to_keep)),
+            float(repetition_penalty or 1.0), int(max_tokens))
         toks, nt = jax.device_get((out, i))
         seq = [int(t) for t in toks[0][: int(nt)] if int(t) not in eos]
         text = tokenizer.decode(seq)
+        if verbose:
+            print(text)
         segments = self.parse_transcription(text)
         plain = " ".join(s.get("text", "") for s in segments) or text
         wall = time.perf_counter() - t0

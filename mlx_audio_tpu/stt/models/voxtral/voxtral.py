@@ -292,8 +292,15 @@ class Model(Module):
 
     def generate(self, audio, *, prompt_tokens: Optional[List[int]] = None,
                  max_tokens: int = 512, temperature: float = 0.0,
+                 top_p: float = 0.95, top_k: int = 0, min_p: float = 0.0,
+                 min_tokens_to_keep: int = 1, message=None,
+                 verbose: bool = False, generation_stream: bool = False,
                  language: str = "en",
                  tokenizer=None, **kwargs) -> STTOutput:
+        """reference voxtral.py:379-470. `message` is accepted for API
+        compatibility (the reference builds but never consumes it);
+        `generation_stream` is an MLX device-stream placement knob with no
+        TPU analogue — decode already runs as one device program."""
         t0 = time.perf_counter()
         inputs, duration, tok = self._prepare_generation(
             audio, language, prompt_tokens, tokenizer)
@@ -311,7 +318,10 @@ class Model(Module):
             lm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
             jnp.zeros((1,), bool), jax.random.PRNGKey(0),
             jnp.asarray([2, 4, 32000], jnp.int32), _lm_call,
-            make_sampler(temp=float(temperature)), 1.0, int(max_tokens),
+            make_sampler(temp=float(temperature), top_p=float(top_p),
+                         top_k=int(top_k), min_p=float(min_p),
+                         min_tokens_to_keep=int(min_tokens_to_keep)),
+            1.0, int(max_tokens),
         )
         toks, n = jax.device_get((out, i))
         seq = [int(t) for t in toks[0][: int(n)] if t not in (2, 4, 32000)]
@@ -327,6 +337,8 @@ class Model(Module):
             except Exception:
                 text = " ".join(str(t) for t in seq)
         wall = time.perf_counter() - t0
+        if verbose:
+            print(text.strip())
         return STTOutput(
             text=text.strip(), segments=None, duration=duration,
             generation_tokens=len(seq),

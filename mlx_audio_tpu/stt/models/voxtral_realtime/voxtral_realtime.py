@@ -374,6 +374,76 @@ def _realtime_decode(model, caches, prefix_embeds, prefill_len, adapter_out,
     return out, n
 
 
+@partial(jax.jit, donate_argnames=("caches",))
+def _realtime_prefill(model, caches, prefix_embeds, prefill_len, ada_scales):
+    """Prefill half of _realtime_decode, split out for streaming resume."""
+    Tp = prefix_embeds.shape[1]
+    S = caches[0].max_len
+    q_idx = jnp.arange(Tp)[:, None]
+    k_idx = jnp.arange(S)[None, :]
+    ok = (k_idx <= q_idx) & (k_idx < prefill_len)
+    mask = jnp.where(ok, 0.0, -jnp.inf)[None, None]
+    logits, _, caches = model.decoder(prefix_embeds, jnp.arange(Tp),
+                                      ada_scales, caches, mask)
+    last = jnp.clip(prefill_len - 1, 0, Tp - 1)
+    return logits[:, last].astype(jnp.float32), caches
+
+
+@partial(jax.jit, static_argnames=("chunk", "prompt_width", "temperature"),
+         donate_argnames=("caches",))
+def _realtime_decode_chunk(model, caches, logits, start_step, prefill_len,
+                           adapter_out, n_audio, key, ada_scales,
+                           chunk: int, prompt_width: int, temperature: float):
+    """Up to `chunk` position-locked steps from absolute step `start_step`,
+    resumable across calls (stream path of reference
+    voxtral_realtime.py:344-420)."""
+    eos = model.config.eos_token_id
+    S = caches[0].max_len
+    k_idx = jnp.arange(S)
+    out = jnp.zeros((chunk,), jnp.int32)
+
+    def sample(lg, key):
+        if temperature <= 0:
+            return jnp.argmax(lg[0]).astype(jnp.int32)
+        return jax.random.categorical(key, lg[0] / temperature).astype(
+            jnp.int32)
+
+    def cond(s):
+        local, done = s[0], s[5]
+        return ((local < chunk) & ~done
+                & ((prefill_len + start_step + local) < n_audio))
+
+    def body(s):
+        local, caches, logits, out, key, done = s
+        key, sub = jax.random.split(key)
+        tok = sample(logits, sub)
+        is_eos = tok == eos
+        out = jnp.where(is_eos | done, out, out.at[local].set(tok))
+        done = done | is_eos
+
+        step = start_step + local
+        pos = prefill_len + step
+        audio_emb = jax.lax.dynamic_slice(
+            adapter_out, (jnp.minimum(pos, adapter_out.shape[0] - 1), 0),
+            (1, adapter_out.shape[1]))
+        emb = (audio_emb + model.decoder.tok_embeddings.weight[tok][None]
+               )[None]
+        valid = (k_idx < prefill_len) | ((k_idx >= prompt_width)
+                                         & (k_idx <= prompt_width + step))
+        dmask = jnp.where(valid, 0.0, -jnp.inf)[None, None, None, :]
+        logits, _, caches = model.decoder(emb, pos[None], ada_scales, caches,
+                                          dmask)
+        logits = logits[:, -1].astype(jnp.float32)
+        local = jnp.where(done, local, local + 1)
+        return (local, caches, logits, out, key, done)
+
+    state = (jnp.array(0, jnp.int32), caches, logits, out, key,
+             jnp.array(False))
+    local, caches, logits, out, key, done = jax.lax.while_loop(
+        cond, body, state)
+    return out, local, caches, logits, key, done
+
+
 class Model(Module):
     """reference voxtral_realtime.py:68-537."""
 
@@ -437,14 +507,10 @@ class Model(Module):
             log_spec = log_spec[1:]
         return log_spec, n_delay  # (T, n_mels)
 
-    def generate(self, audio, *, max_tokens: int = 4096,
-                 temperature: float = 0.0,
-                 transcription_delay_ms: Optional[int] = None,
-                 tokenizer=None, **kwargs) -> STTOutput:
-        t0 = time.perf_counter()
+    def _prepare_decode(self, audio, transcription_delay_ms, max_tokens):
+        """Shared encode + prefix construction for generate/stream paths."""
         audio = ensure_waveform(audio, SAMPLE_RATE)
         duration = len(audio) / SAMPLE_RATE
-        tokenizer = self._resolve_tokenizer(tokenizer)
 
         mel, n_delay = self._prepare_mel(audio, transcription_delay_ms)
         adapter_out = self.encoder(mel)  # (Na, D)
@@ -470,6 +536,25 @@ class Model(Module):
         caches = [KVCache(1, cfg.n_kv_heads, Tp + max_steps + 1,
                           cfg.head_dim, jnp.float32)
                   for _ in range(cfg.n_layers)]
+        return (duration, adapter_out, n_audio, ada_scales, prompt_len,
+                prefix, T0, Tp, max_steps, caches)
+
+    def generate(self, audio, *, max_tokens: int = 4096,
+                 temperature: float = 0.0, verbose: bool = False,
+                 stream: bool = False,
+                 transcription_delay_ms: Optional[int] = None,
+                 tokenizer=None, **kwargs):
+        """Transcribe. Returns STTOutput, or a generator of text deltas when
+        stream=True (reference voxtral_realtime.py:244-269)."""
+        if stream:
+            return self._generate_stream(
+                audio, max_tokens, temperature, verbose,
+                transcription_delay_ms, tokenizer)
+        t0 = time.perf_counter()
+        tokenizer = self._resolve_tokenizer(tokenizer)
+        (duration, adapter_out, n_audio, ada_scales, prompt_len, prefix, T0,
+         _Tp, max_steps, caches) = self._prepare_decode(
+            audio, transcription_delay_ms, max_tokens)
         out, n = _realtime_decode(
             self, caches, prefix, jnp.array(T0, jnp.int32), adapter_out,
             jnp.array(n_audio, jnp.int32), jax.random.PRNGKey(0),
@@ -480,10 +565,55 @@ class Model(Module):
         text = tokenizer.decode(seq) if tokenizer is not None else \
             " ".join(map(str, seq))
         wall = time.perf_counter() - t0
+        if verbose:
+            print(text.strip())
         return STTOutput(text=text.strip(), duration=duration,
                          prompt_tokens=prompt_len,
                          generation_tokens=len(seq),
                          generation_tps=len(seq) / max(wall, 1e-9))
+
+    def _generate_stream(self, audio, max_tokens, temperature, verbose,
+                         transcription_delay_ms, tokenizer,
+                         chunk_tokens: int = 16):
+        """Yield text deltas as tokens decode (reference
+        voxtral_realtime.py:344-420). The position-locked loop resumes on
+        device in `chunk_tokens` blocks; deltas are diffed against the
+        running detokenization so multi-token characters emit cleanly."""
+        tokenizer = self._resolve_tokenizer(tokenizer)
+        (duration, adapter_out, n_audio, ada_scales, prompt_len, prefix, T0,
+         Tp, max_steps, caches) = self._prepare_decode(
+            audio, transcription_delay_ms, max_tokens)
+        logits, caches = _realtime_prefill(
+            self, caches, prefix, jnp.array(T0, jnp.int32), ada_scales)
+        key = jax.random.PRNGKey(0)
+        produced = 0
+        generated: list = []
+        prev_text = ""
+        while produced < max_steps:
+            out, n, caches, logits, key, done = _realtime_decode_chunk(
+                self, caches, logits, jnp.array(produced, jnp.int32),
+                jnp.array(T0, jnp.int32), adapter_out,
+                jnp.array(n_audio, jnp.int32), key, ada_scales,
+                chunk_tokens, Tp, float(temperature))
+            # chunk size is static for compile reuse; trim any overshoot
+            # past the caller's max_tokens cap
+            n = min(int(n), max_steps - produced)
+            produced += n
+            generated.extend(
+                int(t) for t in np.asarray(out)[:n]
+                if int(t) != self.config.eos_token_id)
+            text = (tokenizer.decode(generated) if tokenizer is not None
+                    else " ".join(map(str, generated)))
+            if text != prev_text:
+                delta = text[len(prev_text):]
+                if verbose:
+                    print(delta, end="", flush=True)
+                yield delta
+                prev_text = text
+            if bool(done) or n == 0:
+                break
+        if verbose:
+            print()
 
     def sanitize(self, weights: dict) -> dict:
         from ....nn.sanitize import orient_weights_to_model

@@ -487,10 +487,11 @@ class ModelArgs:
 
 
 @partial(jax.jit,
-         static_argnames=("max_tokens", "temp", "top_k"),
+         static_argnames=("max_tokens", "temp", "top_k", "sampler"),
          donate_argnames=("caches",))
 def _indextts_decode(model, caches, embedding, prefill_len, key,
-                     max_tokens: int, temp: float, top_k: int):
+                     max_tokens: int, temp: float, top_k: int,
+                     sampler=None):
     """AR mel-code decode collecting per-step GPT latents, one dispatch
     (reference indextts.py:353-424)."""
     stop = model.args.gpt.stop_mel_token
@@ -509,6 +510,9 @@ def _indextts_decode(model, caches, embedding, prefill_len, key,
     latents = jnp.zeros((max_tokens, D), jnp.float32)
 
     def sample(logits, key):
+        if sampler is not None:
+            # custom traceable sampler (reference indextts.py:360,376)
+            return sampler(logits, key)
         if top_k > 0:
             kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
             logits = jnp.where(logits < kth, -jnp.inf, logits)
@@ -606,6 +610,7 @@ class Model(Module):
     def generate(self, text: str, ref_audio=None, ref_mel=None,
                  max_tokens: int = 600, temperature: float = 0.8,
                  top_k: int = 30, seed: Optional[int] = None,
+                 sampler=None, verbose: bool = False,
                  **kwargs) -> Generator[GenerationResult, None, None]:
         start = time.perf_counter()
         rt = Model._RUNTIME.get(id(self), {})
@@ -660,8 +665,10 @@ class Model(Module):
                else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)))
         latents, n = _indextts_decode(
             self, caches, embedding, jnp.array(T0, jnp.int32), key,
-            max_steps, float(temperature), int(top_k))
+            max_steps, float(temperature), int(top_k), sampler)
         n = int(n)
+        if verbose:
+            print(f"[indextts] {n} mel tokens")
         latents = latents[:n][None]  # (1, n, D)
 
         vocoder = rt.get("bigvgan", getattr(self, "bigvgan", None))

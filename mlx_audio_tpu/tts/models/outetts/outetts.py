@@ -293,50 +293,95 @@ class Model(CausalLM):
             chunks.append(" ".join(cur))
         return chunks
 
+    def _decode_tokens_to_audio(self, token_ids) -> Optional[np.ndarray]:
+        cb = self.prompt_processor.extract_audio_from_tokens(
+            [int(t) for t in token_ids])
+        if not cb[0]:
+            return None
+        return np.asarray(
+            self.codec.decode_codes(jnp.asarray([cb], jnp.int32))
+        ).reshape(-1)
+
+    def _result(self, audio, t0, segment_idx, token_count, prompt_tokens):
+        elapsed = time.perf_counter() - t0
+        dur = len(audio) / self.sample_rate
+        return GenerationResult(
+            audio=audio, samples=len(audio), sample_rate=self.sample_rate,
+            segment_idx=segment_idx, token_count=token_count,
+            audio_duration=format_duration(dur),
+            real_time_factor=round(elapsed / dur, 3) if dur else 0.0,
+            prompt={"tokens": prompt_tokens,
+                    "tokens-per-sec": round(prompt_tokens / elapsed, 2)},
+            audio_samples={"samples": len(audio),
+                           "samples-per-sec": round(len(audio) / elapsed, 2)},
+            processing_time_seconds=elapsed,
+            peak_memory_usage=0.0,
+        )
+
     def generate(self, text: str, voice: Optional[str] = None,
                  temperature: float = 0.4, top_p: float = 0.9,
                  max_tokens: int = 1200, ref_audio=None,
-                 ref_text: Optional[str] = None, **kwargs):
+                 ref_text: Optional[str] = None, stream: bool = False,
+                 streaming_interval: float = 2.0, verbose: bool = False,
+                 **kwargs):
+        """reference outetts.py:152-270. Sampler defaults mirror the
+        reference (:174-183): min_p=0.05, top_k=40, repetition 1.1/64.
+        stream=True re-decodes the growing code prefix every
+        ~streaming_interval seconds of tokens (137.5 tokens/s) and yields
+        only new samples, exactly the reference's streaming loop
+        (:221-237)."""
+        from ....lm.generate import _default_model_call, _generate_chunks
+        from ....lm.sample import make_sampler
+
         speaker = self.get_speaker(voice, ref_audio, ref_text)
         eos = self.tokenizer.encode(
             self.prompt_processor.special_tokens.audio_end,
             add_special_tokens=False,
         )
         eos_ids = tuple(eos[:1]) if eos else ()
+        sampler = make_sampler(temperature, top_p,
+                               top_k=kwargs.get("top_k", 40),
+                               min_p=kwargs.get("min_p", 0.05))
+        rep_p = kwargs.get("repetition_penalty", 1.1)
+        rep_ctx = kwargs.get("repetition_context_size", 64)
 
         for segment_idx, chunk in enumerate(self.chunk_text(text)):
             t0 = time.perf_counter()
             prompt = self.prompt_processor.get_completion_prompt(chunk, speaker)
             ids = self.tokenizer.encode(prompt, add_special_tokens=False)
-            toks, n = generate_tokens(
-                self, jnp.asarray(ids, jnp.int32), max_tokens=max_tokens,
-                temp=temperature, top_p=top_p,
-                repetition_penalty=kwargs.get("repetition_penalty", 1.1),
-                repetition_context_size=kwargs.get("repetition_context_size", 64),
-                eos_token_ids=eos_ids,
-            )
-            cb = self.prompt_processor.extract_audio_from_tokens(
-                [int(t) for t in toks[0]]
-            )
-            if not cb[0]:
+            if not stream:
+                toks, n = generate_tokens(
+                    self, jnp.asarray(ids, jnp.int32), max_tokens=max_tokens,
+                    sampler=sampler, repetition_penalty=rep_p,
+                    repetition_context_size=rep_ctx, eos_token_ids=eos_ids,
+                )
+                if verbose:
+                    print(f"[outetts] segment {segment_idx}: {n} tokens")
+                audio = self._decode_tokens_to_audio(toks[0])
+                if audio is None:
+                    continue
+                yield self._result(audio, t0, segment_idx, n, len(ids))
                 continue
-            audio = np.asarray(
-                self.codec.decode_codes(jnp.asarray([cb], jnp.int32))
-            ).reshape(-1)
-            elapsed = time.perf_counter() - t0
-            dur = len(audio) / self.sample_rate
-            yield GenerationResult(
-                audio=audio, samples=len(audio), sample_rate=self.sample_rate,
-                segment_idx=segment_idx, token_count=n,
-                audio_duration=format_duration(dur),
-                real_time_factor=round(elapsed / dur, 3) if dur else 0.0,
-                prompt={"tokens": len(ids),
-                        "tokens-per-sec": round(len(ids) / elapsed, 2)},
-                audio_samples={"samples": len(audio),
-                               "samples-per-sec": round(len(audio) / elapsed, 2)},
-                processing_time_seconds=elapsed,
-                peak_memory_usage=0.0,
-            )
+
+            # streaming: ~137.5 audio-code tokens per second of speech
+            interval_tokens = max(1, int(streaming_interval * 137.5))
+            acc: list = []
+            yielded_samples = 0
+            yielded_tokens = 0
+            for toks_chunk, _meta in _generate_chunks(
+                    self, jnp.asarray(ids, jnp.int32), max_tokens,
+                    sampler, 0.0, 1.0, 0, rep_p, rep_ctx, eos_ids, None, 0,
+                    _default_model_call, chunk_size=interval_tokens):
+                acc.extend(int(t) for t in toks_chunk[0])
+                audio = self._decode_tokens_to_audio(acc)
+                if audio is None or len(audio) <= yielded_samples:
+                    continue
+                new = audio[yielded_samples:]
+                yield self._result(new, t0, segment_idx,
+                                   len(acc) - yielded_tokens, len(ids))
+                yielded_samples = len(audio)
+                yielded_tokens = len(acc)
+                t0 = time.perf_counter()
 
     def sanitize(self, weights: dict) -> dict:
         # checkpoints may or may not carry the `model.` prefix

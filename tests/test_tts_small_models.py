@@ -237,3 +237,39 @@ def test_outetts_audio_feature_extraction():
     # silence/invalid → defaults
     assert Model.extract_audio_features(np.zeros(0, np.float32), sr) == \
         {"energy": 0, "spectral_centroid": 0, "pitch": 0}
+
+
+def test_outetts_stream_matches_nonstream():
+    """stream=True yields incremental audio whose concatenation equals the
+    non-streaming decode of the same tokens (reference outetts.py:221-237
+    re-decodes the growing prefix and emits only new samples)."""
+    from mlx_audio_tpu.tts.models.outetts import Model, ModelConfig
+
+    cfg = ModelConfig(hidden_size=64, num_hidden_layers=2,
+                      intermediate_size=128, num_attention_heads=4,
+                      num_key_value_heads=2, vocab_size=5000,
+                      model_type="qwen3")
+    m = Model(cfg)
+
+    class Codec:
+        def decode_codes(self, codes):
+            T = np.asarray(codes).shape[-1]
+            # deterministic waveform derived from the codes so prefix
+            # decodes are consistent
+            c = np.asarray(codes, np.float32)[0]
+            wav = np.repeat(c.sum(axis=0), 512) / 1000.0
+            return wav.reshape(1, 1, -1)
+
+        def encode(self, audio):
+            T = max(audio.shape[-1] // 512, 2)
+            return None, np.zeros((1, 2, T), np.int64), None, None, None
+
+    m.set_runtime(tokenizer=FakeTok(), codec=Codec())
+    full = list(m.generate("Hello world.", temperature=0.0, max_tokens=40))
+    streamed = list(m.generate("Hello world.", temperature=0.0,
+                               max_tokens=40, stream=True,
+                               streaming_interval=0.05))
+    if full and streamed:
+        ref = np.concatenate([np.asarray(r.audio) for r in full])
+        got = np.concatenate([np.asarray(r.audio) for r in streamed])
+        np.testing.assert_allclose(got, ref[: len(got)], atol=1e-6)

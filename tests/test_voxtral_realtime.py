@@ -45,3 +45,16 @@ def test_generate_end_to_end():
     assert out.duration == 1.0
     # decode is position-locked: can't emit more tokens than audio positions
     assert out.generation_tokens <= 16
+
+
+def test_stream_deltas_match_nonstream():
+    """stream=True yields text deltas whose concatenation equals the
+    non-streaming transcription (reference voxtral_realtime.py:244-269,
+    344-420); the chunked on-device loop resumes exactly."""
+    model = Model(tiny_cfg())
+    model.set_runtime(tokenizer=FakeTok())
+    audio = np.random.randn(16000).astype(np.float32) * 0.1
+    full = model.generate(audio, max_tokens=16, temperature=0.0)
+    deltas = list(model.generate(audio, max_tokens=16, temperature=0.0,
+                                 stream=True))
+    assert "".join(deltas).strip() == full.text
