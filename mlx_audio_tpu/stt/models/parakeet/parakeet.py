@@ -276,8 +276,11 @@ class BaseParakeet(Module):
     def decode(self, mel: jax.Array) -> List[AlignedResult]:
         raise NotImplementedError
 
-    def decode_chunk(self, audio_data, verbose: bool = False) -> AlignedResult:
+    def decode_chunk(self, audio_data, verbose: bool = False,
+                     dtype=None) -> AlignedResult:
         mel = log_mel_spectrogram(audio_data, self.preprocessor_config)
+        if dtype is not None:
+            mel = mel.astype(dtype)
         result = self.decode(mel)[0]
         if verbose:
             print(result.text)
@@ -286,7 +289,10 @@ class BaseParakeet(Module):
     def generate(self, audio, *, chunk_duration: Optional[float] = None,
                  overlap_duration: float = 15.0,
                  chunk_callback: Optional[Callable] = None, stream: bool = False,
-                 verbose: bool = False, **kwargs):
+                 verbose: bool = False, dtype=None, **kwargs):
+        """`dtype` casts the mel features before the encoder (reference
+        parakeet.py:184-227 defaults to bfloat16; here None keeps the
+        loaded parameter dtype, which governs compute precision)."""
         from ....utils import load_audio
 
         if isinstance(audio, (str, Path)):
@@ -296,11 +302,12 @@ class BaseParakeet(Module):
 
         if stream:
             return self._stream_generate(
-                audio, chunk_duration or 10.0, overlap_duration, verbose
+                audio, chunk_duration or 10.0, overlap_duration, verbose,
+                dtype=dtype,
             )
 
         if chunk_duration is None or len(audio) <= chunk_duration * sr:
-            return self.decode_chunk(audio, verbose=verbose)
+            return self.decode_chunk(audio, verbose=verbose, dtype=dtype)
 
         chunk = int(chunk_duration * sr)
         overlap = int(overlap_duration * sr)
@@ -312,6 +319,8 @@ class BaseParakeet(Module):
             if chunk_callback is not None:
                 chunk_callback(pos + len(seg), len(audio))
             mel = log_mel_spectrogram(seg, self.preprocessor_config)
+            if dtype is not None:
+                mel = mel.astype(dtype)
             res = self.decode(mel)[0]
             offset = pos / sr
             toks = [
@@ -341,7 +350,8 @@ class BaseParakeet(Module):
         return self._stream_generate(audio, chunk_duration,
                                      overlap_duration, verbose)
 
-    def _stream_generate(self, audio, chunk_duration, overlap_duration, verbose):
+    def _stream_generate(self, audio, chunk_duration, overlap_duration,
+                         verbose, dtype=None):
         sr = self.preprocessor_config.sample_rate
         chunk = int(chunk_duration * sr)
         overlap = int(overlap_duration * sr)
@@ -354,6 +364,8 @@ class BaseParakeet(Module):
             seg = audio[pos : pos + chunk]
             is_last = pos + chunk >= total
             mel = log_mel_spectrogram(seg, self.preprocessor_config)
+            if dtype is not None:
+                mel = mel.astype(dtype)
             res = self.decode(mel)[0]
             offset = pos / sr
             toks = [

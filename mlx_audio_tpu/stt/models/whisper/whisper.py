@@ -534,10 +534,17 @@ class Model(Module):
         hallucination_silence_threshold: Optional[float] = None,
         verbose: Optional[bool] = None,
         without_timestamps: bool = False,
+        stream: bool = False,
+        chunk_duration: float = 1.0,
         tokenizer=None,
         on_segment=None,
         **decode_options,
-    ) -> STTOutput:
+    ):
+        if stream:
+            # AlignAtt low-latency streaming (reference whisper.py:852-855)
+            return self.generate_streaming(
+                audio, chunk_duration=chunk_duration, language=language,
+                task=task, tokenizer=tokenizer)
         start_t = time.perf_counter()
         unknown = set(decode_options) - set(DecodingOptions.__dataclass_fields__)
         if unknown:
