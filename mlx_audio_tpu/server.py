@@ -124,9 +124,29 @@ def generate_speech(payload: dict, provider: ModelProvider = None):
             voice=payload.get("voice"),
             speed=payload.get("speed", 1.0),
             lang_code=payload.get("lang_code", "a"),
+            # remaining SpeechRequest fields (reference server.py:154-169),
+            # filtered below against the model's generate() signature
+            instruct=payload.get("instruct"),
+            gender=payload.get("gender"),
+            pitch=payload.get("pitch"),
+            ref_audio=payload.get("ref_audio"),
+            ref_text=payload.get("ref_text"),
+            temperature=payload.get("temperature"),
+            top_p=payload.get("top_p"),
+            top_k=payload.get("top_k"),
+            repetition_penalty=payload.get("repetition_penalty"),
         ).items()
         if v is not None
     }
+    import inspect
+
+    try:
+        params = inspect.signature(model.generate).parameters
+        if not any(p.kind is inspect.Parameter.VAR_KEYWORD
+                   for p in params.values()):
+            gen_kwargs = {k: v for k, v in gen_kwargs.items() if k in params}
+    except (TypeError, ValueError):
+        pass
     streamable = fmt in ("wav", "pcm")
     sample_rate = None
     pcm = []
@@ -166,6 +186,23 @@ def transcribe_audio(file_bytes: bytes, payload: dict,
     kwargs = {}
     if payload.get("language"):
         kwargs["language"] = payload["language"]
+    # pass-through options the reference form accepts (server.py:364-392),
+    # filtered against this model's generate() signature
+    import inspect
+
+    try:
+        params = inspect.signature(model.generate).parameters
+        accepted = set(params)
+        var_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                     for p in params.values())
+    except (TypeError, ValueError):
+        accepted, var_kw = set(), True
+    # frame_threshold is an AlignAtt streaming knob (generate_streaming) —
+    # not forwarded on this non-streaming path
+    for opt in ("verbose", "max_tokens", "chunk_duration",
+                "context", "prefill_step_size"):
+        if payload.get(opt) is not None and (var_kw or opt in accepted):
+            kwargs[opt] = payload[opt]
     result = model.generate(x, **kwargs)
     out = {"text": result.text}
     if payload.get("response_format") == "verbose_json":
@@ -624,14 +661,21 @@ class _Handler(BaseHTTPRequestHandler):
                     return
                 out = transcribe_audio(blob, fields, self.provider)
                 self._json(200, out)
-            elif self.path == "/v1/models":
+            elif self.path.split("?")[0] == "/v1/models":
+                # reference server.py:219-231 passes model_name as a query
+                # param; a JSON body also works
+                from urllib.parse import parse_qs, urlsplit
+
+                q = parse_qs(urlsplit(self.path).query)
                 payload = json.loads(self._read_body() or b"{}")
-                name = payload.get("model_name") or payload.get("model")
+                name = (q.get("model_name", [None])[0]
+                        or payload.get("model_name") or payload.get("model"))
                 if not name:
                     self._json(400, {"error": "model_name required"})
                     return
                 self.provider.load_model(name)
-                self._json(200, {"status": "loaded", "model": name})
+                self._json(200, {"status": "success",
+                                 "message": f"Model {name} added successfully"})
             else:
                 self._json(404, {"error": "not found"})
         except FileNotFoundError as e:
@@ -640,22 +684,33 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     def do_DELETE(self):
-        m = re.match(r"^/v1/models/(.+)$", self.path)
+        from urllib.parse import parse_qs, unquote, urlsplit
+
+        bare = self.path.split("?")[0]
+        m = re.match(r"^/v1/models/(.+)$", bare)
         name = None
         if m:
             name = m.group(1)
-        elif self.path == "/v1/models":
-            # reference style: DELETE /v1/models with {"model_name": ...}
-            try:
-                payload = json.loads(self._read_body() or b"{}")
-            except ValueError:
-                payload = {}
-            name = payload.get("model_name") or payload.get("model")
+        elif bare == "/v1/models":
+            # reference server.py:234-252: ?model_name= query param (204 on
+            # success); a JSON body also works
+            q = parse_qs(urlsplit(self.path).query)
+            name = q.get("model_name", [None])[0]
+            if name is None:
+                try:
+                    payload = json.loads(self._read_body() or b"{}")
+                except ValueError:
+                    payload = {}
+                name = payload.get("model_name") or payload.get("model")
         if name:
+            name = unquote(name).strip('"')
             if self.provider.unload(name):
-                self._json(200, {"status": "unloaded", "model": name})
+                if m:  # path style keeps the JSON body contract
+                    self._json(200, {"status": "unloaded", "model": name})
+                else:  # reference query style returns 204 No Content
+                    self._send(204, b"")
             else:
-                self._json(404, {"error": f"model {name} not loaded"})
+                self._json(404, {"error": f"Model '{name}' not found"})
         else:
             self._json(404, {"error": "not found"})
 
@@ -690,6 +745,12 @@ def create_app(provider: Optional[ModelProvider] = None):
         allow_headers=["*"],
     )
 
+    @app.get("/")
+    async def root():
+        # reference server.py:193-197
+        return {"message": "Welcome to the MLX Audio API server! "
+                           "The studio UI is served at /ui."}
+
     @app.get("/health")
     async def health():
         return {"status": "ok"}
@@ -714,10 +775,20 @@ def create_app(provider: Optional[ModelProvider] = None):
         language: Optional[str] = Form(None),
         response_format: str = Form("json"),
         stream: bool = Form(False),
+        verbose: bool = Form(False),
+        max_tokens: Optional[int] = Form(None),
+        chunk_duration: Optional[float] = Form(None),
+        frame_threshold: Optional[int] = Form(None),
+        context: Optional[str] = Form(None),
+        prefill_step_size: Optional[int] = Form(None),
     ):
         blob = await file.read()
         payload = {"model": model, "language": language,
-                   "response_format": response_format}
+                   "response_format": response_format,
+                   "verbose": verbose or None, "max_tokens": max_tokens,
+                   "chunk_duration": chunk_duration,
+                   "frame_threshold": frame_threshold, "context": context,
+                   "prefill_step_size": prefill_step_size}
         if stream:
             return StreamingResponse(
                 iter(transcribe_audio_stream(blob, payload, provider)),
@@ -737,10 +808,28 @@ def create_app(provider: Optional[ModelProvider] = None):
         }
 
     @app.post("/v1/models")
-    async def load_model_ep(payload: dict):
-        name = payload.get("model_name") or payload.get("model")
+    async def load_model_ep(model_name: Optional[str] = None,
+                            payload: Optional[dict] = None):
+        # reference server.py:219-231 takes model_name as a query param;
+        # a JSON body with model_name/model also works
+        name = model_name or ((payload or {}).get("model_name")
+                              or (payload or {}).get("model"))
         provider.load_model(name)
-        return {"status": "loaded", "model": name}
+        return {"status": "success",
+                "message": f"Model {name} added successfully"}
+
+    @app.delete("/v1/models")
+    async def remove_model(model_name: str):
+        # reference server.py:234-252: query param, 204 on success
+        from urllib.parse import unquote
+
+        from fastapi import HTTPException, Response
+
+        name = unquote(model_name).strip('"')
+        if provider.unload(name):
+            return Response(status_code=204)
+        raise HTTPException(status_code=404,
+                            detail=f"Model '{name}' not found")
 
     @app.delete("/v1/models/{model_id:path}")
     async def delete_model(model_id: str):
@@ -890,7 +979,18 @@ def main(argv=None):
                    help="uvicorn auto-reload (development)")
     p.add_argument("--start-ui", action="store_true",
                    help="Print the built-in studio UI URL (served at /ui)")
+    p.add_argument("--log-dir", default="logs",
+                   help="Directory for server logs (reference server.py:826;"
+                        " there it holds the UI subprocess log — our UI is "
+                        "in-process, so server.log is written instead)")
     args = p.parse_args(argv)
+    if args.log_dir:
+        import logging
+        from pathlib import Path as _Path
+
+        _Path(args.log_dir).mkdir(parents=True, exist_ok=True)
+        logging.getLogger().addHandler(
+            logging.FileHandler(_Path(args.log_dir) / "server.log"))
     if args.allowed_origins:
         global ALLOWED_ORIGINS
         ALLOWED_ORIGINS = ",".join(args.allowed_origins)

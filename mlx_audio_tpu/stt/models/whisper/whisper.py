@@ -546,6 +546,9 @@ class Model(Module):
                 audio, chunk_duration=chunk_duration, language=language,
                 task=task, tokenizer=tokenizer)
         start_t = time.perf_counter()
+        # the reference drops these two before validation (whisper.py:857-858)
+        decode_options.pop("max_tokens", None)
+        decode_options.pop("generation_stream", None)
         unknown = set(decode_options) - set(DecodingOptions.__dataclass_fields__)
         if unknown:
             # the reference TypeErrors via DecodingOptions(**kwargs); don't

@@ -257,3 +257,37 @@ def test_transcription_streaming_bad_audio_clean_error():
             assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()
+
+
+def test_root_endpoint(server_url):
+    with urllib.request.urlopen(f"{server_url}/") as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and body
+
+
+def test_model_crud_query_param_style(server_url):
+    """Reference-style model CRUD: POST/DELETE /v1/models?model_name=X
+    (reference server.py:219-252; DELETE returns 204)."""
+    req = urllib.request.Request(
+        f"{server_url}/v1/models?model_name=test-tts-q", method="POST")
+    with urllib.request.urlopen(req) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "success"
+
+    with urllib.request.urlopen(f"{server_url}/v1/models") as r:
+        ids = [m["id"] for m in json.loads(r.read())["data"]]
+    assert "test-tts-q" in ids
+
+    req = urllib.request.Request(
+        f"{server_url}/v1/models?model_name=test-tts-q", method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+
+    req = urllib.request.Request(
+        f"{server_url}/v1/models?model_name=test-tts-q", method="DELETE")
+    try:
+        urllib.request.urlopen(req)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 404
+    assert raised
