@@ -166,7 +166,11 @@ class Model(Module):
         self.net = MossFormer2SE(self.config)
         self.processor = MossFormer2SEModel(self.net.model, self.config)
 
-    def enhance(self, audio, chunked: Optional[bool] = None) -> np.ndarray:
+    def enhance(self, audio=None, chunked: Optional[bool] = None,
+                audio_input=None) -> np.ndarray:
+        # `audio_input` is the reference's parameter name (model.py:160)
+        if audio is None:
+            audio = audio_input
         # the processor holds a reference to self.net.model at construction;
         # rebind in case weights were loaded (functional update)
         self.processor.model = self.net.model

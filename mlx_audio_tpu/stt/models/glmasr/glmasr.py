@@ -299,7 +299,8 @@ class Model(Module):
                           min_p: float = 0.0, min_tokens_to_keep: int = 1,
                           chunk_duration: float = 28.0,
                           min_chunk_duration: float = 1.0,
-                          chunk_size: int = 16, tokenizer=None, **kwargs):
+                          chunk_size: int = 16, verbose: bool = False,
+                          tokenizer=None, **kwargs):
         """Token-by-token streaming transcription of arbitrarily long
         audio (reference glmasr.py:944-1060): low-energy chunking, partial
         StreamingResults per decoded delta, chunk-final result carrying
@@ -339,6 +340,8 @@ class Model(Module):
                 curr = min(n / max(remaining, 1), 1.0)
                 if not text:
                     continue
+                if verbose:
+                    print(text, end="", flush=True)
                 yield StreamingResult(
                     text=text, is_final=False,
                     start_time=offset + chunk_sec * prev,
@@ -361,7 +364,9 @@ class Model(Module):
                  max_tokens: int = 512, temperature: float = 0.0,
                  top_p: float = 1.0, top_k: int = 0, min_p: float = 0.0,
                  min_tokens_to_keep: int = 1, verbose: bool = False,
-                 stream: bool = False,
+                 stream: bool = False, chunk_duration: float = 28.0,
+                 min_chunk_duration: float = 1.0,
+                 generation_stream: bool = False,
                  tokenizer=None, **kwargs):
         """reference glmasr.py:703-860; sampler knobs per the reference
         signature. stream=True returns the stream_transcribe generator."""
@@ -370,7 +375,9 @@ class Model(Module):
                 audio, prompt=prompt, max_tokens=max_tokens,
                 temperature=temperature, top_k=top_k, top_p=top_p,
                 min_p=min_p, min_tokens_to_keep=min_tokens_to_keep,
-                tokenizer=tokenizer)
+                chunk_duration=chunk_duration,
+                min_chunk_duration=min_chunk_duration,
+                verbose=verbose, tokenizer=tokenizer)
         t0 = time.perf_counter()
         audio = ensure_waveform(audio, self.sample_rate)
         duration = len(audio) / self.sample_rate
@@ -384,6 +391,7 @@ class Model(Module):
         # (reference glmasr.py:23-111) and transcribe sequentially
         from ..qwen3_asr import split_audio_into_chunks
 
+        chunk_duration = min(chunk_duration, 28.0)
         if duration <= 30.0:
             chunks = [(audio, 0.0)]
         else:
@@ -391,7 +399,8 @@ class Model(Module):
             # nominal point; budget it inside the encoder's 30 s window so
             # no chunk is clipped by pad_or_trim
             chunks = split_audio_into_chunks(
-                audio, self.sample_rate, chunk_duration=28.0,
+                audio, self.sample_rate, chunk_duration=chunk_duration,
+                min_chunk_duration=min_chunk_duration,
                 search_expand_sec=2.0)
         if len(chunks) > 1:
             parts = []
@@ -403,6 +412,7 @@ class Model(Module):
                                     top_k=top_k, min_p=min_p,
                                     min_tokens_to_keep=min_tokens_to_keep,
                                     verbose=verbose,
+                                    chunk_duration=chunk_duration,
                                     tokenizer=tokenizer, **kwargs)
                 parts.append(out.text)
                 total_tokens += out.generation_tokens

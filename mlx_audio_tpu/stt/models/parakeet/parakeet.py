@@ -343,12 +343,12 @@ class BaseParakeet(Module):
 
     def stream_generate(self, audio, *, chunk_duration: float = 5.0,
                         overlap_duration: float = 1.0, verbose: bool = False,
-                        **kwargs):
+                        dtype=None, **kwargs):
         """Public streaming API (reference parakeet.py:295-394): yields
         StreamingResult with partial-then-final text as chunks decode."""
         audio = np.asarray(audio, np.float32).reshape(-1)
         return self._stream_generate(audio, chunk_duration,
-                                     overlap_duration, verbose)
+                                     overlap_duration, verbose, dtype=dtype)
 
     def _stream_generate(self, audio, chunk_duration, overlap_duration,
                          verbose, dtype=None):

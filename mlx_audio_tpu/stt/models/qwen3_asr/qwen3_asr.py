@@ -396,9 +396,13 @@ class Model(Module):
                         system_prompt: Optional[str] = None,
                         max_tokens: int = 8192, temperature: float = 0.0,
                         top_k: int = 0, top_p: float = 1.0,
+                        min_p: float = 0.0, min_tokens_to_keep: int = 1,
                         repetition_penalty: float = 1.0,
+                        repetition_context_size: int = 100,
+                        sampler=None, verbose: bool = False,
+                        prefill_step_size: int = 2048,
                         chunk_size: int = 16, seed: int = 0,
-                        tokenizer=None):
+                        tokenizer=None, **kwargs):
         """Yield generated token ids as they are produced.
 
         TPU-first streaming: the decode runs on device in `chunk_size`-token
@@ -417,7 +421,9 @@ class Model(Module):
             seed=seed)
 
     def _stream_tokens(self, inputs, eos, *, max_tokens, temperature,
-                       top_k, top_p, repetition_penalty, chunk_size, seed=0):
+                       top_k, top_p, repetition_penalty, chunk_size,
+                       min_p=0.0, min_tokens_to_keep=1,
+                       repetition_context_size=100, sampler=None, seed=0):
         from ....lm.generate import _decode_chunk, _prefill
 
         lm = self.language_model
@@ -428,7 +434,9 @@ class Model(Module):
         done = jnp.zeros((1,), bool)
         key = jax.random.PRNGKey(seed)
         eos_arr = jnp.asarray((eos + [-1, -1, -1])[:3], jnp.int32)
-        sampler = make_sampler(temp=float(temperature), top_k=int(top_k),
+        sampler = sampler or make_sampler(
+            temp=float(temperature), min_p=float(min_p),
+            min_tokens_to_keep=int(min_tokens_to_keep), top_k=int(top_k),
                                top_p=float(top_p))
 
         produced = 0
@@ -452,7 +460,11 @@ class Model(Module):
                           system_prompt: Optional[str] = None,
                           max_tokens: int = 8192, temperature: float = 0.0,
                           top_k: int = 0, top_p: float = 1.0,
+                          min_p: float = 0.0, min_tokens_to_keep: int = 1,
                           repetition_penalty: float = 1.0,
+                          repetition_context_size: int = 100,
+                          verbose: bool = False,
+                          prefill_step_size: int = 2048,
                           chunk_duration: float = 1200.0,
                           min_chunk_duration: float = 1.0,
                           chunk_size: int = 16, tokenizer=None, **kwargs):
@@ -490,8 +502,10 @@ class Model(Module):
             for tok in self._stream_tokens(
                     inputs, self._eos_ids(tokenizer),
                     max_tokens=remaining, temperature=temperature,
-                    top_k=top_k, top_p=top_p,
-                    repetition_penalty=repetition_penalty,
+                    top_k=top_k, top_p=top_p, min_p=min_p,
+                    min_tokens_to_keep=min_tokens_to_keep,
+                    repetition_penalty=repetition_penalty or 1.0,
+                    repetition_context_size=repetition_context_size,
                     chunk_size=chunk_size):
                 text = detok.push(tok)
                 # progress-vs-budget timing mirrors reference

@@ -157,7 +157,8 @@ class Model(Module):
         return jnp.asarray(emb), ids, duration
 
     def _stream_tokens(self, inputs, *, max_tokens, temperature,
-                       top_k=0, top_p=1.0, repetition_penalty=1.0,
+                       top_k=0, top_p=1.0, min_p=0.0, min_tokens_to_keep=1,
+                       repetition_penalty=1.0, repetition_context_size=100,
                        chunk_size=16, seed=0):
         """Yield token ids from a chunked on-device decode (one dispatch per
         `chunk_size` block). EOS is consumed, not yielded."""
@@ -191,14 +192,24 @@ class Model(Module):
                 return
 
     def stream_transcribe(self, audio, *, context: Optional[str] = None,
+                          sampling_rate: Optional[int] = None,
                           max_tokens: int = 8192, temperature: float = 0.0,
                           top_k: int = 0, top_p: float = 1.0,
+                          min_p: float = 0.0, min_tokens_to_keep: int = 1,
                           repetition_penalty: float = 1.0,
+                          repetition_context_size: int = 100,
+                          verbose: bool = False,
+                          prefill_step_size: int = 2048,
                           chunk_size: int = 16, tokenizer=None, **kwargs):
         """Stream decoded text chunks as tokens are generated
         (reference vibevoice_asr.py:750-833). Decode runs on device in
         `chunk_size`-token blocks; text is detokenized per token host-side."""
         tokenizer = tokenizer or self._tokenizer()
+        if sampling_rate is not None and sampling_rate != self.sample_rate:
+            from ....utils import resample_audio
+
+            audio = resample_audio(np.asarray(audio, np.float32),
+                                   int(sampling_rate), self.sample_rate)
         inputs, _ids, _dur = self._prepare_inputs(audio, context, tokenizer)
         # incremental detok (vs reference vibevoice_asr.py:830's
         # per-token decode, which mangles multi-token UTF-8 characters)
@@ -207,11 +218,15 @@ class Model(Module):
         detok = IncrementalDetokenizer(tokenizer)
         for tok in self._stream_tokens(
                 inputs, max_tokens=max_tokens, temperature=temperature,
-                top_k=top_k, top_p=top_p,
-                repetition_penalty=repetition_penalty,
+                top_k=top_k, top_p=top_p, min_p=min_p,
+                min_tokens_to_keep=min_tokens_to_keep,
+                repetition_penalty=repetition_penalty or 1.0,
+                repetition_context_size=repetition_context_size,
                 chunk_size=chunk_size):
             text = detok.push(tok)
             if text:
+                if verbose:
+                    print(text, end="", flush=True)
                 yield text
         tail = detok.flush()
         if tail:

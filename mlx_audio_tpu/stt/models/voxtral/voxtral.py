@@ -186,6 +186,8 @@ class Model(Module):
 
     def stream_generate(self, audio, *, language: str = "en",
                         max_tokens: int = 512, temperature: float = 0.0,
+                        sampler=None, verbose: bool = False,
+                        generation_stream: bool = False,
                         chunk_size: int = 16,
                         prompt_tokens: Optional[List[int]] = None,
                         tokenizer=None, **kwargs):
@@ -215,7 +217,7 @@ class Model(Module):
         done = jnp.zeros((1,), bool)
         key = jax.random.PRNGKey(0)
         eos = jnp.asarray([2, 4, 32000], jnp.int32)
-        sampler = make_sampler(temp=float(temperature))
+        sampler = sampler or make_sampler(temp=float(temperature))
         detok = IncrementalDetokenizer(tok) if tok is not None else None
         produced = 0
         while produced < max_tokens:

@@ -320,6 +320,7 @@ class Model(CausalLM):
 
     def generate(self, text: str, voice: Optional[str] = None,
                  temperature: float = 0.4, top_p: float = 0.9,
+                 split_pattern: Optional[str] = None,
                  max_tokens: int = 1200, ref_audio=None,
                  ref_text: Optional[str] = None, stream: bool = False,
                  streaming_interval: float = 2.0, verbose: bool = False,
@@ -345,7 +346,13 @@ class Model(CausalLM):
         rep_p = kwargs.get("repetition_penalty", 1.1)
         rep_ctx = kwargs.get("repetition_context_size", 64)
 
-        for segment_idx, chunk in enumerate(self.chunk_text(text)):
+        if split_pattern:
+            import re as _re
+
+            chunks = [c for c in _re.split(split_pattern, text) if c.strip()]
+        else:
+            chunks = self.chunk_text(text)
+        for segment_idx, chunk in enumerate(chunks):
             t0 = time.perf_counter()
             prompt = self.prompt_processor.get_completion_prompt(chunk, speaker)
             ids = self.tokenizer.encode(prompt, add_special_tokens=False)

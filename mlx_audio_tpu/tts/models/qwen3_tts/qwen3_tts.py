@@ -512,6 +512,7 @@ class Model(Module):
         return sorted((self.config.talker_config.spk_id or {}).keys())
 
     def generate(self, text: str, voice: Optional[str] = None,
+                 speed: float = 1.0, verbose: bool = False,
                  lang_code: str = "auto", instruct: Optional[str] = None,
                  temperature: float = 0.9, top_k: int = 50, top_p: float = 1.0,
                  repetition_penalty: float = 1.05, max_tokens: int = 4096,

@@ -221,7 +221,8 @@ class Model(Module):
 
     def generate(self, text: str, voice: Optional[str] = None,
                  temperature: float = 0.3, top_p: float = 0.95,
-                 split_pattern: str = "\n", max_tokens: int = 512, **kwargs):
+                 split_pattern: str = "\n", max_tokens: int = 512,
+                 verbose: bool = False, **kwargs):
         prompts = text.replace("\\n", "\n").split(split_pattern)
         s1, s2 = self._stop_ids()
         for segment_idx, segment in enumerate(p for p in prompts if p.strip()):

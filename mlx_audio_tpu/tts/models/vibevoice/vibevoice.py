@@ -362,7 +362,7 @@ class Model(Module):
     def generate(self, text: Union[str, List[str]], max_tokens: int = 512,
                  cfg_scale: float = 1.5, ddpm_steps: Optional[int] = None,
                  voice: Optional[Any] = None, seed: int = 0,
-                 **kwargs) -> Generator:
+                 verbose: bool = False, **kwargs) -> Generator:
         """Single or multi-speaker generation
         (reference vibevoice.py:410-738). `voice` may be a parsed
         voice-cache dict (see load_voice_arrays) or a list of them for
