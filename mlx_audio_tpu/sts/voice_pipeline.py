@@ -35,12 +35,25 @@ class VoicePipeline:
         stt_model=None,
         llm_generate: Optional[Callable[[str, List[dict]], str]] = None,
         tts_model=None,
+        llm_model: Optional[str] = None,
         config: Optional[PipelineConfig] = None,
         on_user_text: Optional[Callable[[str], None]] = None,
         on_assistant_text: Optional[Callable[[str], None]] = None,
         on_audio: Optional[Callable[[np.ndarray, int], None]] = None,
     ):
         self.cfg = config or PipelineConfig()
+        # reference-style convenience (voice_pipeline.py:22-55 takes model
+        # NAMES): strings load through the domain registries
+        if isinstance(stt_model, str):
+            from ..stt.utils import load_model as _load_stt
+
+            stt_model = _load_stt(stt_model)
+        if isinstance(tts_model, str):
+            from ..tts.utils import load_model as _load_tts
+
+            tts_model = _load_tts(tts_model)
+        if llm_generate is None and llm_model is not None:
+            llm_generate = self._build_llm(llm_model)
         self.stt = stt_model
         self.llm_generate = llm_generate or (lambda text, history: text)
         self.tts = tts_model
@@ -59,6 +72,35 @@ class VoicePipeline:
         # (reference :47-55 current_tts_cancel / current_tts_task)
         self._tts_cancel = threading.Event()
         self._tts_thread: Optional[threading.Thread] = None
+
+    @staticmethod
+    def _build_llm(llm_model: str) -> Callable[[str, List[dict]], str]:
+        """Chat callable from an LLM checkpoint name/path (reference
+        voice_pipeline.py:199-232 drives mlx-lm; here the in-repo LM core)."""
+        import jax.numpy as jnp
+        from transformers import AutoTokenizer
+
+        from ..lm import generate_tokens
+        from ..lm.transformer import CausalLM, LMConfig
+        from ..nn.module import load_weights
+        from ..utils import get_model_path, load_config, load_weight_files
+
+        path = get_model_path(llm_model)
+        lm = CausalLM(LMConfig.from_dict(load_config(path)))
+        lm = load_weights(lm, load_weight_files(path), strict=False).eval()
+        tok = AutoTokenizer.from_pretrained(path)
+
+        def llm_generate(text: str, history: List[dict]) -> str:
+            prompt = tok.apply_chat_template(
+                history, add_generation_prompt=True, tokenize=True)
+            toks, n = generate_tokens(
+                lm, jnp.asarray([prompt], jnp.int32), max_tokens=256,
+                eos_token_ids=(tok.eos_token_id,))
+            return tok.decode(
+                [int(t) for t in toks[0][:n] if t != tok.eos_token_id],
+                skip_special_tokens=True).strip()
+
+        return llm_generate
 
     def _make_vad(self):
         try:
