@@ -52,3 +52,9 @@ def load_model(model_path: Union[str, Path], lazy: bool = False,
         strict=strict,
         **kwargs,
     )
+
+
+def load(model_path: Union[str, Path], lazy: bool = False,
+         strict: bool = False, **kwargs):
+    """Alias of load_model (reference stt/utils.py:85-108)."""
+    return load_model(model_path, lazy=lazy, **kwargs)

@@ -59,3 +59,40 @@ def convert(hf_path: str, mlx_path: str = "converted_model",
         dequantize=dequantize, dtype=dtype, upload_repo=upload_repo,
         revision=revision,
     )
+
+
+def load(model_path: Union[str, Path], lazy: bool = False,
+         strict: bool = True, **kwargs):
+    """Alias of load_model (reference tts/utils.py:117-143)."""
+    return load_model(model_path, lazy=lazy, strict=strict, **kwargs)
+
+
+def get_model_and_args(model_type: str, model_name: List[str]):
+    """Resolve the model architecture module by type/name parts
+    (reference tts/utils.py:59-114)."""
+    from ..utils import get_model_class
+
+    return get_model_class(model_type, model_name, category="tts",
+                           model_remapping=MODEL_REMAPPING)
+
+
+def fetch_from_hub(model_path: Path, lazy: bool = False, **kwargs):
+    """(model, config) pair (reference tts/utils.py:145-150)."""
+    from ..utils import load_config
+
+    return (load_model(model_path, lazy=lazy, **kwargs),
+            load_config(model_path))
+
+
+def upload_to_hub(path: str, upload_repo: str, hf_path: str):
+    """Upload a converted model directory (reference tts/utils.py:153-185).
+    `hf_path` names the source model in the generated card."""
+    from huggingface_hub import HfApi
+
+    from ..convert import generate_readme
+
+    generate_readme(Path(path), hf_path, {})
+    api = HfApi()
+    api.create_repo(upload_repo, exist_ok=True)
+    api.upload_folder(folder_path=str(path), repo_id=upload_repo)
+    return upload_repo

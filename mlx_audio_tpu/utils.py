@@ -636,3 +636,17 @@ def resample_audio(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
     g = gcd(orig_sr, target_sr)
     return resample_poly(x, target_sr // g, orig_sr // g, axis=0).astype(x.dtype)
+
+
+def load_weights(model_path) -> dict:
+    """Weights dict from a checkpoint dir's safetensors/npz files
+    (reference utils.py:177-204). Distinct from nn.module.load_weights,
+    which assigns a dict INTO a module tree."""
+    return load_weight_files(Path(model_path))
+
+
+def is_valid_module_name(name: str) -> bool:
+    """reference utils.py:611-616."""
+    if not name or not isinstance(name, str):
+        return False
+    return name[0].isalpha() or name[0] == "_"

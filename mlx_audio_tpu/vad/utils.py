@@ -20,3 +20,9 @@ def load_model(model_path: Union[str, Path], lazy: bool = False,
         strict=strict,
         **kwargs,
     )
+
+
+def load(model_path: Union[str, Path], lazy: bool = False,
+         strict: bool = False, **kwargs):
+    """Alias of load_model (reference vad/utils.py:36-58)."""
+    return load_model(model_path, lazy=lazy, **kwargs)
