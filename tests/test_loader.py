@@ -167,3 +167,22 @@ def test_model_category_from_name_hints():
     assert get_model_category(None, ["sortformer"]) == "vad"
     assert get_model_category("spark", None) == "tts"
     assert get_model_category(None, ["not_a_model"]) is None
+
+
+def test_reference_helper_aliases():
+    """Public helpers the reference exposes (tts/stt/vad load(),
+    get_model_and_args, utils.load_weights, is_valid_module_name)."""
+    from mlx_audio_tpu.stt.utils import load as stt_load
+    from mlx_audio_tpu.tts.utils import (
+        fetch_from_hub,
+        get_model_and_args,
+        load as tts_load,
+    )
+    from mlx_audio_tpu.utils import is_valid_module_name, load_weights
+    from mlx_audio_tpu.vad.utils import load as vad_load
+
+    assert callable(stt_load) and callable(tts_load) and callable(vad_load)
+    assert callable(fetch_from_hub) and callable(load_weights)
+    mod, mt = get_model_and_args("kokoro", ["kokoro"])
+    assert mt == "kokoro" and hasattr(mod, "Model")
+    assert is_valid_module_name("whisper") and not is_valid_module_name("1a")
