@@ -391,15 +391,53 @@ class SAMAudio(Module):
             residual=[np.concatenate(residual_parts, axis=0)])
 
     def separate_streaming(self, audios, descriptions: List[str],
+                           target_callback=None,
+                           residual_callback=None,
                            chunk_seconds: float = 10.0,
                            overlap_seconds: float = 3.0,
+                           anchor_ids=None,
+                           anchor_alignment=None,
                            ode_opt: Optional[Dict[str, Any]] = None,
                            seed: int = 42,
+                           verbose: bool = False,
                            ode_decode_chunk_size: Optional[int] = None,
-                           _text_features=None, _text_mask=None
-                           ) -> Generator[StreamingChunk, None, None]:
+                           _text_features=None, _text_mask=None):
         """Stream chunk results ASAP with crossfaded overlaps
-        (reference model.py:774-1175)."""
+        (reference model.py:774-1175).
+
+        Generator mode (no callbacks): yields StreamingChunk objects.
+        Callback mode (reference model.py:884-898): calls
+        ``target_callback(audio, chunk_idx, is_last)`` (and the residual
+        callback, when given) per chunk and returns the total number of
+        target samples written.
+        """
+        gen = self._separate_streaming_generator(
+            audios, descriptions, chunk_seconds=chunk_seconds,
+            overlap_seconds=overlap_seconds, anchor_ids=anchor_ids,
+            anchor_alignment=anchor_alignment, ode_opt=ode_opt, seed=seed,
+            verbose=verbose, ode_decode_chunk_size=ode_decode_chunk_size,
+            _text_features=_text_features, _text_mask=_text_mask)
+        if target_callback is None:
+            return gen
+        total_written = 0
+        for chunk in gen:
+            target_callback(chunk.target, chunk.chunk_idx, chunk.is_last)
+            total_written += int(np.asarray(chunk.target).shape[0])
+            if residual_callback is not None:
+                residual_callback(chunk.residual, chunk.chunk_idx,
+                                  chunk.is_last)
+        return total_written
+
+    def _separate_streaming_generator(
+            self, audios, descriptions: List[str],
+            chunk_seconds: float = 10.0,
+            overlap_seconds: float = 3.0,
+            anchor_ids=None, anchor_alignment=None,
+            ode_opt: Optional[Dict[str, Any]] = None,
+            seed: int = 42, verbose: bool = False,
+            ode_decode_chunk_size: Optional[int] = None,
+            _text_features=None, _text_mask=None
+    ) -> Generator[StreamingChunk, None, None]:
         audios = jnp.asarray(np.asarray(audios, np.float32))
         if audios.ndim == 1:
             audios = audios[None, None, :]
@@ -410,21 +448,32 @@ class SAMAudio(Module):
         chunk, overlap, hop, total, n = self._chunks(
             audios, chunk_seconds, overlap_seconds)
 
+        if verbose:
+            print("Encoding text prompt...")
         if _text_features is not None:
             text_features, text_mask = _text_features, _text_mask
         else:
             text_features, text_mask = self.text_encoder(descriptions)
+        if verbose:
+            print(f"Processing {total / self.sample_rate:.1f}s audio in "
+                  f"{n} chunks ({chunk_seconds}s each)...")
 
         prev_target_tail = prev_residual_tail = None
         for i in range(n):
             start = i * hop
             end = min(start + chunk, total)
             piece = jnp.swapaxes(audios[:, :, start:end], 1, 2)  # (1,T,1)
+            # anchors are passed whole, as the reference does
+            # (model.py:954-959): separate() trims the alignment to the
+            # chunk's feature length
             result = self.separate(
-                piece, descriptions, ode_opt=ode_opt,
+                piece, descriptions, anchor_ids=anchor_ids,
+                anchor_alignment=anchor_alignment, ode_opt=ode_opt,
                 key=jax.random.PRNGKey(seed + i),
                 ode_decode_chunk_size=ode_decode_chunk_size,
                 _text_features=text_features, _text_mask=text_mask)
+            if verbose:
+                print(f"chunk {i + 1}/{n} done")
             tgt = np.asarray(result.target[0])
             res = np.asarray(result.residual[0])
             is_last = i == n - 1

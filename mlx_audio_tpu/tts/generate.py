@@ -14,7 +14,61 @@ from typing import Optional
 import numpy as np
 
 from .. import audio_io
+from ..utils import load_audio  # noqa: F401  (public re-export, ref :267 server import)
 from .utils import load_model
+
+
+def detect_speech_boundaries(
+    wav: np.ndarray,
+    sample_rate: int,
+    window_duration: float = 0.1,
+    energy_threshold: float = 0.01,
+    margin_factor: int = 2,
+):
+    """Start/end sample indices of speech via windowed RMS energy
+    (behavioral spec: reference tts/generate.py:25-67).
+
+    Raises ValueError when the audio is all silence.
+    """
+    wav = np.asarray(wav, dtype=np.float32).reshape(-1)
+    window_size = max(1, int(window_duration * sample_rate))
+    margin = margin_factor * window_size
+    step_size = max(1, window_size // 10)
+    if wav.size < window_size:
+        windows = wav[None, :]
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(wav, window_size)[
+            ::step_size
+        ]
+    energy = np.sqrt(np.mean(windows**2, axis=1))
+    speech_mask = energy >= energy_threshold
+    if not np.any(speech_mask):
+        raise ValueError("No speech detected in audio (only silence)")
+    start = max(0, int(np.argmax(speech_mask)) * step_size - margin)
+    end = min(
+        len(wav),
+        (len(speech_mask) - 1 - int(np.argmax(speech_mask[::-1]))) * step_size
+        + margin,
+    )
+    return start, end
+
+
+def remove_silence_on_both_ends(
+    wav: np.ndarray,
+    sample_rate: int,
+    window_duration: float = 0.1,
+    volume_threshold: float = 0.01,
+) -> np.ndarray:
+    """Trim leading/trailing silence (reference tts/generate.py:70-93)."""
+    start, end = detect_speech_boundaries(
+        wav, sample_rate, window_duration, volume_threshold
+    )
+    return np.asarray(wav).reshape(-1)[start:end]
+
+
+def hertz_to_mel(pitch):
+    """Hz → mel scale (reference tts/generate.py:96-108)."""
+    return 2595 * np.log10(1 + np.asarray(pitch, dtype=np.float64) / 700)
 
 
 def generate_audio(

@@ -222,6 +222,37 @@ class KokoroPipeline:
         def __len__(self):
             return 3
 
+    def generate_from_tokens(self, tokens, voice: str, speed: float = 1.0,
+                             model=None):
+        """Synthesize from raw phonemes (str) or pre-processed
+        PhonemeTokens, bypassing G2P (reference pipeline.py:268-320)."""
+        model = model or self.model
+        if model and voice is None:
+            raise ValueError(
+                "Specify a voice: pipeline.generate_from_tokens(..., "
+                'voice="af_heart")')
+        pack = self.load_voice(voice) if model else None
+
+        if isinstance(tokens, str):
+            if len(tokens) > 510:
+                raise ValueError(
+                    f"Phoneme string too long: {len(tokens)} > 510")
+            output = self.infer(model, tokens, pack, speed) if model else None
+            yield self.Result(graphemes="", phonemes=tokens, output=output)
+            return
+
+        for gs, ps, tks in self.en_tokenize(tokens):
+            if not ps:
+                continue
+            if len(ps) > 510:
+                logger.warning(f"len(ps)=={len(ps)} > 510; truncating")
+                ps = ps[:510]
+            output = self.infer(model, ps, pack, speed) if model else None
+            if output is not None and output.pred_dur is not None:
+                self.join_timestamps(tks, output.pred_dur)
+            yield self.Result(graphemes=gs, phonemes=ps, tokens=tks,
+                              output=output)
+
     def __call__(self, text: Union[str, List[str]], voice: Optional[str] = None,
                  speed: float = 1.0, split_pattern: Optional[str] = r"\n+"):
         if voice is None:

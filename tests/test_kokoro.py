@@ -200,3 +200,32 @@ def test_frame_bucket_overflow_rounds_up():
     assert _bucket(3072, FRAME_BUCKETS) == 3072
     assert _bucket(3073, FRAME_BUCKETS) >= 3073
     assert _bucket(5000, FRAME_BUCKETS) >= 5000
+
+
+def test_generate_from_tokens_raw_phonemes(tiny_model, tmp_path):
+    """Pre-phonemized input bypasses G2P (reference pipeline.py:268-320)."""
+    voices = tmp_path / "voices"
+    voices.mkdir()
+    pack = np.random.default_rng(2).standard_normal(
+        (510, 1, 64)).astype(np.float32) * 0.1
+    np.savez(voices / "af_heart.npz", voice=pack)
+    pipe = KokoroPipeline(lang_code="a", model=tiny_model,
+                          repo_id=str(tmp_path))
+    results = list(pipe.generate_from_tokens("hˈɛlɑW", voice="af_heart"))
+    assert len(results) == 1
+    assert results[0].phonemes == "hˈɛlɑW"
+    assert results[0].audio is not None
+    assert np.isfinite(np.asarray(results[0].audio)).all()
+
+    # over-long phoneme strings raise (reference :300)
+    import pytest
+
+    with pytest.raises(ValueError):
+        list(pipe.generate_from_tokens("a" * 511, voice="af_heart"))
+
+    # token-list path chunks and synthesizes
+    from mlx_audio_tpu.tts.models.kokoro.g2p import PhonemeToken
+
+    tokens = [PhonemeToken(text="hi", phonemes="hˈaJ", whitespace=" ")]
+    out = list(pipe.generate_from_tokens(tokens, voice="af_heart"))
+    assert len(out) == 1 and out[0].audio is not None

@@ -177,3 +177,49 @@ def test_fetch_array_retries_transient_resource_exhausted():
 
     with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
         fetch_array(Flaky(99, "RESOURCE_EXHAUSTED"), tries=2, delay=0.0)
+
+
+def test_separate_streaming_callback_mode():
+    """Callback mode returns total samples and invokes both callbacks
+    (reference model.py:884-898)."""
+    model = SAMAudio(tiny_config())
+    model.text_encoder.set_tokenizer(FakeT5Tokenizer())
+    sr = model.sample_rate
+    audio = np.random.randn(1, 1, 180).astype(np.float32) * 0.1
+    seen_t, seen_r = [], []
+
+    def on_target(chunk, idx, is_last):
+        seen_t.append((idx, is_last, np.asarray(chunk).shape[0]))
+
+    def on_residual(chunk, idx, is_last):
+        seen_r.append(idx)
+
+    total = model.separate_streaming(
+        jnp.asarray(audio), ["speech"],
+        target_callback=on_target, residual_callback=on_residual,
+        chunk_seconds=90 / sr, overlap_seconds=30 / sr,
+        ode_opt={"method": "euler", "step_size": 0.5})
+    assert isinstance(total, int) and total > 0
+    assert total == sum(s for _, _, s in seen_t)
+    assert seen_t[-1][1] is True
+    assert [i for i, _, _ in seen_t] == seen_r
+
+
+def test_separate_streaming_anchor_passthrough():
+    """Anchor prompts flow into the chunked ODE path unchanged
+    (reference model.py:954-959)."""
+    model = SAMAudio(tiny_config())
+    model.text_encoder.set_tokenizer(FakeT5Tokenizer())
+    sr = model.sample_rate
+    audio = np.random.randn(1, 1, 180).astype(np.float32) * 0.1
+    proc = model.processor
+    ids, align = proc.process_anchors(
+        [[("+", 0.0, 60 / sr)]],
+        np.zeros((1, proc.wav_to_feature_idx(180)), bool), 1)
+    chunks = list(model.separate_streaming(
+        jnp.asarray(audio), ["speech"], anchor_ids=ids,
+        anchor_alignment=align, chunk_seconds=90 / sr,
+        overlap_seconds=30 / sr,
+        ode_opt={"method": "euler", "step_size": 0.5}))
+    assert chunks[-1].is_last
+    assert all(np.isfinite(c.target).all() for c in chunks)

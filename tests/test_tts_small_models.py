@@ -273,3 +273,34 @@ def test_outetts_stream_matches_nonstream():
         ref = np.concatenate([np.asarray(r.audio) for r in full])
         got = np.concatenate([np.asarray(r.audio) for r in streamed])
         np.testing.assert_allclose(got, ref[: len(got)], atol=1e-6)
+
+
+def test_silence_trim_helpers():
+    """Energy-based boundary detection + trim + mel scale
+    (reference tts/generate.py:25-108)."""
+    from mlx_audio_tpu.tts.generate import (
+        detect_speech_boundaries,
+        hertz_to_mel,
+        remove_silence_on_both_ends,
+    )
+
+    sr = 16000
+    sil = np.zeros(sr, np.float32)
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)
+    wav = np.concatenate([sil, tone, sil])
+
+    start, end = detect_speech_boundaries(wav, sr)
+    assert start <= sr + 1600 and start > sr // 2
+    assert end >= 2 * sr - 1600 and end < len(wav)
+
+    trimmed = remove_silence_on_both_ends(wav, sr)
+    assert len(trimmed) < len(wav)
+    assert np.max(np.abs(trimmed)) > 0.4
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        detect_speech_boundaries(np.zeros(sr, np.float32), sr)
+
+    np.testing.assert_allclose(hertz_to_mel(700.0), 2595 * np.log10(2))
+    assert hertz_to_mel(0.0) == 0.0
