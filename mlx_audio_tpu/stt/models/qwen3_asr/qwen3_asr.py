@@ -192,7 +192,8 @@ class AudioEncoderLayer(Module):
         d = cfg.d_model
         h = cfg.encoder_attention_heads
         self.self_attn_q = nn.Linear(d, d)
-        self.self_attn_k = nn.Linear(d, d, bias=False)
+        # k_proj HAS a bias here, unlike Whisper (reference qwen3_asr.py:197)
+        self.self_attn_k = nn.Linear(d, d)
         self.self_attn_v = nn.Linear(d, d)
         self.self_attn_o = nn.Linear(d, d)
         self.self_attn_layer_norm = nn.LayerNorm(d)
