@@ -116,3 +116,68 @@ def test_get_ref_clip_fixed_length_and_tiling():
     assert clip2.shape == (expect,)
     assert np.array_equal(clip2[:1000], short)
     assert np.array_equal(clip2[1000:2000], short)  # tiled, not zero-padded
+
+
+def test_token_parser_full_vocabulary():
+    """Full control-token vocabulary (reference utils/token_parser.py)."""
+    from mlx_audio_tpu.tts.models.spark.token_parser import (
+        EMO_MAP, LEVELS_MAP_UI, TASK_TOKEN_MAP, TokenParser)
+
+    assert TASK_TOKEN_MAP["speech_edit"] == "<|task_edit|>"
+    assert TokenParser.task("controllable_tts") == "<|task_controllable_tts|>"
+    assert TokenParser.age("Middle-aged") == "<|age_3|>"
+    assert TokenParser.gender("female") == "<|gender_0|>"
+    assert TokenParser.emotion("WHISPER") == "<|emotion_16|>"
+    assert len(EMO_MAP) == 25 and EMO_MAP["CONTEMPT"] == 24
+    # values clamp to their documented ranges
+    assert TokenParser.mel_value(-5) == "<|pitch_value_0|>"
+    assert TokenParser.mel_value(9999) == "<|pitch_value_1000|>"
+    assert TokenParser.loudness_value(31) == "<|loudness_value_30|>"
+    assert TokenParser.speed_value(11) == "<|speed_value_10|>"
+    assert TokenParser.pitch_var_value(7) == "<|pitch_var_value_7|>"
+    # level renderers share LEVELS_MAP
+    assert TokenParser.mel_level("high") == "<|pitch_label_3|>"
+    assert TokenParser.loudness_level("very_low") == "<|loudness_label_0|>"
+    assert TokenParser.speed_level("very_high") == "<|speed_label_4|>"
+    assert TokenParser.pitch_var_level("low") == "<|pitch_var_label_1|>"
+    assert LEVELS_MAP_UI == {1: "very_low", 2: "low", 3: "moderate",
+                             4: "high", 5: "very_high"}
+
+
+def test_spark_file_helpers_roundtrip(tmp_path):
+    """JSONL / metadata / CSV round-trips and YAML base_config merge
+    (reference utils/file.py)."""
+    from mlx_audio_tpu.tts.models.spark import files as sf
+
+    rows = [{"index": "a", "text": "hi|there", "n": 1},
+            {"index": "b", "emo": "HAPPY"}]
+    jl = tmp_path / "m.jsonl"
+    sf.write_jsonl(rows, jl)
+    assert sf.read_jsonl(jl) == rows
+
+    jpath = tmp_path / "m.json"
+    jpath.write_text('{"b": {"x": 2}, "a": {"x": 1}}')
+    assert sf.read_json_as_jsonl(jpath) == [
+        {"index": "a", "x": 1}, {"index": "b", "x": 2}]
+
+    assert sf.decode_unicode_strings({"s": "caf\\u00e9", "n": 3}) == {
+        "s": "café", "n": 3}
+
+    csvp = tmp_path / "m.csv"
+    sf.jsonl_to_csv(jl, csvp)
+    header = csvp.read_text().splitlines()[0]
+    assert header == "emo,index,n,text"  # sorted union of keys
+
+    meta = tmp_path / "meta.txt"
+    sf.save_metadata(rows, meta, headers=["index", "text"])
+    got, headers = sf.read_metadata(meta)
+    assert headers == ["index", "text"]
+    assert got[0] == {"index": "a", "text": "hi there"}  # '|' sanitized
+
+    base = tmp_path / "base.yaml"
+    base.write_text("a: 1\nnest: {x: 1, y: 2}\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(f"base_config: {base}\nnest: {{y: 9}}\nb: 2\n")
+    cfg = sf.load_config(child)
+    assert cfg["a"] == 1 and cfg["b"] == 2
+    assert cfg["nest"] == {"x": 1, "y": 9}
