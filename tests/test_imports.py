@@ -105,3 +105,37 @@ def test_subpackage_export_surface():
 
     with pytest.raises(AttributeError):
         tts.no_such_symbol
+
+
+def test_optional_dependency_matrix():
+    """Extras matrix is well-formed (reference tests/test_optional_deps.py,
+    offline variant: validate pyproject structure instead of dry-run
+    installs, which need network)."""
+    import tomllib
+
+    root = Path(__file__).parent.parent
+    with open(root / "pyproject.toml", "rb") as f:
+        proj = tomllib.load(f)["project"]
+
+    extras = proj["optional-dependencies"]
+    for group in ("stt", "tts", "server", "sts", "all", "dev"):
+        assert group in extras and extras[group], f"empty extra [{group}]"
+
+    # umbrella extras reference the package's own groups
+    def self_refs(reqs):
+        out = set()
+        for r in reqs:
+            if r.startswith("mlx-audio-tpu["):
+                out.update(r.split("[", 1)[1].rstrip("]").split(","))
+        return out
+
+    assert {"stt", "tts"} <= self_refs(extras["sts"])
+    assert {"stt", "tts", "server"} <= self_refs(extras["all"])
+    # every self-referenced group must exist
+    for group in self_refs(extras["sts"]) | self_refs(extras["all"]):
+        assert group in extras, f"[all]/[sts] references unknown [{group}]"
+
+    # core deps must not include any torch/optional-only packages
+    core = {r.split(">=")[0].split("<")[0].strip() for r in proj["dependencies"]}
+    assert "torch" not in core and "transformers" not in core
+    assert {"jax", "numpy", "safetensors"} <= core
