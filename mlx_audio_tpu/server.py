@@ -689,13 +689,15 @@ class _Handler(BaseHTTPRequestHandler):
         bare = self.path.split("?")[0]
         m = re.match(r"^/v1/models/(.+)$", bare)
         name = None
+        query_style = False
         if m:
             name = m.group(1)
         elif bare == "/v1/models":
             # reference server.py:234-252: ?model_name= query param (204 on
-            # success); a JSON body also works
+            # success); a JSON body also works (JSON response, like path style)
             q = parse_qs(urlsplit(self.path).query)
             name = q.get("model_name", [None])[0]
+            query_style = name is not None
             if name is None:
                 try:
                     payload = json.loads(self._read_body() or b"{}")
@@ -705,10 +707,10 @@ class _Handler(BaseHTTPRequestHandler):
         if name:
             name = unquote(name).strip('"')
             if self.provider.unload(name):
-                if m:  # path style keeps the JSON body contract
-                    self._json(200, {"status": "unloaded", "model": name})
-                else:  # reference query style returns 204 No Content
+                if query_style:  # reference query style returns 204 No Content
                     self._send(204, b"")
+                else:  # path/body styles keep the JSON body contract
+                    self._json(200, {"status": "unloaded", "model": name})
             else:
                 self._json(404, {"error": f"Model '{name}' not found"})
         else:

@@ -11,6 +11,7 @@ per window.
 from __future__ import annotations
 
 import math
+import os
 import time
 from dataclasses import dataclass
 from functools import lru_cache, partial
@@ -449,19 +450,45 @@ class Model(Module):
         """(n, N_SAMPLES) stacked chunks → (n, N_FRAMES, n_mels) in ONE
         dispatch. Sequential per-chunk dispatch paid a ~100 ms tunnel round
         trip per 30 s chunk — measured 550-810 ms of a 1.3 s transcription
-        of 120 s audio (the largest phase; see commit message)."""
+        of 120 s audio (the largest phase; see commit message).
+
+        int16 input is dequantized on device: the host→device transfer is
+        the dominant mel-phase cost (device compute is ~35 ms for 120 s),
+        so audio ships as PCM16 — bit-exact for material that came from
+        16-bit sources, which is what Whisper pipelines ingest anyway."""
+        if chunks.dtype == jnp.int16:
+            chunks = chunks.astype(jnp.float32) / 32768.0
         return jax.vmap(
             lambda c: A.log_mel_spectrogram(c, n_mels=n_mels))(chunks)
 
+    # Row-count buckets at ~1.5× steps: padding waste ≤ 33% (vs ≤ 100%
+    # for pure powers of two) while compile count stays O(log n).
+    @staticmethod
+    def _row_bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b = b * 2 if b < 4 else (b * 3 + 1) // 2
+        return b
+
     def _mel_chunks_device(self, audio: np.ndarray):
         """Stacked per-30s-chunk log-mel, kept ON DEVICE: (bucket, N_FRAMES,
-        n_mels) with `n_chunks` valid rows. Bucketed to powers of two so
-        compiles stay bounded across audio lengths."""
+        n_mels) with `n_chunks` valid rows. Row counts are bucketed so
+        compiles stay bounded across audio lengths; audio transfers as
+        int16 (half the bytes; set MLX_AUDIO_TPU_MEL_TRANSFER=f32 to ship
+        float32 instead)."""
         total = len(audio) + A.N_SAMPLES
         n_chunks = (total + A.N_SAMPLES - 1) // A.N_SAMPLES
-        bucket = 1 << max(n_chunks - 1, 0).bit_length()
-        padded = np.zeros(bucket * A.N_SAMPLES, np.float32)
-        padded[: len(audio)] = audio
+        bucket = self._row_bucket(n_chunks)
+        if os.environ.get("MLX_AUDIO_TPU_MEL_TRANSFER", "int16") == "int16":
+            padded = np.zeros(bucket * A.N_SAMPLES, np.int16)
+            # same quantizer as audio_io's PCM16 writer: round-trips audio
+            # that was loaded from a 16-bit source bit-exactly
+            padded[: len(audio)] = np.clip(
+                np.round(audio * 32768.0), -32768, 32767
+            ).astype(np.int16)
+        else:
+            padded = np.zeros(bucket * A.N_SAMPLES, np.float32)
+            padded[: len(audio)] = audio
         mel = self._mel_chunks_batched(
             jnp.asarray(padded.reshape(bucket, A.N_SAMPLES)),
             self.dims.n_mels,

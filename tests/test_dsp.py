@@ -146,3 +146,49 @@ def test_stft_batched():
     s0 = dsp.stft(jnp.asarray(x[0]), 400, 160)
     assert s.shape == (2,) + s0.shape
     np.testing.assert_allclose(np.asarray(s[0]), np.asarray(s0), atol=1e-4)
+
+
+def test_stft_matmul_dft_matches_rfft():
+    """The small-n_fft matmul-DFT path (dsp._DFT_MATMUL_MAX_NFFT) must be
+    numerically interchangeable with jnp.fft.rfft (KERNEL_BENCH.md:
+    max_err 1.4e-6 on chip at Precision.HIGHEST)."""
+    rng = np.random.default_rng(11)
+    for n_fft in (400, 512, 800):
+        frames = jnp.asarray(
+            rng.standard_normal((64, n_fft)).astype(np.float32))
+        got = np.asarray(dsp._rfft_via_matmul(frames))
+        want = np.asarray(jnp.fft.rfft(frames))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+    # stft() routes by n_fft: ≤ threshold → matmul; above → rfft
+    assert dsp._DFT_MATMUL_MAX_NFFT == 800
+    x = jnp.asarray(rng.standard_normal(8000).astype(np.float32))
+    for n_fft in (400, 2048):
+        s = dsp.stft(x, n_fft, n_fft // 4)
+        assert s.shape[-1] == n_fft // 2 + 1
+        assert np.isfinite(np.asarray(jnp.abs(s))).all()
+
+
+def test_whisper_mel_int16_transfer_bit_exact_for_pcm16():
+    """PCM16-sourced audio produces IDENTICAL mels through the int16
+    transfer path (whisper._mel_chunks_device) as through f32."""
+    import os
+
+    from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=1, n_vocab=100, n_text_ctx=448, n_text_state=64,
+        n_text_head=2, n_text_layer=1)
+    model = Model(dims)
+    rng = np.random.default_rng(3)
+    # audio as it comes out of a 16-bit WAV: int16 / 32768
+    audio = (rng.integers(-2000, 2000, 16000 * 35).astype(np.float32)
+             / 32768.0)
+    mel_i16, n1 = model._mel_chunks_device(audio)
+    os.environ["MLX_AUDIO_TPU_MEL_TRANSFER"] = "f32"
+    try:
+        mel_f32, n2 = model._mel_chunks_device(audio)
+    finally:
+        del os.environ["MLX_AUDIO_TPU_MEL_TRANSFER"]
+    assert n1 == n2
+    np.testing.assert_array_equal(np.asarray(mel_i16), np.asarray(mel_f32))
