@@ -74,7 +74,81 @@ def dsp_roundtrip():
     assert np.isfinite(y).all()
 
 
+# One end-to-end test per model family, run ON THE REAL CHIP via
+# `tpu_smoke.py --all` (pytest with MLX_AUDIO_TPU_TESTS=1, which makes
+# tests/conftest.py skip the CPU-platform override). Excluded by design:
+# parity tests (torch comparison belongs on CPU), dsp tests (they fetch
+# complex64 STFT outputs to host — unsupported on the axon backend),
+# multi-device sharding tests (need the 8-device CPU mesh).
+ALL_FAMILY_TESTS = [
+    # TTS
+    "tests/test_bark.py::test_generate_end_to_end",
+    "tests/test_chatterbox.py::test_full_pipeline_tiny",
+    "tests/test_chatterbox_turbo.py::test_turbo_t3_generates",
+    "tests/test_cosyvoice2.py::test_full_pipeline_zero_shot",
+    "tests/test_cosyvoice3.py::test_full_pipeline_zero_shot_and_vc",
+    "tests/test_dia.py::test_dia_generate",
+    "tests/test_echo_tts.py::test_generate_with_speaker_conditioning",
+    "tests/test_indextts.py::test_generate_end_to_end",
+    "tests/test_kokoro.py::test_generate_end_to_end",
+    "tests/test_pocket_tts.py::test_generate_audio_end_to_end",
+    "tests/test_qwen3_tts.py::test_generate_end_to_end",
+    "tests/test_vibevoice.py::test_generate_latents_interleaved",
+    "tests/test_voxcpm.py::test_generate_no_clone",
+    "tests/test_lm_tts.py::test_orpheus_generate_with_tiny_backbone",
+    "tests/test_lm_tts.py::test_sesame_frame_generation",
+    "tests/test_tts_small_models.py::test_outetts_generate_smoke",
+    "tests/test_tts_small_models.py::test_soprano_generate_smoke",
+    "tests/test_spark.py::test_bicodec_detokenize",
+    # STT
+    "tests/test_whisper.py::test_generate_seek_loop",
+    "tests/test_parakeet.py::test_tdt_generate_with_chunking",
+    "tests/test_qwen3_asr.py::test_generate_end_to_end",
+    "tests/test_voxtral_realtime.py::test_generate_end_to_end",
+    "tests/test_vibevoice_asr.py::test_generate_end_to_end",
+    "tests/test_funasr.py::test_generate_end_to_end",
+    "tests/test_glmasr.py::test_generate_end_to_end",
+    "tests/test_stt_small_models.py::test_lasr_ctc",
+    "tests/test_stt_small_models.py::test_wav2vec2",
+    "tests/test_stt_small_models.py::test_voxtral_tiny",
+    # STS + VAD
+    "tests/test_sam_audio.py::test_separate_end_to_end",
+    "tests/test_lfm_audio.py::test_generate_sequential_runs",
+    "tests/test_mossformer2_se.py::test_enhance_roundtrip_shapes",
+    "tests/test_vad.py::test_offline_diarization",
+    "tests/test_vad.py::test_smart_turn",
+    # Codecs
+    "tests/test_codecs.py::test_dac_codes_roundtrip",
+    "tests/test_codecs.py::test_encodec_roundtrip",
+    "tests/test_codecs.py::test_snac_encode_decode",
+    "tests/test_codecs.py::test_vocos_mel_decode",
+    "tests/test_codecs.py::test_bigvgan_generator",
+    "tests/test_codecs.py::test_dacvae_roundtrip_shapes",
+    "tests/test_codecs.py::test_fish_s1_dac_roundtrip",
+    "tests/test_mimi.py::test_encode_decode_shapes",
+    "tests/test_s3gen.py::test_encoder_upsamples_2x_and_masks_padding",
+    "tests/test_s3gen.py::test_hift_streaming_source_cache",
+    "tests/test_s3tokenizer.py::test_v2_quantize_shapes_and_range",
+]
+
+
+def run_all():
+    """Run one end-to-end test per family on the real chip via pytest."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, MLX_AUDIO_TPU_TESTS="1")
+    repo = Path(__file__).parent.parent
+    cmd = [sys.executable, "-m", "pytest", "-v", "--tb=line",
+           *ALL_FAMILY_TESTS]
+    print(f"{len(ALL_FAMILY_TESTS)} family tests on", flush=True)
+    sys.exit(subprocess.call(cmd, cwd=repo, env=env))
+
+
 def main():
+    if "--all" in sys.argv:
+        run_all()
+        return
     results = [
         ok("dsp stft/istft roundtrip", dsp_roundtrip),
         ok("mimi encode/decode", mimi),

@@ -3,20 +3,28 @@
 The container's sitecustomize imports jax at interpreter startup (axon TPU
 tunnel), so plain env vars are too late — we must override via jax.config.
 XLA_FLAGS still applies because the CPU backend initializes lazily.
+
+Set MLX_AUDIO_TPU_TESTS=1 to SKIP the CPU override and run the selected
+tests on the real chip instead (used by `scripts/tpu_smoke.py --all` to
+prove every model family compiles + executes on actual TPU hardware).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_ON_TPU = os.environ.get("MLX_AUDIO_TPU_TESTS") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 
 import pytest  # noqa: E402
