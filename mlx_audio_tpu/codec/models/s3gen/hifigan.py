@@ -296,7 +296,11 @@ class HiFTGenerator(Module):
     def _istft(self, magnitude: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
         """(B, frames, n_fft//2+1) ×2 → (B, T)."""
         magnitude = jnp.clip(magnitude, None, 1e2)
-        spec = magnitude * jnp.exp(1j * phase)
+        # mag·cos/sin instead of mag·exp(1j·phase): complex Exp is
+        # unimplemented on some TPU backends, and two real elementwise ops
+        # fuse better anyway.
+        spec = jax.lax.complex(magnitude * jnp.cos(phase),
+                               magnitude * jnp.sin(phase))
         return dsp_istft(spec.swapaxes(-1, -2),
                          hop_length=self.istft_params["hop_len"],
                          win_length=self.istft_params["n_fft"],

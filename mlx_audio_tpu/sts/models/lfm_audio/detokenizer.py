@@ -189,7 +189,10 @@ class LFM2AudioDetokenizer(Module):
         """'same'-padded normalized iSTFT (reference
         detokenizer.py:468-508)."""
         cfg = self.config
-        spec = mag * jnp.exp(1j * phase)  # (B, T, F)
+        # mag·cos/sin, not mag·exp(1j·phase): complex Exp is unimplemented
+        # on some TPU backends.
+        spec = jax.lax.complex(mag * jnp.cos(phase),
+                               mag * jnp.sin(phase))  # (B, T, F)
         out = dsp_istft(spec.swapaxes(-1, -2),
                         hop_length=cfg.hop_length,
                         win_length=cfg.n_fft, window=self._window,

@@ -303,7 +303,10 @@ class CausalHiFTGenerator(Module):
     def _istft(self, magnitude: jnp.ndarray, phase: jnp.ndarray
                ) -> jnp.ndarray:
         magnitude = jnp.clip(magnitude, None, 1e2)
-        spec = magnitude * jnp.exp(1j * phase)
+        # mag·cos/sin, not mag·exp(1j·phase): complex Exp is unimplemented
+        # on some TPU backends.
+        spec = jax.lax.complex(magnitude * jnp.cos(phase),
+                               magnitude * jnp.sin(phase))
         return dsp_istft(spec.swapaxes(-1, -2),
                          hop_length=self.istft_params["hop_len"],
                          win_length=self.istft_params["n_fft"],
