@@ -139,3 +139,22 @@ def test_optional_dependency_matrix():
     core = {r.split(">=")[0].split("<")[0].strip() for r in proj["dependencies"]}
     assert "torch" not in core and "transformers" not in core
     assert {"jax", "numpy", "safetensors"} <= core
+
+
+def test_no_device_side_complex_exp():
+    """Complex Exp is UNIMPLEMENTED on some TPU backends (hit on-chip in
+    the HiFT vocoder): mag*exp(1j*phase) must be written as
+    lax.complex(mag*cos, mag*sin). Guard the whole package; host-side
+    numpy (np.exp) is exempt (sesame watermarking runs on host)."""
+    import mlx_audio_tpu
+
+    pkg = Path(mlx_audio_tpu.__file__).parent
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if "1j" in line and "jnp.exp" in line:
+                offenders.append(f"{path.relative_to(pkg)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "device-side complex exp found (use lax.complex(mag*cos, mag*sin)):\n"
+        + "\n".join(offenders)
+    )
