@@ -133,16 +133,41 @@ ALL_FAMILY_TESTS = [
 
 
 def run_all():
-    """Run one end-to-end test per family on the real chip via pytest."""
+    """Run one end-to-end test per family on the real chip via pytest.
+
+    Each test runs in its OWN pytest process: the axon backend holds
+    compiled programs + buffers for the life of a process, and module
+    fixtures keep model weights alive, so a single 46-file run
+    accumulates until the backend starts failing dispatches with
+    UNIMPLEMENTED. Per-test processes release everything between
+    families (verified: tests that failed in the single-process run
+    pass in isolation).
+    """
     import os
     import subprocess
+    import time
 
     env = dict(os.environ, MLX_AUDIO_TPU_TESTS="1")
     repo = Path(__file__).parent.parent
-    cmd = [sys.executable, "-m", "pytest", "-v", "--tb=line",
-           *ALL_FAMILY_TESTS]
-    print(f"{len(ALL_FAMILY_TESTS)} family tests on", flush=True)
-    sys.exit(subprocess.call(cmd, cwd=repo, env=env))
+    print(f"{len(ALL_FAMILY_TESTS)} family tests, one process each",
+          flush=True)
+    failures = []
+    for i, test in enumerate(ALL_FAMILY_TESTS, 1):
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "--tb=line",
+             "-p", "no:cacheprovider", test],
+            cwd=repo, env=env, capture_output=True, text=True)
+        status = "PASS" if r.returncode == 0 else "FAIL"
+        print(f"[{i:2}/{len(ALL_FAMILY_TESTS)}] {status} "
+              f"{time.time() - t0:6.1f}s {test}", flush=True)
+        if r.returncode != 0:
+            failures.append(test)
+            tail = (r.stdout + r.stderr).strip().splitlines()[-12:]
+            print("\n".join("      " + ln for ln in tail), flush=True)
+    print(f"\n{len(ALL_FAMILY_TESTS) - len(failures)}/"
+          f"{len(ALL_FAMILY_TESTS)} families passed on real TPU", flush=True)
+    sys.exit(1 if failures else 0)
 
 
 def main():
