@@ -59,14 +59,16 @@ def compression_ratio(text: str) -> float:
 
 def verify_options(options: DecodingOptions) -> None:
     """Validate decoding options like the reference (decoding.py:505-520):
-    unsupported/inconsistent combinations raise instead of being silently
-    ignored."""
-    if options.beam_size is not None:
-        # the reference's beam search path itself raises (decoding.py:482)
-        raise NotImplementedError("beam search is not yet implemented")
+    inconsistent combinations raise instead of being silently ignored.
+
+    Unlike the reference — whose beam-search decoder raises
+    NotImplementedError (decoding.py:482) — beam search IS implemented here
+    (`_beam_decode_loop`), so `beam_size`/`patience` are accepted."""
+    if options.beam_size is not None and options.best_of is not None:
+        raise ValueError("beam_size and best_of can't be given together")
     if options.best_of is not None and options.temperature == 0:
         raise ValueError("best_of with greedy sampling (t=0) is not compatible")
-    if options.patience is not None:
+    if options.patience is not None and options.beam_size is None:
         raise ValueError("patience requires beam_size to be given")
     if options.length_penalty is not None and not (
         0 <= options.length_penalty <= 1
@@ -84,6 +86,70 @@ def rank_score(
     else:
         penalty = ((5.0 + length) / 6.0) ** length_penalty
     return sum_logprob / penalty
+
+
+def _apply_rules(
+    logits,  # (B, V) f32
+    step,
+    last_tok,  # (B,)
+    penult_tok,  # (B,)
+    last_ts,  # (B,)
+    *,
+    suppress_mask,  # (V,) bool
+    eot: int,
+    timestamp_begin: int,
+    no_timestamps: int,
+    blank: int,
+    without_timestamps: bool,
+    max_initial_ts_index: int,
+):
+    """The reference's logit-filter lattice (SuppressTokens/SuppressBlank/
+    ApplyTimestampRules, decoding.py:330-445) as one row-wise function shared
+    by the greedy and beam decode loops."""
+    V = suppress_mask.shape[0]
+    vocab_idx = jnp.arange(V)
+    is_ts = vocab_idx >= timestamp_begin
+
+    logits = jnp.where(suppress_mask[None, :], -jnp.inf, logits)
+    # SuppressBlank at the first sampled token
+    logits = jnp.where(
+        (step == 0)
+        & ((vocab_idx[None, :] == blank) | (vocab_idx[None, :] == eot)),
+        -jnp.inf,
+        logits,
+    )
+    if without_timestamps:
+        return jnp.where(is_ts[None, :], -jnp.inf, logits)
+
+    logits = jnp.where(vocab_idx[None, :] == no_timestamps, -jnp.inf, logits)
+    last_was_ts = last_tok >= timestamp_begin
+    penult_was_ts = penult_tok >= timestamp_begin
+    # timestamps come in pairs
+    logits = jnp.where(
+        (last_was_ts & penult_was_ts)[:, None] & is_ts[None, :], -jnp.inf, logits
+    )
+    logits = jnp.where(
+        (last_was_ts & ~penult_was_ts)[:, None] & (vocab_idx < eot)[None, :],
+        -jnp.inf,
+        logits,
+    )
+    # monotonic timestamps
+    ts_floor = jnp.where(last_was_ts & ~penult_was_ts, last_ts, last_ts + 1)
+    logits = jnp.where(
+        is_ts[None, :] & (vocab_idx[None, :] < ts_floor[:, None]), -jnp.inf, logits
+    )
+    # first sampled token must be a timestamp, capped at max_initial
+    init_bad = (~is_ts) | (vocab_idx > timestamp_begin + max_initial_ts_index)
+    logits = jnp.where((step == 0) & init_bad[None, :], -jnp.inf, logits)
+    # if P(timestamp) > max P(text token), force a timestamp
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(is_ts[None, :], logprobs, -jnp.inf), axis=-1
+    )
+    max_text = jnp.max(jnp.where(is_ts[None, :], -jnp.inf, logprobs), axis=-1)
+    force_ts = ts_logprob > max_text
+    logits = jnp.where(force_ts[:, None] & ~is_ts[None, :], -jnp.inf, logits)
+    return logits
 
 
 @partial(
@@ -116,9 +182,6 @@ def _decode_loop(
     sot_index: int = 0,
 ):
     B, Tp = prompt.shape
-    V = suppress_mask.shape[0]
-    vocab_idx = jnp.arange(V)
-    is_ts = vocab_idx >= timestamp_begin
 
     # ---- prefill ----
     logits, caches = decoder_step(model, prompt, 0, caches, cross_kv)
@@ -132,46 +195,13 @@ def _decode_loop(
     tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, prompt, (0, 0))
 
     def apply_rules(logits, step, last_tok, penult_tok, last_ts):
-        logits = jnp.where(suppress_mask[None, :], -jnp.inf, logits)
-        # SuppressBlank at the first sampled token
-        logits = jnp.where(
-            (step == 0)
-            & ((vocab_idx[None, :] == blank) | (vocab_idx[None, :] == eot)),
-            -jnp.inf,
-            logits,
+        return _apply_rules(
+            logits, step, last_tok, penult_tok, last_ts,
+            suppress_mask=suppress_mask, eot=eot,
+            timestamp_begin=timestamp_begin, no_timestamps=no_timestamps,
+            blank=blank, without_timestamps=without_timestamps,
+            max_initial_ts_index=max_initial_ts_index,
         )
-        if without_timestamps:
-            return jnp.where(is_ts[None, :], -jnp.inf, logits)
-
-        logits = jnp.where(vocab_idx[None, :] == no_timestamps, -jnp.inf, logits)
-        last_was_ts = last_tok >= timestamp_begin
-        penult_was_ts = penult_tok >= timestamp_begin
-        # timestamps come in pairs
-        logits = jnp.where(
-            (last_was_ts & penult_was_ts)[:, None] & is_ts[None, :], -jnp.inf, logits
-        )
-        logits = jnp.where(
-            (last_was_ts & ~penult_was_ts)[:, None] & (vocab_idx < eot)[None, :],
-            -jnp.inf,
-            logits,
-        )
-        # monotonic timestamps
-        ts_floor = jnp.where(last_was_ts & ~penult_was_ts, last_ts, last_ts + 1)
-        logits = jnp.where(
-            is_ts[None, :] & (vocab_idx[None, :] < ts_floor[:, None]), -jnp.inf, logits
-        )
-        # first sampled token must be a timestamp, capped at max_initial
-        init_bad = (~is_ts) | (vocab_idx > timestamp_begin + max_initial_ts_index)
-        logits = jnp.where((step == 0) & init_bad[None, :], -jnp.inf, logits)
-        # if P(timestamp) > max P(text token), force a timestamp
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        ts_logprob = jax.nn.logsumexp(
-            jnp.where(is_ts[None, :], logprobs, -jnp.inf), axis=-1
-        )
-        max_text = jnp.max(jnp.where(is_ts[None, :], -jnp.inf, logprobs), axis=-1)
-        force_ts = ts_logprob > max_text
-        logits = jnp.where(force_ts[:, None] & ~is_ts[None, :], -jnp.inf, logits)
-        return logits
 
     def body(state):
         step, tokens_buf, caches, logits, sum_lp, done, last_ts, key = state
@@ -219,6 +249,250 @@ def _decode_loop(
     return tokens_buf, step, sum_lp, no_speech_prob
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "decoder_step", "sample_len", "n_ctx", "eot", "timestamp_begin",
+        "no_timestamps", "blank", "no_speech", "without_timestamps",
+        "max_initial_ts_index", "beam_size", "max_candidates", "sot_index",
+    ),
+    donate_argnames=("caches",),
+)
+def _beam_decode_loop(
+    model,
+    caches,
+    cross_kv,
+    prompt,  # (G*K, Tp) int32 — each window's prompt repeated K times
+    suppress_mask,  # (V,) bool
+    decoder_step,
+    sample_len: int,
+    n_ctx: int,
+    eot: int,
+    timestamp_begin: int,
+    no_timestamps: int,
+    blank: int,
+    no_speech: int,
+    without_timestamps: bool,
+    max_initial_ts_index: int,
+    beam_size: int,
+    max_candidates: int,  # round(beam_size * patience) finished hyps per group
+    sot_index: int = 0,
+):
+    """Beam search as ONE on-device `lax.while_loop` — the feature the
+    reference stubs out (its BeamSearchDecoder raises NotImplementedError,
+    decoding.py:482; semantics here follow openai-whisper's decoder, which
+    the reference mirrors elsewhere).
+
+    Layout: beams are extra batch rows — G windows × K beams, grouped in
+    contiguous blocks of K. Each step scores all K×V continuations per
+    group, takes the top 2K (EOT appears at most once per source beam, so
+    ≥K non-EOT survive), banks EOT-ending hypotheses into fixed-capacity
+    finished buffers, keeps the best K non-EOT as the next beams, and
+    reorders tokens + KV caches with a batch-axis gather. A group is
+    complete when `max_candidates` hypotheses have finished."""
+    GK, Tp = prompt.shape
+    K = beam_size
+    G = GK // K
+    C = max_candidates
+    V = suppress_mask.shape[0]
+
+    # ---- prefill (all K rows of a group are identical; only beam 0 is
+    # live at step 0 so the first expansion dedups) ----
+    logits, caches = decoder_step(model, prompt, 0, caches, cross_kv)
+    last_logits = logits[:, -1, :].astype(jnp.float32)
+    sot_probs = jax.nn.softmax(logits[:, sot_index, :].astype(jnp.float32))
+    no_speech_prob = sot_probs[::K, no_speech]  # (G,)
+
+    tokens_buf = jnp.full((GK, n_ctx), eot, jnp.int32)
+    tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, prompt, (0, 0))
+
+    cum_lp = jnp.tile(
+        jnp.where(jnp.arange(K) == 0, 0.0, -jnp.inf).astype(jnp.float32), G
+    )  # (GK,)
+    last_ts = jnp.full((GK,), timestamp_begin, jnp.int32)
+
+    fin_lp = jnp.full((G, C), -jnp.inf, jnp.float32)
+    fin_len = jnp.zeros((G, C), jnp.int32)
+    fin_toks = jnp.full((G, C, n_ctx), eot, jnp.int32)
+    fin_count = jnp.zeros((G,), jnp.int32)
+
+    group_off = jnp.arange(G, dtype=jnp.int32) * K  # (G,)
+    rows = jnp.arange(G)[:, None]
+
+    def body(state):
+        (step, tokens_buf, caches, logits, cum_lp, last_ts,
+         fin_lp, fin_len, fin_toks, fin_count) = state
+        pos = Tp + step
+        last_tok = tokens_buf[:, pos - 1]
+        penult_tok = tokens_buf[:, pos - 2]
+        filtered = _apply_rules(
+            logits, step, last_tok, penult_tok, last_ts,
+            suppress_mask=suppress_mask, eot=eot,
+            timestamp_begin=timestamp_begin, no_timestamps=no_timestamps,
+            blank=blank, without_timestamps=without_timestamps,
+            max_initial_ts_index=max_initial_ts_index,
+        )
+        logprobs = jax.nn.log_softmax(filtered, axis=-1)  # (GK, V)
+        cand = (cum_lp[:, None] + logprobs).reshape(G, K * V)
+        top_vals, top_idx = jax.lax.top_k(cand, 2 * K)  # (G, 2K)
+        tok = (top_idx % V).astype(jnp.int32)
+        src = (top_idx // V).astype(jnp.int32)  # source beam within group
+        is_eot_c = tok == eot
+
+        # ---- bank EOT-ending candidates into finished buffers (in score
+        # order; slots past capacity C fall into a dump column) ----
+        eot_rank = jnp.cumsum(is_eot_c, axis=1) - 1  # (G, 2K)
+        slot = fin_count[:, None] + eot_rank
+        write = is_eot_c & (slot < C) & jnp.isfinite(top_vals)
+        slot_c = jnp.where(write, slot, C)
+        src_flat = group_off[:, None] + src  # (G, 2K) row index into GK
+        cand_toks = tokens_buf[src_flat]  # (G, 2K, n_ctx); pos.. already eot
+        pad = jnp.zeros((G, 1), fin_lp.dtype)
+        fin_lp = jnp.concatenate([fin_lp, pad], 1).at[rows, slot_c].set(
+            jnp.where(write, top_vals, 0.0)
+        )[:, :C]
+        fin_len = jnp.concatenate(
+            [fin_len, jnp.zeros((G, 1), jnp.int32)], 1
+        ).at[rows, slot_c].set(jnp.where(write, step, 0))[:, :C]
+        fin_toks = jnp.concatenate(
+            [fin_toks, jnp.full((G, 1, n_ctx), eot, jnp.int32)], 1
+        ).at[rows, slot_c].set(
+            jnp.where(write[:, :, None], cand_toks, eot)
+        )[:, :C]
+        fin_count = fin_count + jnp.sum(write, axis=1, dtype=jnp.int32)
+
+        # ---- keep the first K non-EOT candidates as the next beams ----
+        noneot_rank = jnp.cumsum(~is_eot_c, axis=1) - 1  # (G, 2K)
+        sel = (~is_eot_c) & (noneot_rank < K)
+        slot_b = jnp.where(sel, noneot_rank, K)
+        col = jnp.broadcast_to(jnp.arange(2 * K, dtype=jnp.int32), (G, 2 * K))
+        choice = (
+            jnp.zeros((G, K + 1), jnp.int32).at[rows, slot_b].set(col)[:, :K]
+        )  # (G, K) → index into the 2K candidates
+        new_tok = jnp.take_along_axis(tok, choice, 1)  # (G, K)
+        new_src = jnp.take_along_axis(src, choice, 1)
+        new_lp = jnp.take_along_axis(top_vals, choice, 1)
+
+        # ---- reorder beam state by source beam (batch-axis gather) ----
+        flat_src = (group_off[:, None] + new_src).reshape(-1)  # (GK,)
+        next_tok = new_tok.reshape(-1)
+        tokens_buf = jax.lax.dynamic_update_slice(
+            tokens_buf[flat_src], next_tok[:, None], (0, pos)
+        )
+        cum_lp = new_lp.reshape(-1)
+        last_ts = jnp.where(
+            next_tok >= timestamp_begin, next_tok, last_ts[flat_src]
+        )
+        caches = jax.tree.map(
+            lambda x: x[flat_src]
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == GK
+            else x,
+            caches,
+        )
+        new_logits, caches = decoder_step(
+            model, next_tok[:, None], pos, caches, cross_kv
+        )
+        return (
+            step + 1, tokens_buf, caches,
+            new_logits[:, -1, :].astype(jnp.float32), cum_lp, last_ts,
+            fin_lp, fin_len, fin_toks, fin_count,
+        )
+
+    def cond(state):
+        step = state[0]
+        fin_count = state[9]
+        return (step < sample_len) & ~jnp.all(fin_count >= C)
+
+    state = (
+        0, tokens_buf, caches, last_logits, cum_lp, last_ts,
+        fin_lp, fin_len, fin_toks, fin_count,
+    )
+    (step, tokens_buf, _, _, cum_lp, _,
+     fin_lp, fin_len, fin_toks, fin_count) = jax.lax.while_loop(
+        cond, body, state
+    )
+    return (
+        tokens_buf, step, cum_lp, fin_lp, fin_len, fin_toks, fin_count,
+        no_speech_prob,
+    )
+
+
+def _run_beam(
+    model, caches, cross_kv, prompt, suppress, tokenizer, options,
+    decoder_step, *, sample_len, n_ctx, blank, max_init, sot_index,
+) -> List[DecodingResult]:
+    """Host wrapper for `_beam_decode_loop`: one device dispatch, one fetch,
+    then openai-whisper finalize semantics — groups short of `beam_size`
+    finished hypotheses are topped up with the in-flight beams (EOT appended,
+    no extra logprob), and the winner is picked by `rank_score`."""
+    K = int(options.beam_size)
+    patience = options.patience if options.patience is not None else 1.0
+    max_candidates = max(1, round(K * float(patience)))
+    GK, Tp = prompt.shape
+
+    (tokens_buf, n_steps, cum_lp, fin_lp, fin_len, fin_toks, fin_count,
+     no_speech_prob) = _beam_decode_loop(
+        model, caches, cross_kv, prompt, jnp.asarray(suppress),
+        decoder_step, sample_len=sample_len, n_ctx=n_ctx,
+        eot=tokenizer.eot, timestamp_begin=tokenizer.timestamp_begin,
+        no_timestamps=tokenizer.no_timestamps, blank=blank,
+        no_speech=tokenizer.no_speech,
+        without_timestamps=options.without_timestamps,
+        max_initial_ts_index=max_init, beam_size=K,
+        max_candidates=max_candidates, sot_index=sot_index,
+    )
+    (toks, n_steps, cum_lp, fin_lp, fin_len, fin_toks, fin_count,
+     nsp) = jax.device_get(
+        (tokens_buf, n_steps, cum_lp, fin_lp, fin_len, fin_toks, fin_count,
+         no_speech_prob)
+    )
+    n_steps = int(n_steps)
+
+    results = []
+    for g in range(GK // K):
+        # (tokens, sum_logprob, length) candidates: finished first
+        cands = []
+        for c in range(int(fin_count[g])):
+            ln = int(fin_len[g, c])
+            seq = [int(t) for t in fin_toks[g, c, Tp : Tp + ln]]
+            cands.append((seq, float(fin_lp[g, c])))
+        if len(cands) < K:
+            live = sorted(
+                range(g * K, (g + 1) * K),
+                key=lambda b: -float(cum_lp[b]),
+            )
+            for b in live:
+                if len(cands) >= K:
+                    break
+                if not np.isfinite(cum_lp[b]):
+                    continue
+                seq = []
+                for t in toks[b, Tp : Tp + n_steps]:
+                    if t == tokenizer.eot:
+                        break
+                    seq.append(int(t))
+                cands.append((seq, float(cum_lp[b])))
+        if not cands:  # degenerate (e.g. sample_len=0): empty result
+            cands = [([], 0.0)]
+        seq, lp = max(
+            cands,
+            key=lambda sl: rank_score(sl[1], len(sl[0]), options.length_penalty),
+        )
+        text = tokenizer.decode(seq).strip()
+        results.append(
+            DecodingResult(
+                tokens=seq,
+                text=text,
+                avg_logprob=lp / (len(seq) + 1),
+                no_speech_prob=float(nsp[g]),
+                temperature=0.0,
+                compression_ratio=compression_ratio(text),
+                language=options.language,
+            )
+        )
+    return results
+
+
 def decode_window_batch(
     model,
     cross_kv,
@@ -241,14 +515,22 @@ def decode_window_batch(
     With ``options.best_of=N`` (requires temperature > 0), each window is
     decoded as N independent sample rows IN THE SAME device program and the
     winner is picked by likelihood ranking with the reference's length
-    penalty (decoding.py:462-478) — N× the work but still one dispatch."""
+    penalty (decoding.py:462-478) — N× the work but still one dispatch.
+
+    With ``options.beam_size=K`` (temperature 0), each window is decoded by
+    on-device beam search (`_beam_decode_loop`) — a feature the reference
+    stubs out — and the winner is picked by the same likelihood ranking
+    over the finished hypotheses."""
     verify_options(options)
     rows = [list(p) for p in prompt_rows]
     assert len({len(r) for r in rows}) == 1, "prompt rows must share a length"
     prompt = jnp.asarray(rows, jnp.int32)
 
+    use_beam = options.beam_size is not None and options.temperature == 0
     n_group = 1
-    if options.best_of is not None and options.temperature > 0:
+    if use_beam:
+        n_group = int(options.beam_size)
+    elif options.best_of is not None and options.temperature > 0:
         n_group = int(options.best_of)
     if n_group > 1:
         prompt = jnp.repeat(prompt, n_group, axis=0)
@@ -296,6 +578,20 @@ def decode_window_batch(
         caches = make_caches(len(rows) * n_group)
     except TypeError:
         caches = make_caches()
+
+    if use_beam:
+        return _run_beam(
+            model, caches, cross_kv, prompt, suppress, tokenizer, options,
+            decoder_step, sample_len=sample_len, n_ctx=n_ctx, blank=blank,
+            max_init=max_init,
+            sot_index=max(
+                0,
+                Tp
+                - len(list(tokenizer.sot_sequence))
+                - (1 if options.without_timestamps else 0),
+            ),
+        )
+
     tokens_buf, n_steps, sum_lp, no_speech_prob = _decode_loop(
         model, caches, cross_kv, prompt, jnp.asarray(suppress),
         jax.random.PRNGKey(seed), decoder_step,

@@ -238,8 +238,11 @@ def test_decode_option_validation(tiny):
         verify_options,
     )
 
-    with pytest.raises(NotImplementedError):
-        verify_options(DecodingOptions(beam_size=5))
+    # beam search is implemented here (beyond the reference, whose decoder
+    # raises NotImplementedError at decoding.py:482) — beam_size is valid
+    verify_options(DecodingOptions(beam_size=5))
+    with pytest.raises(ValueError):
+        verify_options(DecodingOptions(beam_size=5, best_of=3, temperature=0.5))
     with pytest.raises(ValueError):
         verify_options(DecodingOptions(best_of=3, temperature=0.0))
     with pytest.raises(ValueError):
