@@ -3,7 +3,8 @@
 
 Line 1: Kokoro-82M (real architecture config, random weights) TTS real-time
 factor. BASELINE.json north-star target: RTF < 0.05 on 1 TPU v5e chip.
-Line 2: Whisper-large-v3-turbo chunked transcription throughput (xRT).
+Lines 2-4: Whisper-large-v3-turbo chunked transcription throughput (xRT)
+at the 224-token cap, at realistic decode length 96, and 10 min long-form.
 BASELINE target: > 40x real time on 1 chip.
 
 `vs_baseline` = target/measured for RTF (>1 beats target) and
@@ -124,7 +125,8 @@ def bench_kokoro():
     )
 
 
-def bench_whisper(seconds: float = 120.0, runs: int = 2):
+def bench_whisper(seconds: float = 120.0, runs: int = 2,
+                  long_seconds: float = 600.0):
     from mlx_audio_tpu.nn.module import cast_floats
     from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
     from mlx_audio_tpu.stt.models.whisper.tokenizer import DummyTokenizer
@@ -146,13 +148,26 @@ def bench_whisper(seconds: float = 120.0, runs: int = 2):
     # (headline; strict lower bound); 96 matches the typical tokens/window
     # of real speech checkpoints (~50-120 incl. prompt+EOT), giving the
     # expected real-checkpoint operating point.
-    for label, sample_len, headline in (
-        ("cap224_lower_bound", 224, True),
-        ("realistic_len96", 96, False),
-    ):
+    long_audio = (
+        rng.standard_normal(int(16000 * long_seconds)) * 0.05
+    ).astype(np.float32)
+
+    # (metric name, audio, seconds, sample_len). The 10 min long-form line
+    # shows decode amortization: the decoder's weight reads per step are
+    # shared across all windows of a batch group, so throughput rises with
+    # audio length (B=4 at 120 s vs B=8 groups at 600 s).
+    cases = (
+        ("whisper_large_v3_turbo_xrt", "cap224_lower_bound",
+         audio, seconds, 224),
+        ("whisper_large_v3_turbo_xrt_realistic", "realistic_len96",
+         audio, seconds, 96),
+        ("whisper_large_v3_turbo_xrt_longform10min", "realistic_len96",
+         long_audio, long_seconds, 96),
+    )
+    for metric, label, aud, dur, sample_len in cases:
         def run_once():
             return model.generate_chunked(
-                audio, language="en", temperature=0.0, tokenizer=tok,
+                aud, language="en", temperature=0.0, tokenizer=tok,
                 without_timestamps=True, sample_len=sample_len,
             )
 
@@ -166,20 +181,19 @@ def bench_whisper(seconds: float = 120.0, runs: int = 2):
             run_once()
             walls.append(time.perf_counter() - t0)
         wall = min(walls)
-        xrt = seconds / wall
+        xrt = dur / wall
         target = 40.0
         print(
             json.dumps(
                 {
-                    "metric": ("whisper_large_v3_turbo_xrt" if headline
-                               else "whisper_large_v3_turbo_xrt_realistic"),
+                    "metric": metric,
                     "value": round(xrt, 2),
                     "unit": "x_realtime",
                     "vs_baseline": round(xrt / target, 3),
                     "detail": {
                         "mode": "chunked",
                         "decode_length_model": label,
-                        "audio_seconds": seconds,
+                        "audio_seconds": dur,
                         "wall_seconds": round(wall, 3),
                         "compile_seconds": round(compile_wall, 1),
                         "sample_len": sample_len,

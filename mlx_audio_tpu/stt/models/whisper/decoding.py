@@ -573,11 +573,21 @@ def decode_window_batch(
     # never write past tokens_buf/KV capacity (the reference stops at n_ctx)
     sample_len = max(1, min(sample_len, n_ctx - Tp - 1))
 
-    # make_caches may be batch-aware (preferred) or a legacy 0-arg thunk
+    # KV capacity: what this decode can write (prompt + samples + 1),
+    # bucketed by 64 so compile count stays bounded across prompt lengths.
+    # Per-step self-attention K/V reads scale with capacity, so trimming
+    # from n_ctx=448 to the ~128 a len-96 decode needs cuts decode HBM
+    # traffic materially (see KERNEL_BENCH.md roofline notes).
+    cap = min(n_ctx, -(-(Tp + sample_len + 1) // 64) * 64)
+    # make_caches may be capacity-aware (preferred), batch-only, or a
+    # legacy 0-arg thunk
     try:
-        caches = make_caches(len(rows) * n_group)
+        caches = make_caches(len(rows) * n_group, cap)
     except TypeError:
-        caches = make_caches()
+        try:
+            caches = make_caches(len(rows) * n_group)
+        except TypeError:
+            caches = make_caches()
 
     if use_beam:
         return _run_beam(

@@ -418,10 +418,16 @@ class Model(Module):
         xa = model.encoder(mel)
         return xa, model.decoder.cross_kv(xa)
 
-    def _make_caches(self, batch: int = 1):
+    def _make_caches(self, batch: int = 1, capacity: Optional[int] = None):
+        """Decoder KV caches. `capacity` trims the self-attention window to
+        what the decode will actually write (prompt + sample_len, bucketed
+        by the caller) instead of the full n_text_ctx=448 — the per-step
+        K/V read is proportional to capacity, and typical decodes use
+        ~1/4 of the context."""
         d = self.dims
+        cap = d.n_text_ctx if capacity is None else min(capacity, d.n_text_ctx)
         return [
-            KVCache(batch, d.n_text_head, d.n_text_ctx, d.n_text_state // d.n_text_head,
+            KVCache(batch, d.n_text_head, cap, d.n_text_state // d.n_text_head,
                     dtype=self.decoder.token_embedding.weight.dtype)
             for _ in range(d.n_text_layer)
         ]

@@ -56,7 +56,7 @@ def main():
         if args.mode == "chunked":
             return model.generate_chunked(
                 audio, language="en", temperature=0.0, tokenizer=tok,
-                without_timestamps=True,
+                without_timestamps=True, sample_len=args.sample_len,
             )
         return model.generate(
             audio, language="en", temperature=0.0, tokenizer=tok,
