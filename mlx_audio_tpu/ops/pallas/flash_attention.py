@@ -68,15 +68,25 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_k,
 
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q", "block_k"))
 def flash_attention(q, k, v, *, causal: bool = False, scale=None,
-                    block_q: int = 256, block_k: int = 256):
+                    block_q: int = None, block_k: int = None):
     """q: (B, H, T, D), k/v: (B, H, S, D) → (B, H, T, D).
 
     Arbitrary T/S: inputs are zero-padded to block multiples and padded
     keys are masked out in-kernel (kv_valid), so results match the exact
     softmax. GQA: repeat k/v heads before calling.
+
+    Default blocks are measured, not guessed (KERNEL_BENCH.md, v5e sweep
+    2026-08-20): block_q=512 beats 256 ~2× at every S; for S ≤ 2048 a
+    single k block (smallest 512-multiple ≥ S) removes the streaming
+    rescale entirely (S=1500: 2.76 → 1.28 ms at the Whisper encoder
+    shape); for larger S, block_k=1024 balances VMEM vs rescale count.
     """
     B, H, T, D = q.shape
     S = k.shape[2]
+    if block_q is None:
+        block_q = 512
+    if block_k is None:
+        block_k = -(-S // 512) * 512 if S <= 2048 else 1024
     if scale is None:
         scale = D**-0.5
     T_pad = -(-T // block_q) * block_q

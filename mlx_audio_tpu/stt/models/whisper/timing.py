@@ -91,19 +91,37 @@ class WordTiming:
 
 def find_alignment(model, tokenizer, text_tokens: List[int], mel,
                    num_frames: int, *, medfilt_width: int = 7,
-                   qk_scale: float = 1.0) -> List[WordTiming]:
-    """reference timing.py:114-185."""
+                   qk_scale: float = 1.0, cross_kv=None,
+                   pad_to: int = 64) -> List[WordTiming]:
+    """reference timing.py:114-185.
+
+    Token length is bucket-padded (`pad_to`, trailing EOTs) so the jitted
+    cross-qk forward compiles O(1) shapes per bucket instead of one per
+    transcript length; causal self-attention makes rows before the pad
+    bit-identical, and all statistics below slice to the true length
+    first. `cross_kv` reuses an already-encoded window (chunked mode)
+    instead of re-running the encoder on `mel`."""
     if len(text_tokens) == 0:
         return []
-    tokens = np.asarray([*tokenizer.sot_sequence, tokenizer.no_timestamps,
-                         *text_tokens, tokenizer.eot])[None]
-    mel = jnp.asarray(mel)
-    if mel.ndim == 2:
-        mel = mel[None]
-    logits, cross_qk = model.forward_with_cross_qk(mel, tokens)
+    token_list = [*tokenizer.sot_sequence, tokenizer.no_timestamps,
+                  *text_tokens, tokenizer.eot]
+    L = len(token_list)
+    n_ctx = getattr(getattr(model, "dims", None), "n_text_ctx", 0)
+    Lpad = -(-L // max(1, pad_to)) * max(1, pad_to)
+    if n_ctx and Lpad > n_ctx:
+        Lpad = L  # never pad past the positional table; stay exact
+    tokens = np.asarray(
+        token_list + [tokenizer.eot] * (Lpad - L))[None]
+    if cross_kv is not None:
+        logits, cross_qk = model.decoder_cross_qk(cross_kv, tokens)
+    else:
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
+        logits, cross_qk = model.forward_with_cross_qk(mel, tokens)
 
     sot_len = len(tokenizer.sot_sequence)
-    sampled = np.asarray(logits[0][sot_len:-2, : tokenizer.eot],
+    sampled = np.asarray(logits[0][sot_len:L - 2, : tokenizer.eot],
                          np.float32)
     probs = np.exp(sampled - sampled.max(-1, keepdims=True))
     probs /= probs.sum(-1, keepdims=True)
@@ -111,7 +129,7 @@ def find_alignment(model, tokenizer, text_tokens: List[int], mel,
 
     weights = np.stack([np.asarray(cross_qk[l][0, h], np.float32)
                         for l, h in model.alignment_heads])
-    weights = weights[:, :, : num_frames // 2]
+    weights = weights[:, :L, : num_frames // 2]
     w = np.exp(weights * qk_scale
                - (weights * qk_scale).max(-1, keepdims=True))
     w /= w.sum(-1, keepdims=True)

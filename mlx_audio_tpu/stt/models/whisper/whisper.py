@@ -390,6 +390,18 @@ class Model(Module):
         return Model._forward_cross_qk(self, jnp.asarray(mel),
                                        jnp.asarray(tokens, jnp.int32))
 
+    @staticmethod
+    @jax.jit
+    def _decoder_cross_qk_jit(model: "Model", cross_kv, tokens: jax.Array):
+        return model.decoder.forward_with_cross_qk(tokens, cross_kv)
+
+    def decoder_cross_qk(self, cross_kv, tokens):
+        """Like forward_with_cross_qk but reusing already-computed encoder
+        cross K/V (chunked mode: the batched encode already produced them,
+        so DTW word timing skips the second encoder pass)."""
+        return Model._decoder_cross_qk_jit(
+            self, cross_kv, jnp.asarray(tokens, jnp.int32))
+
     # ---- public API parity (reference whisper.py:601-615) ----
 
     def embed_audio(self, mel):
@@ -922,6 +934,9 @@ class Model(Module):
         task: str = "transcribe",
         temperature: float = 0.0,
         without_timestamps: bool = False,
+        word_timestamps: bool = False,
+        prepend_punctuations: str = "\"'“¿([{-",
+        append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
         tokenizer=None,
         max_batch: int = 8,
         **decode_options,
@@ -1023,6 +1038,24 @@ class Model(Module):
                 )
                 seg["id"] = len(all_segments)
                 seg["seek"] = seek
+                if word_timestamps:
+                    # DTW over this window's cross-attention, reusing the
+                    # batched encode's cross K/V (no second encoder pass)
+                    from .timing import add_word_timestamps
+
+                    win_kv = jax.tree.map(
+                        lambda x: x[j:j + 1], cross_kv
+                    )
+                    seg_frames = min(
+                        content_frames - seek, A.N_FRAMES
+                    )
+                    add_word_timestamps(
+                        segments=[seg], model=self, tokenizer=tokenizer,
+                        mel=None, num_frames=seg_frames,
+                        prepend_punctuations=prepend_punctuations,
+                        append_punctuations=append_punctuations,
+                        cross_kv=win_kv,
+                    )
                 all_segments.append(seg)
 
         wall = time.perf_counter() - start_t

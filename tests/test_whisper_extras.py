@@ -108,3 +108,59 @@ def test_generate_streaming_end_to_end():
     for r in results:
         assert r.language == "en"
         assert 0 < r.progress <= 1.0
+
+
+def test_find_alignment_cross_kv_and_padding_invariance():
+    """The bucket-padded, cross_kv-reusing path must be bit-identical to
+    the original exact-length mel path (causal self-attn ⇒ pad rows can't
+    affect earlier rows; stats slice to true length first)."""
+    import jax
+
+    model, tok = tiny()
+    mel = np.random.default_rng(3).standard_normal((3000, 80)).astype(
+        np.float32) * 0.1
+    text_tokens = [20, 21, 22, 23, 24]
+
+    base = find_alignment(model, tok, text_tokens, mel, num_frames=600,
+                          pad_to=1)  # no padding
+    padded = find_alignment(model, tok, text_tokens, mel, num_frames=600,
+                            pad_to=64)
+    _, ckv = Model._encode(model, np.asarray(mel)[None])
+    reuse = find_alignment(model, tok, text_tokens, None, num_frames=600,
+                           cross_kv=ckv, pad_to=64)
+
+    assert len(base) == len(padded) == len(reuse) > 0
+    for a, b in zip(base, padded):
+        assert a.word == b.word and a.tokens == b.tokens
+        np.testing.assert_allclose(
+            [a.start, a.end, a.probability],
+            [b.start, b.end, b.probability], atol=1e-5)
+    for a, c in zip(base, reuse):
+        assert a.word == c.word
+        np.testing.assert_allclose(
+            [a.start, a.end, a.probability],
+            [c.start, c.end, c.probability], atol=1e-5)
+
+
+def test_generate_chunked_word_timestamps():
+    """Chunked fast path emits per-word timings from the batched encode's
+    cross K/V; words stay inside their window's time span."""
+    model, tok = tiny()
+    audio = (np.random.default_rng(11).standard_normal(16000 * 40)
+             * 0.05).astype(np.float32)
+    out = model.generate_chunked(
+        audio, language="en", temperature=0.0, tokenizer=tok,
+        without_timestamps=True, word_timestamps=True, sample_len=8,
+    )
+    assert len(out.segments) == 2
+    for seg in out.segments:
+        assert "words" in seg
+        t_prev = None
+        for w in seg["words"]:
+            assert w["end"] >= w["start"] >= 0.0
+            if t_prev is not None:
+                assert w["start"] >= t_prev - 1e-6
+            t_prev = w["start"]
+    # second window's words are offset by its 30 s seek
+    if out.segments[1]["words"]:
+        assert out.segments[1]["words"][0]["start"] >= 30.0 - 0.5
