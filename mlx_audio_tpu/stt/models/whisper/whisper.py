@@ -932,7 +932,10 @@ class Model(Module):
         *,
         language: Optional[str] = None,
         task: str = "transcribe",
-        temperature: float = 0.0,
+        temperature: Union[float, Sequence[float]] = 0.0,
+        compression_ratio_threshold: Optional[float] = 2.4,
+        logprob_threshold: Optional[float] = -1.0,
+        no_speech_threshold: Optional[float] = 0.6,
         without_timestamps: bool = False,
         word_timestamps: bool = False,
         prepend_punctuations: str = "\"'“¿([{-",
@@ -949,7 +952,15 @@ class Model(Module):
         batched while_loop program (HF-style chunked long-form). The vocab
         projection and per-step loop overhead amortize across windows:
         several times faster than the seek loop on long audio.
-        """
+
+        Pass a temperature SEQUENCE to enable the reference's quality
+        fallback (whisper.py:904-940) batched: the whole group re-decodes
+        at the next temperature while each window keeps its first result
+        that passes the compression-ratio / logprob thresholds — one extra
+        batched dispatch per needed temperature, same executable reused.
+        Windows whose no_speech_prob exceeds `no_speech_threshold` (with a
+        failing logprob) emit no segment, like the seek loop's silence
+        skip."""
         start_t = time.perf_counter()
         unknown = set(decode_options) - set(DecodingOptions.__dataclass_fields__)
         if unknown:
@@ -996,13 +1007,36 @@ class Model(Module):
         )
         from .decoding import decode_window_batch
 
-        opts = DecodingOptions(
-            task=task, language=language, temperature=float(temperature),
-            without_timestamps=without_timestamps, **{
+        temps = (
+            [temperature] if isinstance(temperature, (int, float))
+            else list(temperature)
+        )
+
+        def group_opts(t: float) -> DecodingOptions:
+            kw = {
                 k: v for k, v in decode_options.items()
                 if k in DecodingOptions.__dataclass_fields__
-            },
-        )
+            }
+            # reference decode_with_fallback: beam options apply only at
+            # t=0, best_of only at t>0
+            if t > 0:
+                kw.pop("beam_size", None)
+                kw.pop("patience", None)
+            else:
+                kw.pop("best_of", None)
+            return DecodingOptions(
+                task=task, language=language, temperature=float(t),
+                without_timestamps=without_timestamps, **kw,
+            )
+
+        def result_ok(res) -> bool:
+            if (compression_ratio_threshold is not None
+                    and res.compression_ratio > compression_ratio_threshold):
+                return False
+            if (logprob_threshold is not None
+                    and res.avg_logprob < logprob_threshold):
+                return False
+            return True
 
         all_segments: List[dict] = []
         n_gen = 0
@@ -1011,13 +1045,32 @@ class Model(Module):
             n_group = min(max_batch, n_windows - i0)
             group = jax.lax.dynamic_slice_in_dim(mel_dev, i0, n_group, 0)
             _xa, cross_kv = self._encode(self, group)
-            results = decode_window_batch(
-                self, cross_kv, tokenizer, [sot_seq] * n_group, opts,
-                n_ctx=self.dims.n_text_ctx, n_vocab=self.dims.n_vocab,
-                decoder_step=type(self)._decoder_step,
-                make_caches=self._make_caches,
-            )
+            results: List = [None] * n_group
+            for t in temps:
+                batch = decode_window_batch(
+                    self, cross_kv, tokenizer, [sot_seq] * n_group,
+                    group_opts(t),
+                    n_ctx=self.dims.n_text_ctx, n_vocab=self.dims.n_vocab,
+                    decoder_step=type(self)._decoder_step,
+                    make_caches=self._make_caches,
+                )
+                for j, res in enumerate(batch):
+                    if results[j] is None and (
+                        result_ok(res) or t == temps[-1]
+                    ):
+                        results[j] = res
+                if all(r is not None for r in results):
+                    break
             for j, res in enumerate(results):
+                # no-speech skip (reference whisper.py:942-949): silence
+                # windows emit no segment
+                if (
+                    no_speech_threshold is not None
+                    and res.no_speech_prob > no_speech_threshold
+                    and (logprob_threshold is None
+                         or res.avg_logprob < logprob_threshold)
+                ):
+                    continue
                 seek = starts[i0 + j]
                 time_offset = seek * A.HOP_LENGTH / A.SAMPLE_RATE
                 seg_duration = min(

@@ -364,3 +364,43 @@ def test_hallucination_silence_threshold_runs(tiny):
     for s in out.segments:
         if s["start"] == s["end"]:
             assert s["tokens"] == []
+
+
+def test_generate_chunked_temperature_fallback(tiny):
+    """A temperature sequence re-decodes the group at the next temperature
+    when thresholds fail; with an impossible logprob threshold every
+    window falls through to the last temperature (reference
+    whisper.py:904-940 semantics, batched)."""
+    model, tok = tiny
+    audio = (np.random.default_rng(5).standard_normal(16000 * 40) * 0.05
+             ).astype(np.float32)
+    out = model.generate_chunked(
+        audio, language="en", temperature=(0.0, 0.7), tokenizer=tok,
+        without_timestamps=True, sample_len=6,
+        logprob_threshold=1e9,        # nothing passes -> fallback to 0.7
+        no_speech_threshold=None,
+    )
+    assert len(out.segments) == 2
+    assert all(s["temperature"] == 0.7 for s in out.segments)
+
+    # single float -> no fallback pass, first result kept
+    out0 = model.generate_chunked(
+        audio, language="en", temperature=0.0, tokenizer=tok,
+        without_timestamps=True, sample_len=6,
+        logprob_threshold=1e9, no_speech_threshold=None,
+    )
+    assert all(s["temperature"] == 0.0 for s in out0.segments)
+
+
+def test_generate_chunked_no_speech_skip(tiny):
+    """Windows over the no-speech threshold emit no segment."""
+    model, tok = tiny
+    audio = (np.random.default_rng(6).standard_normal(16000 * 40) * 0.05
+             ).astype(np.float32)
+    out = model.generate_chunked(
+        audio, language="en", temperature=0.0, tokenizer=tok,
+        without_timestamps=True, sample_len=6,
+        no_speech_threshold=-1.0,     # every prob exceeds -> all skipped
+        logprob_threshold=None,
+    )
+    assert out.segments == []
