@@ -936,6 +936,7 @@ class Model(Module):
         compression_ratio_threshold: Optional[float] = 2.4,
         logprob_threshold: Optional[float] = -1.0,
         no_speech_threshold: Optional[float] = 0.6,
+        initial_prompt: Optional[str] = None,
         without_timestamps: bool = False,
         word_timestamps: bool = False,
         prepend_punctuations: str = "\"'“¿([{-",
@@ -1005,6 +1006,15 @@ class Model(Module):
             if without_timestamps
             else tokenizer.sot_sequence
         )
+        # initial_prompt biases every window (reference whisper.py:1009-1013;
+        # windows are independent here, so the prompt prefixes each row —
+        # there is no rolling previous-text context in chunked mode)
+        prompt_row = sot_seq
+        if initial_prompt:
+            prompt_row = self._build_prompt(
+                tokenizer.encode(" " + initial_prompt.strip()),
+                sot_seq, tokenizer,
+            )
         from .decoding import decode_window_batch
 
         temps = (
@@ -1048,7 +1058,7 @@ class Model(Module):
             results: List = [None] * n_group
             for t in temps:
                 batch = decode_window_batch(
-                    self, cross_kv, tokenizer, [sot_seq] * n_group,
+                    self, cross_kv, tokenizer, [prompt_row] * n_group,
                     group_opts(t),
                     n_ctx=self.dims.n_text_ctx, n_vocab=self.dims.n_vocab,
                     decoder_step=type(self)._decoder_step,

@@ -404,3 +404,22 @@ def test_generate_chunked_no_speech_skip(tiny):
         logprob_threshold=None,
     )
     assert out.segments == []
+
+
+def test_generate_chunked_initial_prompt(tiny):
+    """initial_prompt prefixes every window's prompt row (sot_prev +
+    tokens + sot sequence), biasing decode without rolling context."""
+    model, tok = tiny
+    audio = (np.random.default_rng(7).standard_normal(16000 * 40) * 0.05
+             ).astype(np.float32)
+    out = model.generate_chunked(
+        audio, language="en", temperature=0.0, tokenizer=tok,
+        without_timestamps=True, sample_len=6,
+        initial_prompt="medical dictation",
+        no_speech_threshold=None,
+    )
+    assert len(out.segments) == 2
+    # prompt tokens are not part of the emitted transcript tokens
+    for seg in out.segments:
+        assert all(t < tok.timestamp_begin for t in seg["tokens"]
+                   if t < tok.eot)
