@@ -391,10 +391,20 @@ class Model(Module):
 
     def generate(self, text: str, ref_audio=None, ref_text: Optional[str] = None,
                  instruct_text: Optional[str] = None, source_audio=None,
-                 max_tokens: int = 2000, stream: bool = False, seed: int = 0,
-                 **kwargs):
+                 voice: Optional[str] = None, speed: float = 1.0,
+                 lang_code: str = "a", temperature: float = 0.7,
+                 max_tokens: int = 2000, verbose: bool = True,
+                 stream: bool = False, streaming_interval: float = 2.0,
+                 seed: int = 0, **kwargs):
         """Zero-shot / cross-lingual / instruct / VC dispatch
-        (reference cosyvoice2.py:1031-1345). ref_audio: 16 kHz mono."""
+        (reference cosyvoice2.py:1031-1345). ref_audio: 16 kHz mono.
+
+        ``voice``/``speed``/``lang_code``/``temperature``/``streaming_interval``
+        are accepted for CLI option parity and ignored, exactly as the
+        reference documents (cosyvoice2.py:1068-1076: "Ignored"). ``stream``
+        is likewise accepted; like the reference, generation yields a single
+        result. ``verbose`` prints mode + timing status.
+        """
         from ..base import GenerationResult
 
         if ref_audio is None:
@@ -428,6 +438,13 @@ class Model(Module):
         key = jax.random.PRNGKey(seed)
         text_ids = np.asarray(tokenizer.encode(text), np.int32)
 
+        if verbose:
+            mode = ("vc" if source_audio is not None else
+                    "instruct" if instruct_text is not None else
+                    "zero-shot" if ref_text else "cross-lingual")
+            print(f"CosyVoice2 {mode}: {len(text_ids)} text tokens, "
+                  f"{prompt_speech_token.shape[1]} prompt speech tokens")
+
         if source_audio is not None:
             src = np.asarray(source_audio, np.float32).reshape(-1)
             smel, smel_len = padding([np.asarray(log_mel_spectrogram(src))])
@@ -451,9 +468,11 @@ class Model(Module):
         audio = np.asarray(audio).reshape(-1)
         elapsed = time.time() - start
         dur = len(audio) / self.sample_rate
+        if verbose:
+            print(f"CosyVoice2: {dur:.2f}s audio in {elapsed:.2f}s")
         yield GenerationResult(
             audio=audio, samples=len(audio), sample_rate=self.sample_rate,
-            segment_idx=0, token_count=0,
+            segment_idx=0, token_count=int(np.asarray(text_ids).size),
             audio_duration=f"{dur:.2f}s",
             real_time_factor=elapsed / max(dur, 1e-9),
             prompt={"tokens": int(np.asarray(text_ids).size)},

@@ -608,7 +608,7 @@ class Model(Module):
         return jnp.concatenate([cond, text_emb], axis=1)
 
     def generate(self, text: str, ref_audio=None, ref_mel=None,
-                 max_tokens: int = 600, temperature: float = 0.8,
+                 max_tokens: int = 5000, temperature: float = 0.8,
                  top_k: int = 30, seed: Optional[int] = None,
                  sampler=None, verbose: bool = False,
                  **kwargs) -> Generator[GenerationResult, None, None]:

@@ -137,7 +137,7 @@ def run_all():
 
     Each test runs in its OWN pytest process: the axon backend holds
     compiled programs + buffers for the life of a process, and module
-    fixtures keep model weights alive, so a single 46-file run
+    fixtures keep model weights alive, so a single all-families run
     accumulates until the backend starts failing dispatches with
     UNIMPLEMENTED. Per-test processes release everything between
     families (verified: tests that failed in the single-process run

@@ -154,3 +154,42 @@ def test_model_wrapper_generate():
     assert len(results) == 1
     assert results[0].audio.size > 0
     assert np.isfinite(results[0].audio).all()
+
+
+def test_generate_option_surface_matches_reference(capsys):
+    """generate() accepts the reference's full option surface
+    (reference cosyvoice2.py:1031-1076): voice/speed/lang_code/temperature/
+    streaming_interval are accepted-and-ignored, stream is accepted,
+    verbose controls status prints."""
+
+    class FakeTok:
+        def encode(self, s):
+            return [(ord(c) % 100) + 1 for c in s][:8]
+
+    class FakeS3:
+        def quantize(self, mel, mel_len):
+            n = max(2, int(mel_len[0]) // 100)
+            return np.random.randint(0, 40, (1, n)), np.array([n])
+
+    class FakeSpk:
+        def inference(self, audio):
+            return jnp.zeros((1, 8))
+
+    cfg = ModelConfig(sample_rate=24000)
+    cfg.cosyvoice2 = tiny_config()
+    model = Model(cfg)
+    model.set_runtime(tokenizer=FakeTok(), s3_tokenizer=FakeS3(),
+                      speaker_encoder=FakeSpk())
+    ref = np.random.randn(16000).astype(np.float32) * 0.1
+
+    r_quiet = list(model.generate(
+        "hi", ref_audio=ref, voice="af_heart", speed=1.5, lang_code="b",
+        temperature=0.9, verbose=False, stream=True, streaming_interval=0.5,
+        seed=0))
+    assert capsys.readouterr().out == ""
+    assert len(r_quiet) == 1 and r_quiet[0].audio.size > 0
+    assert r_quiet[0].token_count == 2  # len(tokenizer.encode("hi"))
+
+    list(model.generate("hi", ref_audio=ref, verbose=True, seed=0))
+    out = capsys.readouterr().out
+    assert "cross-lingual" in out and "audio in" in out

@@ -76,3 +76,15 @@ def test_text_normalization():
     assert N.correct_pinyin("ma1") == "ma1"
     assert N.tokenize_by_CJK_char("你好世界是 hello world 的中文") == \
         "你 好 世 界 是 HELLO WORLD 的 中 文"
+
+
+def test_generate_default_max_tokens_matches_reference():
+    """Default max_tokens is 5000 (reference indextts.py:359); the decode
+    loop itself is capped by gpt.max_mel_tokens so the large default costs
+    nothing."""
+    import inspect
+
+    from mlx_audio_tpu.tts.models.indextts.indextts import Model
+
+    sig = inspect.signature(Model.generate)
+    assert sig.parameters["max_tokens"].default == 5000
