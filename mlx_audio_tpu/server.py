@@ -276,22 +276,83 @@ def _stream_transcription(model, x, payload):
         yield (json.dumps(item) + "\n").encode()
 
 
+class EnergyGate:
+    """RMS-energy speech gate — the dependency-free fallback when
+    webrtcvad is not installed."""
+
+    def __init__(self, threshold: float = 0.01, sample_rate: int = 16000):
+        self.threshold = threshold
+        self.sample_rate = sample_rate
+
+    def has_speech(self, frame: np.ndarray) -> bool:
+        if not len(frame):
+            return False
+        return float(np.sqrt((frame ** 2).mean() + 1e-12)) > self.threshold
+
+
+class WebRTCGate:
+    """webrtcvad speech gate matching the reference's WS endpoint
+    (reference server.py:439-508): Vad(mode=3), 30 ms frames, a chunk
+    counts as speech if ANY frame does, and VAD errors conservatively
+    assume speech."""
+
+    FRAME_MS = 30
+
+    def __init__(self, sample_rate: int = 16000, mode: int = 3, vad=None):
+        if vad is None:
+            import webrtcvad  # gated: optional dependency
+
+            vad = webrtcvad.Vad(mode)
+        self.vad = vad
+        self.sample_rate = sample_rate
+        self.frame_size = int(sample_rate * self.FRAME_MS / 1000)
+
+    def has_speech(self, frame: np.ndarray) -> bool:
+        pcm16 = (np.clip(frame, -1.0, 1.0) * 32767.0).astype("<i2")
+        n = len(pcm16) // self.frame_size
+        for i in range(n):
+            chunk = pcm16[i * self.frame_size:(i + 1) * self.frame_size]
+            try:
+                if self.vad.is_speech(chunk.tobytes(), self.sample_rate):
+                    return True
+            except (ValueError, OSError):
+                return True  # conservative, like the reference
+        # tail shorter than one VAD frame: fall back to energy so very
+        # small chunks aren't silently dropped
+        if n == 0 and len(pcm16):
+            return EnergyGate(sample_rate=self.sample_rate).has_speech(frame)
+        return False
+
+
+def make_vad_gate(sample_rate: int = 16000, energy_threshold: float = 0.01):
+    """webrtcvad when importable (the reference's gating), else the
+    energy fallback."""
+    try:
+        return WebRTCGate(sample_rate=sample_rate)
+    except ImportError:
+        return EnergyGate(threshold=energy_threshold,
+                          sample_rate=sample_rate)
+
+
 class RealtimeSTTSession:
     """Transport-independent realtime STT state machine (reference
     server.py:415-706): 16 kHz int16 PCM frames in → partial transcripts
     every `partial_interval` s of buffered speech, finals on
-    `silence_gap` s of silence or at `max_buffer` s. Energy-gated VAD
-    stands in for webrtcvad (same thresholds as the WS endpoint)."""
+    `silence_gap` s of silence or at `max_buffer` s. Speech gating uses
+    webrtcvad when available, else RMS energy (`make_vad_gate`)."""
 
     def __init__(self, model, partial_interval: float = 1.5,
                  silence_gap: float = 0.5, max_buffer: float = 30.0,
-                 energy_threshold: float = 0.01, sample_rate: int = 16000):
+                 energy_threshold: float = 0.01, sample_rate: int = 16000,
+                 vad_gate=None):
         self.model = model
         self.partial_interval = partial_interval
         self.silence_gap = silence_gap
         self.max_buffer = max_buffer
         self.energy_threshold = energy_threshold
         self.sample_rate = sample_rate
+        self.vad_gate = vad_gate or make_vad_gate(sample_rate,
+                                                  energy_threshold)
         self.buffer = np.zeros(0, np.float32)
         self.silence_run = 0.0
         self.last_partial = 0.0
@@ -304,8 +365,7 @@ class RealtimeSTTSession:
     def feed(self, pcm16: bytes) -> List[dict]:
         """Feed raw int16 PCM; returns 0+ events {type: partial|final, text}."""
         frame = np.frombuffer(pcm16, np.int16).astype(np.float32) / 32768.0
-        energy = float(np.sqrt((frame**2).mean() + 1e-12)) if len(frame) else 0.0
-        if energy > self.energy_threshold:
+        if self.vad_gate.has_speech(frame):
             self.silence_run = 0.0
             self.speech_seen = True
         else:

@@ -314,3 +314,94 @@ def test_stdlib_websocket_streaming_tts():
         sock.close()
     finally:
         httpd.shutdown()
+
+
+def test_webrtc_gate_frames_and_conservative_errors():
+    """WebRTCGate matches the reference's gating (server.py:439-508):
+    30 ms frames, any-speech-frame wins, VAD errors assume speech."""
+
+    class FakeVad:
+        def __init__(self):
+            self.calls = []
+
+        def is_speech(self, chunk, sr):
+            self.calls.append((len(chunk), sr))
+            if sr != 16000:
+                raise ValueError("bad rate")
+            # detect "speech" if mean |pcm| is large
+            x = np.frombuffer(chunk, "<i2")
+            return float(np.abs(x).mean()) > 1000
+
+    vad = FakeVad()
+    gate = srv.WebRTCGate(sample_rate=16000, vad=vad)
+    assert gate.frame_size == 480  # 30 ms @ 16 kHz
+
+    loud = np.full(960, 0.5, np.float32)   # 2 frames of speech
+    quiet = np.zeros(960, np.float32)
+    assert gate.has_speech(loud) is True
+    assert gate.has_speech(quiet) is False
+    # exact 30 ms framing: 960 samples → 2 calls of 480*2 bytes each
+    assert all(nbytes == 960 and sr == 16000 for nbytes, sr in vad.calls)
+
+    # VAD error → conservative assume-speech (reference behavior)
+    err_gate = srv.WebRTCGate(sample_rate=8000, vad=FakeVad())
+    assert err_gate.has_speech(np.zeros(8000, np.float32)) is True
+
+    # sub-frame tail falls back to energy gating
+    assert gate.has_speech(np.full(100, 0.5, np.float32)) is True
+    assert gate.has_speech(np.zeros(100, np.float32)) is False
+
+
+def test_realtime_session_with_webrtc_gate():
+    """The session behaves identically with a webrtcvad-style gate."""
+
+    class FakeVad:
+        def is_speech(self, chunk, sr):
+            x = np.frombuffer(chunk, "<i2")
+            return float(np.abs(x).mean()) > 1000
+
+    gate = srv.WebRTCGate(sample_rate=16000, vad=FakeVad())
+    s = srv.RealtimeSTTSession(SlowSTT(), partial_interval=1.0,
+                               silence_gap=0.5, vad_gate=gate)
+    events = []
+    for _ in range(8):
+        events += s.feed(_pcm(0.25, 0.5))
+    assert any(e["type"] == "partial" for e in events)
+    events2 = []
+    for _ in range(3):
+        events2 += s.feed(_pcm(0.25, 0.0))
+    assert any(e["type"] == "final" for e in events2)
+
+
+def test_make_vad_gate_fallback(monkeypatch):
+    """Without webrtcvad installed the factory returns the energy gate;
+    with it (faked), the WebRTC gate."""
+    import builtins
+    import sys
+    import types
+
+    real_import = builtins.__import__
+
+    def no_webrtc(name, *a, **k):
+        if name == "webrtcvad":
+            raise ImportError("nope")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_webrtc)
+    assert isinstance(srv.make_vad_gate(), srv.EnergyGate)
+    monkeypatch.setattr(builtins, "__import__", real_import)
+
+    fake = types.ModuleType("webrtcvad")
+
+    class Vad:
+        def __init__(self, mode):
+            self.mode = mode
+
+        def is_speech(self, chunk, sr):
+            return False
+
+    fake.Vad = Vad
+    monkeypatch.setitem(sys.modules, "webrtcvad", fake)
+    gate = srv.make_vad_gate()
+    assert isinstance(gate, srv.WebRTCGate)
+    assert gate.vad.mode == 3  # reference uses most-aggressive mode
