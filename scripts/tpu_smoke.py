@@ -149,24 +149,36 @@ def run_all():
 
     env = dict(os.environ, MLX_AUDIO_TPU_TESTS="1")
     repo = Path(__file__).parent.parent
-    print(f"{len(ALL_FAMILY_TESTS)} family tests, one process each",
+    # --resume <log>: skip tests already recorded as PASS in a previous
+    # run's log (lets an interrupted sweep continue without repaying
+    # compiles for families that already proved out).
+    done = set()
+    if "--resume" in sys.argv:
+        log = Path(sys.argv[sys.argv.index("--resume") + 1])
+        for line in log.read_text().splitlines():
+            if " PASS " in line:
+                done.add(line.split()[-1])
+    todo = [t for t in ALL_FAMILY_TESTS if t not in done]
+    print(f"{len(todo)} family tests, one process each"
+          + (f" ({len(done)} already passed, skipped)" if done else ""),
           flush=True)
     failures = []
-    for i, test in enumerate(ALL_FAMILY_TESTS, 1):
+    for i, test in enumerate(todo, 1):
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "-q", "--tb=line",
              "-p", "no:cacheprovider", test],
             cwd=repo, env=env, capture_output=True, text=True)
         status = "PASS" if r.returncode == 0 else "FAIL"
-        print(f"[{i:2}/{len(ALL_FAMILY_TESTS)}] {status} "
+        print(f"[{i:2}/{len(todo)}] {status} "
               f"{time.time() - t0:6.1f}s {test}", flush=True)
         if r.returncode != 0:
             failures.append(test)
             tail = (r.stdout + r.stderr).strip().splitlines()[-12:]
             print("\n".join("      " + ln for ln in tail), flush=True)
-    print(f"\n{len(ALL_FAMILY_TESTS) - len(failures)}/"
-          f"{len(ALL_FAMILY_TESTS)} families passed on real TPU", flush=True)
+    print(f"\n{len(todo) - len(failures)}/"
+          f"{len(todo)} families passed on real TPU "
+          f"this run ({len(done)} carried over)", flush=True)
     sys.exit(1 if failures else 0)
 
 
