@@ -122,7 +122,16 @@ def generate_transcription(
         streamed = result is not None
         if not streamed and verbose:
             print("(model has no streaming entry point; running batch decode)")
+    if result is None and kwargs.pop("chunked", False) and \
+            hasattr(model, "generate_chunked"):
+        # batch-parallel long-form fast path (Whisper); rolling-context
+        # conditioning stays available via condition_on_previous_text,
+        # decoded as a parallel fixpoint instead of a sequential loop
+        call_kwargs = _adapt_kwargs(model.generate_chunked, kwargs,
+                                    passthrough)
+        result = model.generate_chunked(audio, **call_kwargs)
     if result is None:
+        kwargs.pop("chunked", None)
         call_kwargs = _adapt_kwargs(model.generate, kwargs, passthrough)
         dropped = sorted(set(kwargs) - set(call_kwargs) - {"task"})
         if dropped and verbose:
@@ -170,6 +179,12 @@ def parse_args(argv=None):
                    help="AlignAtt frame threshold (streaming Whisper)")
     p.add_argument("--stream", action="store_true",
                    help="Stream the transcription as it is generated")
+    p.add_argument("--chunked", action="store_true",
+                   help="Batch-parallel long-form decode (Whisper): all 30s "
+                        "windows in one batched program")
+    p.add_argument("--condition-on-previous-text", action="store_true",
+                   help="Rolling previous-text conditioning; with --chunked "
+                        "it runs as a parallel fixpoint at near-chunked speed")
     p.add_argument("--context", default=None,
                    help="Context/hotwords string to guide transcription")
     p.add_argument("--prefill-step-size", type=int, default=None)
@@ -195,6 +210,10 @@ def main(argv=None):
         v = getattr(args, name)
         if v is not None:
             kwargs[name] = v
+    if args.chunked:
+        kwargs["chunked"] = True
+    if args.condition_on_previous_text:
+        kwargs["condition_on_previous_text"] = True
     generate_transcription(
         model_path=args.model,
         audio=args.audio,

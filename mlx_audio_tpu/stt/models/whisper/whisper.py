@@ -936,6 +936,7 @@ class Model(Module):
         compression_ratio_threshold: Optional[float] = 2.4,
         logprob_threshold: Optional[float] = -1.0,
         no_speech_threshold: Optional[float] = 0.6,
+        condition_on_previous_text: bool = False,
         initial_prompt: Optional[str] = None,
         without_timestamps: bool = False,
         word_timestamps: bool = False,
@@ -943,6 +944,7 @@ class Model(Module):
         append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
         tokenizer=None,
         max_batch: int = 8,
+        max_sweeps: int = 4,
         **decode_options,
     ) -> STTOutput:
         """Batch-parallel long-form transcription (TPU-first fast path).
@@ -961,7 +963,23 @@ class Model(Module):
         batched dispatch per needed temperature, same executable reused.
         Windows whose no_speech_prob exceeds `no_speech_threshold` (with a
         failing logprob) emit no segment, like the seek loop's silence
-        skip."""
+        skip.
+
+        ``condition_on_previous_text=True`` keeps the seek loop's rolling
+        previous-text conditioning (reference whisper.py:898-903 prompt +
+        :1232-1233 high-temperature reset) WITHOUT giving up batching: the
+        windows are decoded as a parallel fixpoint. Sweep 1 decodes every
+        window unconditioned; each later sweep rebuilds every window's
+        prompt from the current estimates of the earlier windows' text and
+        re-decodes ONLY the windows whose prompt changed, as one batch.
+        Window k's prompt depends only on windows < k, so the stable
+        prefix grows monotonically and the iteration reaches the exact
+        sequential-induction result; in the common case where
+        conditioning doesn't flip any window's text it converges after 2
+        sweeps (~2× the unconditioned cost instead of the sequential seek
+        loop's per-window dispatches). After ``max_sweeps`` sweeps any
+        still-unstable tail is finished sequentially (exact), bounding the
+        worst case."""
         start_t = time.perf_counter()
         unknown = set(decode_options) - set(DecodingOptions.__dataclass_fields__)
         if unknown:
@@ -1051,75 +1069,162 @@ class Model(Module):
         all_segments: List[dict] = []
         n_gen = 0
         time_precision = 0.02
-        for i0 in range(0, n_windows, max_batch):
-            n_group = min(max_batch, n_windows - i0)
-            group = jax.lax.dynamic_slice_in_dim(mel_dev, i0, n_group, 0)
+        n_sweeps = 0
+
+        def is_silent(res) -> bool:
+            # no-speech skip (reference whisper.py:942-949): silence
+            # windows emit no segment (and contribute no rolling context)
+            return (
+                no_speech_threshold is not None
+                and res.no_speech_prob > no_speech_threshold
+                and (logprob_threshold is None
+                     or res.avg_logprob < logprob_threshold)
+            )
+
+        def decode_idxs(idxs, rows):
+            """Encode + temperature-fallback decode of the given window
+            indices in one batched program; rows must share a length."""
+            group = mel_dev[jnp.asarray(np.asarray(idxs, np.int32))]
             _xa, cross_kv = self._encode(self, group)
-            results: List = [None] * n_group
+            got: List = [None] * len(idxs)
             for t in temps:
                 batch = decode_window_batch(
-                    self, cross_kv, tokenizer, [prompt_row] * n_group,
-                    group_opts(t),
+                    self, cross_kv, tokenizer, rows, group_opts(t),
                     n_ctx=self.dims.n_text_ctx, n_vocab=self.dims.n_vocab,
                     decoder_step=type(self)._decoder_step,
                     make_caches=self._make_caches,
                 )
                 for j, res in enumerate(batch):
-                    if results[j] is None and (
-                        result_ok(res) or t == temps[-1]
-                    ):
-                        results[j] = res
-                if all(r is not None for r in results):
+                    if got[j] is None and (result_ok(res) or t == temps[-1]):
+                        got[j] = res
+                if all(r is not None for r in got):
                     break
-            for j, res in enumerate(results):
-                # no-speech skip (reference whisper.py:942-949): silence
-                # windows emit no segment
-                if (
-                    no_speech_threshold is not None
-                    and res.no_speech_prob > no_speech_threshold
-                    and (logprob_threshold is None
-                         or res.avg_logprob < logprob_threshold)
-                ):
-                    continue
-                seek = starts[i0 + j]
-                time_offset = seek * A.HOP_LENGTH / A.SAMPLE_RATE
-                seg_duration = min(
-                    (content_frames - seek) * A.HOP_LENGTH / A.SAMPLE_RATE,
-                    30.0,
-                )
-                tokens = res.tokens
-                n_gen += len(tokens) + 1
-                ts = tokenizer.timestamp_begin
-                ts_tokens = [t for t in tokens if t >= ts]
-                end_ts = seg_duration
-                if ts_tokens and ts_tokens[-1] != ts:
-                    end_ts = min(
-                        (ts_tokens[-1] - ts) * time_precision, seg_duration
-                    )
-                seg = self._segment(
-                    time_offset, time_offset + end_ts, tokens, tokenizer, res
-                )
-                seg["id"] = len(all_segments)
-                seg["seek"] = seek
-                if word_timestamps:
-                    # DTW over this window's cross-attention, reusing the
-                    # batched encode's cross K/V (no second encoder pass)
-                    from .timing import add_word_timestamps
+            return got, cross_kv
 
-                    win_kv = jax.tree.map(
-                        lambda x: x[j:j + 1], cross_kv
+        def assemble(seek, res, win_kv) -> None:
+            """Silence skip + segment build for one window (shared by the
+            unconditioned group loop and the conditioned fixpoint)."""
+            nonlocal n_gen
+            if is_silent(res):
+                return
+            time_offset = seek * A.HOP_LENGTH / A.SAMPLE_RATE
+            seg_duration = min(
+                (content_frames - seek) * A.HOP_LENGTH / A.SAMPLE_RATE,
+                30.0,
+            )
+            tokens = res.tokens
+            n_gen += len(tokens) + 1
+            ts = tokenizer.timestamp_begin
+            ts_tokens = [t for t in tokens if t >= ts]
+            end_ts = seg_duration
+            if ts_tokens and ts_tokens[-1] != ts:
+                end_ts = min(
+                    (ts_tokens[-1] - ts) * time_precision, seg_duration
+                )
+            seg = self._segment(
+                time_offset, time_offset + end_ts, tokens, tokenizer, res
+            )
+            seg["id"] = len(all_segments)
+            seg["seek"] = seek
+            if win_kv is not None:
+                # DTW over this window's cross-attention, reusing the
+                # batched encode's cross K/V (no second encoder pass)
+                from .timing import add_word_timestamps
+
+                seg_frames = min(content_frames - seek, A.N_FRAMES)
+                add_word_timestamps(
+                    segments=[seg], model=self, tokenizer=tokenizer,
+                    mel=None, num_frames=seg_frames,
+                    prepend_punctuations=prepend_punctuations,
+                    append_punctuations=append_punctuations,
+                    cross_kv=win_kv,
+                )
+            all_segments.append(seg)
+
+        if condition_on_previous_text:
+            # Parallel fixpoint over the window chain (see docstring).
+            init_tokens = (
+                tokenizer.encode(" " + initial_prompt.strip())
+                if initial_prompt else []
+            )
+
+            def desired_row(k, cur) -> List[int]:
+                """Prompt row window k would receive in the sequential
+                seek loop, given current estimates `cur` of the earlier
+                windows' results (reference whisper.py:898-903)."""
+                toks = list(init_tokens)
+                for j in range(k):
+                    r = cur[j]
+                    if r is None or is_silent(r):
+                        continue
+                    toks.extend(r.tokens)
+                    if r.temperature > 0.5:
+                        # high-temperature fallback resets the rolling
+                        # context (reference whisper.py:1232-1233)
+                        toks = []
+                return (self._build_prompt(toks, sot_seq, tokenizer)
+                        if toks else list(sot_seq))
+
+            results: List = [None] * n_windows
+            used: List = [None] * n_windows
+            while True:
+                desired = [desired_row(k, results) for k in range(n_windows)]
+                todo = [k for k in range(n_windows) if used[k] != desired[k]]
+                if not todo:
+                    break
+                n_sweeps += 1
+                if n_sweeps > max_sweeps:
+                    # Exact sequential finish for a still-unstable tail:
+                    # each window gets its final-chain prompt in order, so
+                    # this terminates with seek-loop-exact conditioning.
+                    for k in todo:
+                        row = desired_row(k, results)
+                        got, _ = decode_idxs([k], [row])
+                        results[k], used[k] = got[0], row
+                    continue
+                # Window k's prompt depends only on windows < k, so the
+                # stable prefix grows every sweep — ≤ n_windows sweeps.
+                by_len: dict = {}
+                for k in todo:
+                    by_len.setdefault(len(desired[k]), []).append(k)
+                for _L, idxs in sorted(by_len.items()):
+                    for g0 in range(0, len(idxs), max_batch):
+                        sub = idxs[g0:g0 + max_batch]
+                        # pad to a power-of-two bucket so later sweeps
+                        # reuse the compiled batch sizes
+                        bucket = 1
+                        while bucket < len(sub):
+                            bucket *= 2
+                        psub = sub + [sub[-1]] * (bucket - len(sub))
+                        got, _ = decode_idxs(
+                            psub, [desired[k] for k in psub])
+                        for k, r in zip(sub, got[:len(sub)]):
+                            results[k], used[k] = r, desired[k]
+
+            for i0 in range(0, n_windows, max_batch):
+                idxs = list(range(i0, min(i0 + max_batch, n_windows)))
+                win_kvs = [None] * len(idxs)
+                if word_timestamps:
+                    # one extra encoder pass per group for the DTW K/V
+                    group = mel_dev[jnp.asarray(np.asarray(idxs, np.int32))]
+                    _xa, ckv = self._encode(self, group)
+                    win_kvs = [
+                        jax.tree.map(lambda x, j=j: x[j:j + 1], ckv)
+                        for j in range(len(idxs))
+                    ]
+                for j, k in enumerate(idxs):
+                    assemble(starts[k], results[k], win_kvs[j])
+        else:
+            for i0 in range(0, n_windows, max_batch):
+                idxs = list(range(i0, min(i0 + max_batch, n_windows)))
+                got, cross_kv = decode_idxs(
+                    idxs, [prompt_row] * len(idxs))
+                for j, k in enumerate(idxs):
+                    win_kv = (
+                        jax.tree.map(lambda x, j=j: x[j:j + 1], cross_kv)
+                        if word_timestamps else None
                     )
-                    seg_frames = min(
-                        content_frames - seek, A.N_FRAMES
-                    )
-                    add_word_timestamps(
-                        segments=[seg], model=self, tokenizer=tokenizer,
-                        mel=None, num_frames=seg_frames,
-                        prepend_punctuations=prepend_punctuations,
-                        append_punctuations=append_punctuations,
-                        cross_kv=win_kv,
-                    )
-                all_segments.append(seg)
+                    assemble(starts[k], got[j], win_kv)
 
         wall = time.perf_counter() - start_t
         text = "".join(s["text"] for s in all_segments).strip()
@@ -1133,7 +1238,10 @@ class Model(Module):
             duration=content_duration,
             extra={"wall_seconds": wall,
                    "xrt": content_duration / max(wall, 1e-9),
-                   "mode": "chunked"},
+                   "mode": ("chunked+conditioned"
+                            if condition_on_previous_text else "chunked"),
+                   **({"sweeps": n_sweeps}
+                      if condition_on_previous_text else {})},
         )
 
     def get_tokenizer(self, language: str = "en", task: str = "transcribe"):

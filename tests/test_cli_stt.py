@@ -94,3 +94,20 @@ def test_cli_all_formats(whisper_ckpt, tone_wav, tmp_path):
           "--gen-kwargs", json.dumps({"sample_len": 6})])
     exts = {p.suffix for p in out.rglob("*") if p.is_file()}
     assert {".txt", ".srt", ".vtt", ".tsv", ".json"} <= exts, exts
+
+
+def test_cli_chunked_conditioned(whisper_ckpt, tone_wav, tmp_path):
+    """--chunked routes to generate_chunked; with
+    --condition-on-previous-text it runs the parallel-fixpoint
+    conditioning and still writes output files."""
+    from mlx_audio_tpu.stt.generate import main
+
+    out = tmp_path / "out_chunked"
+    main(["--model", str(whisper_ckpt), "--audio", tone_wav,
+          "--output-path", str(out), "--format", "txt",
+          "--chunked", "--condition-on-previous-text",
+          "--temperature", "0.0",
+          "--gen-kwargs", json.dumps({"sample_len": 8})])
+    written = (list(out.glob("*.txt")) if out.is_dir()
+               else [out.with_suffix(".txt")])
+    assert any(p.exists() for p in written), list(out.parent.rglob("*"))

@@ -423,3 +423,82 @@ def test_generate_chunked_initial_prompt(tiny):
     for seg in out.segments:
         assert all(t < tok.timestamp_begin for t in seg["tokens"]
                    if t < tok.eot)
+
+
+def test_generate_chunked_conditioned_matches_sequential_chain(tiny):
+    """condition_on_previous_text=True in chunked mode reproduces the
+    sequential induction exactly: window k's final decode uses the prompt
+    built from the FINAL tokens of windows < k (same 30 s windowing).
+    Verified against an explicit one-window-at-a-time loop."""
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.stt.models.whisper.decoding import (
+        DecodingOptions,
+        decode_window_batch,
+    )
+
+    model, tok = tiny
+    audio = (np.random.default_rng(11).standard_normal(16000 * 85) * 0.05
+             ).astype(np.float32)
+
+    out = model.generate_chunked(
+        audio, language="en", temperature=0.0, tokenizer=tok,
+        without_timestamps=True, sample_len=8,
+        condition_on_previous_text=True,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert out.extra["mode"] == "chunked+conditioned"
+    assert out.extra["sweeps"] >= 2  # sweep 1 unconditioned, ≥1 re-decode
+
+    # explicit sequential reference with the same fixed-stride windowing
+    mel_dev, _ = model._mel_chunks_device(audio)
+    n_windows = len(out.segments)
+    assert n_windows == 3
+    sot_seq = list(tok.sot_sequence_including_notimestamps)
+    opts = DecodingOptions(task="transcribe", language="en",
+                           temperature=0.0, without_timestamps=True,
+                           sample_len=8)
+    prev: list = []
+    seq_tokens = []
+    for k in range(n_windows):
+        row = (model._build_prompt(prev, sot_seq, tok) if prev
+               else list(sot_seq))
+        _xa, ckv = Model._encode(model, mel_dev[k:k + 1])
+        res = decode_window_batch(
+            model, ckv, tok, [row], opts,
+            n_ctx=model.dims.n_text_ctx, n_vocab=model.dims.n_vocab,
+            decoder_step=type(model)._decoder_step,
+            make_caches=model._make_caches,
+        )[0]
+        seq_tokens.append(list(res.tokens))
+        prev.extend(res.tokens)
+
+    assert [list(s["tokens"]) for s in out.segments] == seq_tokens
+
+    # and the conditioning is not a no-op on this input: the unconditioned
+    # transcription differs for at least one later window
+    out0 = model.generate_chunked(
+        audio, language="en", temperature=0.0, tokenizer=tok,
+        without_timestamps=True, sample_len=8,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert [list(s["tokens"]) for s in out0.segments] != seq_tokens
+
+
+def test_generate_chunked_conditioned_sequential_fallback(tiny):
+    """max_sweeps=0 forces the exact sequential-finish path; it must give
+    the same chain as the fixpoint."""
+    model, tok = tiny
+    audio = (np.random.default_rng(12).standard_normal(16000 * 85) * 0.05
+             ).astype(np.float32)
+    kw = dict(language="en", temperature=0.0, tokenizer=tok,
+              without_timestamps=True, sample_len=8,
+              condition_on_previous_text=True,
+              no_speech_threshold=None, logprob_threshold=None,
+              compression_ratio_threshold=None)
+    fix = model.generate_chunked(audio, **kw)
+    seq = model.generate_chunked(audio, max_sweeps=0, **kw)
+    assert [s["tokens"] for s in fix.segments] == \
+        [s["tokens"] for s in seq.segments]
