@@ -20,9 +20,13 @@ number is a LOWER bound; `detail.sample_len` records the cap used.
 import json
 import sys
 import time
+import warnings
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
+
+# keep the driver-captured output tail to the JSON metric lines
+warnings.filterwarnings("ignore")
 
 import jax
 import numpy as np
@@ -125,8 +129,7 @@ def bench_kokoro():
     )
 
 
-def bench_whisper(seconds: float = 120.0, runs: int = 2,
-                  long_seconds: float = 600.0):
+def build_whisper_turbo():
     from mlx_audio_tpu.nn.module import cast_floats
     from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
     from mlx_audio_tpu.stt.models.whisper.tokenizer import DummyTokenizer
@@ -137,9 +140,11 @@ def bench_whisper(seconds: float = 120.0, runs: int = 2,
         n_audio_layer=32, n_vocab=51866, n_text_ctx=448, n_text_state=1280,
         n_text_head=20, n_text_layer=4,
     )
-    model = cast_floats(Model(dims))
-    tok = DummyTokenizer(n_vocab=51866)
+    return cast_floats(Model(dims)), DummyTokenizer(n_vocab=51866)
 
+
+def bench_whisper(model, tok, seconds: float = 120.0, runs: int = 2,
+                  long_seconds: float = 600.0):
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(int(16000 * seconds)) * 0.05).astype(np.float32)
 
@@ -206,9 +211,223 @@ def bench_whisper(seconds: float = 120.0, runs: int = 2,
         )
 
 
+def bench_whisper_conditioned(model, tok, long_seconds: float = 600.0,
+                              runs: int = 1):
+    """Conditioned long-form at chunked speed: the parallel-fixpoint
+    decode keeps the seek loop's rolling previous-text semantics
+    (whisper.py generate_chunked condition_on_previous_text). Random
+    weights are the fixpoint's worst case (every prompt change flips the
+    random argmax, so no window ever stabilizes); the bench therefore
+    measures the 2-sweep operating point (strict_conditioning=False),
+    which is where real checkpoints converge. The sequential seek loop
+    baseline for this mode is ~67x (SKILL.md 2026-08-20)."""
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(int(16000 * long_seconds)) * 0.05
+             ).astype(np.float32)
+
+    def run_once():
+        return model.generate_chunked(
+            audio, language="en", temperature=0.0, tokenizer=tok,
+            without_timestamps=True, sample_len=96,
+            condition_on_previous_text=True, max_sweeps=2,
+            strict_conditioning=False,
+        )
+
+    t0 = time.perf_counter()
+    out = run_once()
+    compile_wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = run_once()
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    xrt = long_seconds / wall
+    target = 40.0
+    print(json.dumps({
+        "metric": "whisper_long_conditioned_xrt",
+        "value": round(xrt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / target, 3),
+        "detail": {
+            "mode": "chunked+conditioned",
+            "decode_length_model": "realistic_len96",
+            "audio_seconds": long_seconds,
+            "wall_seconds": round(wall, 3),
+            "compile_seconds": round(compile_wall, 1),
+            "sample_len": 96,
+            "sweeps": out.extra.get("sweeps"),
+            "weights": "random (worst case: fixpoint never converges; "
+                       "2-sweep operating point measured)",
+            "device": str(jax.devices()[0]),
+        },
+    }), flush=True)
+
+
+def bench_whisper_serving(model, tok, n_streams: int = 8,
+                          seconds: float = 30.0):
+    """Serving throughput: N concurrent 30 s transcription requests
+    through the WhisperBatcher (windows of concurrent requests fuse into
+    one batched device program) vs the same N sequentially. BASELINE
+    north star: batch concurrent STT streams per chip; the reference
+    server (server.py:74-94) has no batching at all."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(2)
+    audios = [
+        (rng.standard_normal(int(16000 * seconds)) * 0.05).astype(np.float32)
+        for _ in range(n_streams)
+    ]
+
+    def transcribe(a):
+        return model.generate(
+            a, language="en", temperature=0.0, tokenizer=tok,
+            condition_on_previous_text=False, no_speech_threshold=None,
+            without_timestamps=True, sample_len=96,
+        )
+
+    transcribe(audios[0])  # single-row compile
+    t0 = time.perf_counter()
+    for a in audios:
+        transcribe(a)
+    seq_wall = time.perf_counter() - t0
+
+    batcher = model.make_batcher(max_batch=n_streams).install()
+    try:
+        with ThreadPoolExecutor(n_streams) as ex:  # batched-shape compile
+            list(ex.map(transcribe, audios))
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(n_streams) as ex:
+            list(ex.map(transcribe, audios))
+        bat_wall = time.perf_counter() - t0
+        dispatches = batcher.dispatch_count
+    finally:
+        batcher.close()
+
+    total_audio = seconds * n_streams
+    xrt = total_audio / bat_wall
+    target = 40.0  # aggregate must at least hold the single-stream target
+    print(json.dumps({
+        "metric": "whisper_serving_aggregate_xrt",
+        "value": round(xrt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / target, 3),
+        "detail": {
+            "mode": "serving_batcher",
+            "streams": n_streams,
+            "audio_seconds": total_audio,
+            "seconds_per_stream": seconds,
+            "wall_seconds": round(bat_wall, 3),
+            "sequential_wall_seconds": round(seq_wall, 3),
+            "speedup_vs_sequential": round(seq_wall / bat_wall, 2),
+            "dispatches": dispatches,
+            "sample_len": 96,
+            "weights": "random (decode runs to sample_len)",
+            "device": str(jax.devices()[0]),
+        },
+    }), flush=True)
+
+
+class _AsciiTok:
+    """Minimal deterministic text tokenizer for architecture-true benches."""
+
+    def encode(self, text, **kw):
+        return [(ord(c) % 997) + 3 for c in text]
+
+
+def bench_qwen3_tts(bits=None, n_frames: int = 256, runs: int = 2):
+    """AR LLM-TTS end-to-end: Qwen3-TTS at its real config dims (talker
+    28x1024 + 16-group code predictor 5x1024 + codec decoder 8x512,
+    config.py defaults mirroring the reference checkpoint). The full
+    pipeline — talker AR step, nested (K-1)-step code predictor, chunked
+    codec decode — runs as the production `generate` path with
+    min_tokens==max_tokens pinning the decode to exactly `n_frames`
+    frames (random weights would otherwise hit EOS at a random step).
+    bits=4 additionally quantizes every Linear except the stacked
+    code-predictor heads (accessed as raw weights inside the fused loop)
+    — the end-to-end number for the int4 path (BASELINE config 5:
+    "Qwen3-TTS int4"; KERNEL_BENCH predicts 4.6x on GEMV)."""
+    from mlx_audio_tpu.nn.layers import Embedding, Linear
+    from mlx_audio_tpu.nn.module import cast_floats
+    from mlx_audio_tpu.nn.quantized import quantize_module
+    from mlx_audio_tpu.tts.models.qwen3_tts import Model, ModelConfig
+
+    model = Model(ModelConfig.from_dict({}))
+    model.set_runtime(tokenizer=_AsciiTok())
+    model = cast_floats(model)
+    if bits:
+        def predicate(path, m):
+            if not isinstance(m, Linear):
+                return False  # embeddings stay (raw .weight reads)
+            if "code_predictor.lm_head" in path:
+                return False  # stacked as raw weights in the fused loop
+            return True
+
+        model = quantize_module(model, bits=bits, predicate=predicate)
+
+    n_params = sum(
+        int(np.prod(v.shape)) for v in jax.tree_util.tree_leaves(model)
+        if hasattr(v, "shape")
+    )
+    text = ("The quick brown fox jumps over the lazy dog while the "
+            "synthesis model turns text into speech. " * 3).strip()
+
+    def run_once():
+        return list(model.generate(
+            text, temperature=0.9, top_k=50,
+            max_tokens=n_frames, min_tokens=n_frames, seed=0,
+        ))
+
+    t0 = time.perf_counter()
+    results = run_once()
+    compile_wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        results = run_once()
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+
+    frames = sum(r.token_count for r in results)
+    audio_seconds = sum(r.samples for r in results) / 24000.0
+    rtf = wall / max(audio_seconds, 1e-9)
+    target = 1.0  # must beat realtime end-to-end
+    label = f"int{bits}" if bits else "bf16"
+    print(json.dumps({
+        "metric": f"qwen3_tts_ar_rtf_{label}",
+        "value": round(rtf, 4),
+        "unit": "rtf",
+        "vs_baseline": round(target / rtf, 3),
+        "detail": {
+            "mode": "talker+code_predictor+codec",
+            "dtype": label,
+            "params": n_params,
+            "frames": frames,
+            "talker_frames_per_sec": round(frames / wall, 1),
+            "audio_seconds": round(audio_seconds, 2),
+            "wall_seconds": round(wall, 3),
+            "compile_seconds": round(compile_wall, 1),
+            "weights": "random (min_tokens pins decode length)",
+            "device": str(jax.devices()[0]),
+        },
+    }), flush=True)
+
+
 def main():
-    bench_kokoro()
-    bench_whisper()
+    args = set(sys.argv[1:])
+    all_ = not args or "--all" in args
+    if all_ or "--kokoro" in args:
+        bench_kokoro()
+    if all_ or "--whisper" in args or "--serving" in args:
+        model, tok = build_whisper_turbo()
+        if all_ or "--whisper" in args:
+            bench_whisper(model, tok)
+            bench_whisper_conditioned(model, tok)
+        if all_ or "--serving" in args:
+            bench_whisper_serving(model, tok)
+    if all_ or "--qwen3" in args:
+        bench_qwen3_tts()
+        bench_qwen3_tts(bits=4)
 
 
 if __name__ == "__main__":

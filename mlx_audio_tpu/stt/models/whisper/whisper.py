@@ -945,6 +945,7 @@ class Model(Module):
         tokenizer=None,
         max_batch: int = 8,
         max_sweeps: int = 4,
+        strict_conditioning: bool = True,
         **decode_options,
     ) -> STTOutput:
         """Batch-parallel long-form transcription (TPU-first fast path).
@@ -1173,6 +1174,15 @@ class Model(Module):
                 if not todo:
                     break
                 n_sweeps += 1
+                if n_sweeps > max_sweeps and not strict_conditioning:
+                    # Approximation mode: accept the last sweep's results
+                    # (each window conditioned on near-final estimates).
+                    # Real checkpoints typically converge in 2 sweeps, so
+                    # this only changes output on inputs whose text keeps
+                    # flipping — there the "right" transcript is unstable
+                    # under the seek loop too.
+                    n_sweeps -= 1
+                    break
                 if n_sweeps > max_sweeps:
                     # Exact sequential finish for a still-unstable tail:
                     # each window gets its final-chain prompt in order, so

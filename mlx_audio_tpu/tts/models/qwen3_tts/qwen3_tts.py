@@ -93,6 +93,7 @@ def _generate_chunk(
     tts_pad_embed,  # (1, 1, D)
     prefill_len,  # scalar — true prompt length
     max_tokens,  # scalar — global token cap
+    min_tokens,  # scalar — EOS masked out before this many frames
     chunk_tokens: int,
     bucket_len: int,  # static — bucketed prefill width Tp
     temp: float,
@@ -169,6 +170,9 @@ def _generate_chunk(
     def body(s):
         i, step, caches, logits, hidden, out, done, tr_idx, hist, key = s
         lg = jnp.where(suppress[None, :], -jnp.inf, logits)
+        # min-length constraint: EOS unreachable before min_tokens frames
+        lg = jnp.where((step < min_tokens) & (vocab_idx == eos)[None, :],
+                       -jnp.inf, lg)
         if rep_penalty != 1.0:
             from ....lm.sample import apply_repetition_penalty
 
@@ -373,7 +377,8 @@ class Model(Module):
 
     def _run_codes(self, input_embeds, trailing, tts_pad, *, max_tokens: int,
                    chunk_tokens: int, temperature: float, top_k: int,
-                   top_p: float, repetition_penalty: float, seed: int = 0):
+                   top_p: float, repetition_penalty: float, seed: int = 0,
+                   min_tokens: int = 0):
         """Yield ``(codes (n, K) np.ndarray)`` chunks until EOS or cap."""
         def bucket(n, step=32):
             return ((n + step - 1) // step) * step
@@ -401,6 +406,7 @@ class Model(Module):
             out, n_chunk, state = _generate_chunk(
                 self.talker, state, tr, jnp.asarray(Ttr), tts_pad,
                 jnp.asarray(Tp), jnp.asarray(max_tokens),
+                jnp.asarray(min_tokens),
                 chunk_tokens=int(chunk_tokens), bucket_len=Tp_pad,
                 temp=float(temperature), top_k=int(top_k),
                 top_p=float(top_p), rep_penalty=float(repetition_penalty),
@@ -440,7 +446,7 @@ class Model(Module):
                           streaming_interval: float, max_tokens: int,
                           temperature: float, top_k: int, top_p: float,
                           repetition_penalty: float, seed: int = 0,
-                          ref_codes=None):
+                          min_tokens: int = 0, ref_codes=None):
         """Run one AR segment; yields streaming chunks (25-token decode
         context, reference qwen3_tts.py:963-985) or one final result.
 
@@ -457,6 +463,7 @@ class Model(Module):
             input_embeds, trailing, tts_pad, max_tokens=max_tokens,
             chunk_tokens=chunk_size, temperature=temperature, top_k=top_k,
             top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
+            min_tokens=min_tokens,
         )
         if not stream:
             chunks = list(run)
@@ -533,6 +540,7 @@ class Model(Module):
             repetition_penalty=repetition_penalty, max_tokens=max_tokens,
             stream=stream, streaming_interval=streaming_interval,
             seed=kwargs.get("seed", 0),
+            min_tokens=int(kwargs.get("min_tokens", 0)),
         )
         tts_model_type = getattr(self.config, "tts_model_type", "base")
         if tts_model_type == "voice_design":

@@ -221,3 +221,13 @@ def test_streaming_matches_nonstreaming_tokens(tiny_icl):
         n_stream = sum(c.token_count for c in chunks)
         n_full = sum(r.token_count for r in full)
         assert n_stream == n_full
+
+
+def test_min_tokens_defers_eos(tiny):
+    """min_tokens masks the EOS logit for the first N frames, so the
+    decode always produces at least N codec frames (up to max_tokens)."""
+    results = list(tiny.generate("Hello there, world.", max_tokens=24,
+                                 temperature=0.9, top_k=20, seed=3,
+                                 min_tokens=16))
+    assert len(results) == 1
+    assert results[0].token_count >= 16
