@@ -1028,8 +1028,53 @@ def create_app(provider: Optional[ModelProvider] = None):
     return app
 
 
+def enable_server_compile_cache() -> Optional[str]:
+    """Default-on persistent XLA compile cache for the server entrypoint.
+
+    Cold-start compile is the dominant serving-latency tax on TPU (each
+    shape bucket compiles an executable: ~48 s for the Whisper cap-224
+    program, 267 s for SAM separate — BENCH_r02/SAM_BENCH). A restarted
+    server re-pays all of it without this cache.
+
+    Resolution order:
+    - ``MLX_AUDIO_TPU_COMPILE_CACHE=0|off|no`` → disabled (opt-out).
+    - ``MLX_AUDIO_TPU_COMPILE_CACHE=<dir>`` → enabled at <dir> (forced on,
+      even on remote-compile backends).
+    - unset → enabled at ``~/.cache/mlx_audio_tpu/xla`` UNLESS a
+      remote-compile backend is detected (axon tunnel:
+      ``PALLAS_AXON_POOL_IPS``/``JAX_PLATFORMS=axon``), where the
+      persistent cache has hung in practice — there it stays off unless
+      forced by an explicit path.
+
+    Returns the cache dir (enabled) or None.
+    """
+    env = os.environ.get("MLX_AUDIO_TPU_COMPILE_CACHE", "").strip()
+    if env.lower() in ("0", "off", "no", "false"):
+        return None
+    if not env:
+        remote_compile_backend = (
+            bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+            or os.environ.get("JAX_PLATFORMS", "") == "axon"
+        )
+        if remote_compile_backend:
+            return None
+        env = str(Path.home() / ".cache" / "mlx_audio_tpu" / "xla")
+    import jax
+
+    Path(env).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", env)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return env
+
+
 def main(argv=None):
     import argparse
+
+    cache_dir = enable_server_compile_cache()
+    if cache_dir:
+        print(f"persistent compile cache: {cache_dir} "
+              "(disable with MLX_AUDIO_TPU_COMPILE_CACHE=off)")
 
     p = argparse.ArgumentParser(description="mlx_audio_tpu server")
     p.add_argument("--host", default="0.0.0.0")

@@ -291,3 +291,40 @@ def test_model_crud_query_param_style(server_url):
     except urllib.error.HTTPError as e:
         raised = e.code == 404
     assert raised
+
+
+def test_server_compile_cache_policy(monkeypatch, tmp_path):
+    """Default-on for local backends; off on the axon remote-compile
+    tunnel unless forced by an explicit path; off on explicit opt-out
+    (VERDICT r2 item 9)."""
+    import jax
+
+    from mlx_audio_tpu import server as srv
+
+    home = tmp_path / "home"
+    monkeypatch.setenv("HOME", str(home))
+    monkeypatch.delenv("MLX_AUDIO_TPU_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # local backend, unset -> default-on under ~/.cache
+        d = srv.enable_server_compile_cache()
+        assert d and d.endswith("mlx_audio_tpu/xla")
+
+        # axon tunnel detected -> stays off
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+        assert srv.enable_server_compile_cache() is None
+
+        # ...unless forced with an explicit path
+        forced = tmp_path / "forced"
+        monkeypatch.setenv("MLX_AUDIO_TPU_COMPILE_CACHE", str(forced))
+        assert srv.enable_server_compile_cache() == str(forced)
+        assert forced.is_dir()
+
+        # explicit opt-out wins
+        monkeypatch.setenv("MLX_AUDIO_TPU_COMPILE_CACHE", "off")
+        assert srv.enable_server_compile_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
