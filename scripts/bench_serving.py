@@ -154,13 +154,88 @@ def bench_whisper_serving(n_requests: int, max_batch: int):
     }), flush=True)
 
 
+def bench_snac_lm_continuous(n_requests: int, slots: int,
+                             decode_tokens: int = 256):
+    """Continuous batching for an AR SNAC-LM (Orpheus-class): N concurrent
+    token streams share the slot-based batcher (mid-flight joins, one
+    fused device step per tick) vs the same N decoded one-by-one.
+    Orpheus-3B backbone dims (llama-3.2-3B + audio vocab); random weights
+    — throughput depends on the program, not the values."""
+    import jax
+
+    from mlx_audio_tpu.lm import CausalLM, LMConfig
+    from mlx_audio_tpu.lm.continuous import ContinuousBatcher
+    from mlx_audio_tpu.lm.generate import generate_tokens
+    from mlx_audio_tpu.nn.module import cast_floats
+
+    cfg = LMConfig(
+        model_type="llama", hidden_size=3072, num_hidden_layers=28,
+        intermediate_size=8192, num_attention_heads=24,
+        num_key_value_heads=8, vocab_size=156940, rope_theta=500000.0,
+    )
+    lm = cast_floats(CausalLM(cfg))
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, 150000, 64)) for _ in range(n_requests)]
+
+    # sequential single-stream baseline (greedy; no EOS in random logits'
+    # way — decode runs to the cap either way, lengths are equal)
+    generate_tokens(lm, np.asarray(prompts[0], np.int32),
+                    max_tokens=decode_tokens, temp=0.0)  # compile
+    t0 = time.perf_counter()
+    for p in prompts:
+        generate_tokens(lm, np.asarray(p, np.int32),
+                        max_tokens=decode_tokens, temp=0.0)
+    seq_wall = time.perf_counter() - t0
+
+    cb = ContinuousBatcher(lm, slots=slots, max_len=512)
+    try:
+        futs = [cb.submit(p, max_tokens=decode_tokens) for p in prompts]
+        for f in futs:  # warm pass pays slot-program compiles
+            f.result(timeout=3600)
+        t0 = time.perf_counter()
+        futs = [cb.submit(p, max_tokens=decode_tokens) for p in prompts]
+        outs = [f.result(timeout=3600) for f in futs]
+        bat_wall = time.perf_counter() - t0
+    finally:
+        cb.close()
+
+    total_tokens = sum(len(o) for o in outs)
+    print(json.dumps({
+        "metric": "snac_lm_continuous_tokens_per_sec",
+        "value": round(total_tokens / bat_wall, 1),
+        "unit": "tokens/s",
+        "detail": {
+            "n_requests": n_requests,
+            "slots": slots,
+            "decode_tokens_per_request": decode_tokens,
+            "batched_wall_s": round(bat_wall, 3),
+            "sequential_wall_s": round(seq_wall, 3),
+            "sequential_tokens_per_sec": round(
+                n_requests * decode_tokens / seq_wall, 1),
+            "speedup_vs_sequential": round(seq_wall / bat_wall, 2),
+            "backbone": "llama-3.2-3B dims + audio vocab (Orpheus-class)",
+            "device": str(jax.devices()[0]),
+            "weights": "random (architecture-true)",
+        },
+    }), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=8)
     ap.add_argument("--max-batch", type=int, default=8)
-    ap.add_argument("--only", choices=["kokoro", "whisper"], default=None)
+    ap.add_argument("--only", choices=["kokoro", "whisper", "snac_lm"],
+                    default=None)
+    ap.add_argument("--sweep", action="store_true",
+                    help="run whisper serving at N in {1,2,4,8}")
     args = ap.parse_args()
-    if args.only in (None, "kokoro"):
-        bench_kokoro_serving(args.requests, args.max_batch)
-    if args.only in (None, "whisper"):
-        bench_whisper_serving(args.requests, args.max_batch)
+    if args.sweep:
+        for n in (1, 2, 4, 8):
+            bench_whisper_serving(n, max_batch=n)
+    else:
+        if args.only in (None, "kokoro"):
+            bench_kokoro_serving(args.requests, args.max_batch)
+        if args.only in (None, "whisper"):
+            bench_whisper_serving(args.requests, args.max_batch)
+        if args.only in (None, "snac_lm"):
+            bench_snac_lm_continuous(args.requests, slots=args.max_batch)
