@@ -154,6 +154,17 @@ class QuantizedLinear(Module):
         if not (N % 512 == 0 or (N <= 512 and N % 128 == 0)):
             return False
         M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        # The kernel keeps x (per, M, Kp), the out block (M, bn) and f32
+        # accumulators resident in VMEM; large-M (prefill / batched codec
+        # decode) blows the ~16 MB budget (seen on-chip: M=8192, K=512 →
+        # 19.9 MB scoped-vmem OOM). Weight bandwidth also stops dominating
+        # at large M, so the XLA dequant-matmul is the right path there
+        # anyway (KERNEL_BENCH.md measures wins at M ≤ 128).
+        Kp = K // per
+        bn = min(512, N)
+        vmem_est = 4 * (per * M * Kp + 2 * M * bn + 2 * M * Kp + 4 * bn * Kp)
+        if vmem_est > 12 * 1024 * 1024:
+            return False
         return self.bits == 4 or M >= 2
 
     def __call__(self, x: jax.Array) -> jax.Array:

@@ -98,3 +98,23 @@ def test_flash_attention_causal_non_multiple():
         out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
     ref = scaled_dot_product_attention(q, k, v, mask="causal")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_quant_matmul_large_m_routes_to_xla(monkeypatch):
+    """Large-M inputs (prefill / batched codec decode) must not take the
+    Pallas kernel: its resident x/out blocks blow the ~16 MB VMEM budget
+    (seen on-chip at M=8192, K=512). They fall back to dequant-matmul."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import mlx_audio_tpu.ops.pallas as ops_pallas
+    from mlx_audio_tpu.nn.layers import Linear
+    from mlx_audio_tpu.nn.quantized import QuantizedLinear
+
+    monkeypatch.setattr(ops_pallas, "pallas_enabled", lambda: True)
+    lin = Linear(512, 1024)
+    q = QuantizedLinear.from_linear(lin, bits=4)
+    assert q._pallas_routable(jnp.zeros((1, 512))) is True       # GEMV
+    assert q._pallas_routable(jnp.zeros((128, 512))) is True     # measured win
+    assert q._pallas_routable(jnp.zeros((8192, 512))) is False   # VMEM OOM case
+    assert q._pallas_routable(jnp.zeros((8, 1024, 512))) is False  # batched
