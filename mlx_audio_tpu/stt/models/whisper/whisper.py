@@ -1084,8 +1084,15 @@ class Model(Module):
 
         def decode_idxs(idxs, rows):
             """Encode + temperature-fallback decode of the given window
-            indices in one batched program; rows must share a length."""
-            group = mel_dev[jnp.asarray(np.asarray(idxs, np.int32))]
+            indices in one batched program; rows must share a length.
+            Contiguous index runs use dynamic_slice (no index transfer —
+            every eager op is a tunnel round trip); the fixpoint's sparse
+            re-decode sets gather."""
+            if list(idxs) == list(range(idxs[0], idxs[0] + len(idxs))):
+                group = jax.lax.dynamic_slice_in_dim(
+                    mel_dev, idxs[0], len(idxs), 0)
+            else:
+                group = mel_dev[jnp.asarray(np.asarray(idxs, np.int32))]
             _xa, cross_kv = self._encode(self, group)
             got: List = [None] * len(idxs)
             for t in temps:
