@@ -143,7 +143,7 @@ def build_whisper_turbo():
     return cast_floats(Model(dims)), DummyTokenizer(n_vocab=51866)
 
 
-def bench_whisper(model, tok, seconds: float = 120.0, runs: int = 2,
+def bench_whisper(model, tok, seconds: float = 120.0, runs: int = 5,
                   long_seconds: float = 600.0):
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(int(16000 * seconds)) * 0.05).astype(np.float32)
@@ -212,7 +212,7 @@ def bench_whisper(model, tok, seconds: float = 120.0, runs: int = 2,
 
 
 def bench_whisper_conditioned(model, tok, long_seconds: float = 600.0,
-                              runs: int = 1):
+                              runs: int = 3):
     """Conditioned long-form at chunked speed: the parallel-fixpoint
     decode keeps the seek loop's rolling previous-text semantics
     (whisper.py generate_chunked condition_on_previous_text). Random
