@@ -292,7 +292,10 @@ def bench_whisper_serving(model, tok, n_streams: int = 8,
         transcribe(a)
     seq_wall = time.perf_counter() - t0
 
-    batcher = model.make_batcher(max_batch=n_streams).install()
+    # 50 ms gate: the 8 threads' host-side mel prep staggers arrivals past
+    # the 10 ms default, splitting the fusion (measured: 4 dispatches for
+    # 8 windows). Serving cares about throughput here, not 40 ms latency.
+    batcher = model.make_batcher(max_batch=n_streams, window_ms=50.0).install()
     try:
         with ThreadPoolExecutor(n_streams) as ex:  # batched-shape compile
             list(ex.map(transcribe, audios))
