@@ -85,21 +85,24 @@ def bench_kokoro_serving(n_requests: int, max_batch: int):
     }), flush=True)
 
 
-def bench_whisper_serving(n_requests: int, max_batch: int):
+def bench_whisper_serving(n_requests: int, max_batch: int, model=None,
+                          tok=None):
     import jax
 
-    from mlx_audio_tpu.nn.module import cast_floats
     from mlx_audio_tpu.serving import WhisperBatcher
-    from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
-    from mlx_audio_tpu.stt.models.whisper.tokenizer import DummyTokenizer
 
-    dims = ModelDimensions(
-        n_mels=128, n_audio_ctx=1500, n_audio_state=1280, n_audio_head=20,
-        n_audio_layer=32, n_vocab=51866, n_text_ctx=448, n_text_state=1280,
-        n_text_head=20, n_text_layer=4,
-    )
-    model = cast_floats(Model(dims))
-    tok = DummyTokenizer(n_vocab=51866)
+    if model is None:
+        from mlx_audio_tpu.nn.module import cast_floats
+        from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
+        from mlx_audio_tpu.stt.models.whisper.tokenizer import DummyTokenizer
+
+        dims = ModelDimensions(
+            n_mels=128, n_audio_ctx=1500, n_audio_state=1280,
+            n_audio_head=20, n_audio_layer=32, n_vocab=51866, n_text_ctx=448,
+            n_text_state=1280, n_text_head=20, n_text_layer=4,
+        )
+        model = cast_floats(Model(dims))
+        tok = DummyTokenizer(n_vocab=51866)
     rng = np.random.default_rng(0)
     seconds = 30.0
     audios = [
@@ -121,7 +124,8 @@ def bench_whisper_serving(n_requests: int, max_batch: int):
         transcribe(a)
     seq_wall = time.perf_counter() - t0
 
-    batcher = WhisperBatcher(model, max_batch=max_batch).install()
+    batcher = WhisperBatcher(model, max_batch=max_batch,
+                             window_ms=50.0).install()
     try:
         with ThreadPoolExecutor(n_requests) as ex:  # warm batched compile
             list(ex.map(transcribe, audios))
@@ -230,8 +234,19 @@ if __name__ == "__main__":
                     help="run whisper serving at N in {1,2,4,8}")
     args = ap.parse_args()
     if args.sweep:
+        from mlx_audio_tpu.nn.module import cast_floats
+        from mlx_audio_tpu.stt.models.whisper import Model, ModelDimensions
+        from mlx_audio_tpu.stt.models.whisper.tokenizer import DummyTokenizer
+
+        dims = ModelDimensions(
+            n_mels=128, n_audio_ctx=1500, n_audio_state=1280,
+            n_audio_head=20, n_audio_layer=32, n_vocab=51866, n_text_ctx=448,
+            n_text_state=1280, n_text_head=20, n_text_layer=4,
+        )
+        model = cast_floats(Model(dims))
+        tok = DummyTokenizer(n_vocab=51866)
         for n in (1, 2, 4, 8):
-            bench_whisper_serving(n, max_batch=n)
+            bench_whisper_serving(n, max_batch=n, model=model, tok=tok)
     else:
         if args.only in (None, "kokoro"):
             bench_kokoro_serving(args.requests, args.max_batch)
