@@ -158,8 +158,8 @@ def bench_whisper_serving(n_requests: int, max_batch: int, model=None,
     }), flush=True)
 
 
-def bench_snac_lm_continuous(n_requests: int, slots: int,
-                             decode_tokens: int = 256):
+def bench_snac_lm_continuous(n_requests: int, slots: int = 4,
+                             decode_tokens: int = 128):
     """Continuous batching for an AR SNAC-LM (Orpheus-class): N concurrent
     token streams share the slot-based batcher (mid-flight joins, one
     fused device step per tick) vs the same N decoded one-by-one.
@@ -191,7 +191,9 @@ def bench_snac_lm_continuous(n_requests: int, slots: int,
                         max_tokens=decode_tokens, temp=0.0)
     seq_wall = time.perf_counter() - t0
 
-    cb = ContinuousBatcher(lm, slots=slots, max_len=512)
+    # slot KV pool is the HBM budget driver next to the 6.4 GB of
+    # bf16 weights: 28L x 2 x slots x 8kv x max_len x 128 x 2B
+    cb = ContinuousBatcher(lm, slots=slots, max_len=256)
     try:
         futs = [cb.submit(p, max_tokens=decode_tokens) for p in prompts]
         for f in futs:  # warm pass pays slot-program compiles
@@ -253,4 +255,4 @@ if __name__ == "__main__":
         if args.only in (None, "whisper"):
             bench_whisper_serving(args.requests, args.max_batch)
         if args.only in (None, "snac_lm"):
-            bench_snac_lm_continuous(args.requests, slots=args.max_batch)
+            bench_snac_lm_continuous(args.requests, slots=min(args.max_batch, 4))
