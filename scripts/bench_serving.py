@@ -170,14 +170,16 @@ def bench_snac_lm_continuous(n_requests: int, slots: int = 4,
     from mlx_audio_tpu.lm import CausalLM, LMConfig
     from mlx_audio_tpu.lm.continuous import ContinuousBatcher
     from mlx_audio_tpu.lm.generate import generate_tokens
-    from mlx_audio_tpu.nn.module import cast_floats
+    from mlx_audio_tpu.nn.module import build_on_host
 
     cfg = LMConfig(
         model_type="llama", hidden_size=3072, num_hidden_layers=28,
         intermediate_size=8192, num_attention_heads=24,
         num_key_value_heads=8, vocab_size=156940, rope_theta=500000.0,
     )
-    lm = cast_floats(CausalLM(cfg))
+    # build_on_host: a 3B f32 random init on-device would peak at ~19 GB
+    # (f32 tree + bf16 copy) and OOM the 16 GB v5e
+    lm = build_on_host(lambda: CausalLM(cfg))
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(1, 150000, 64)) for _ in range(n_requests)]
 
