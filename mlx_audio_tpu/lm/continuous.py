@@ -94,6 +94,40 @@ def _step(model, caches: List[SlotKVCache], tokens, pos):
     return logits[:, -1, :].astype(jnp.float32), caches
 
 
+@partial(jax.jit, donate_argnames=("caches",), static_argnames=("n",))
+def _step_n(model, caches: List[SlotKVCache], tokens, pos, n: int):
+    """`n` lock-step greedy decode steps fused into ONE dispatch.
+
+    Per-token host round trips are the continuous batcher's overhead
+    floor — on high-dispatch-latency links (remote/tunnel backends,
+    ~40-100 ms RTT) they dominate the wall clock outright. Fusing n steps
+    amortizes the round trip n-fold at the cost of up to n-1 wasted steps
+    past a mid-chunk EOS (host truncates) and join latency of one chunk.
+    Greedy-only: on-device argmax; requests with sampling options stay on
+    the per-token path (`_step`).
+
+    Returns (tokens_out (B, n) int32, updated caches).
+    """
+
+    def body(carry, _):
+        caches, tokens, pos = carry
+        caches = [c.replace(pos=pos) for c in caches]
+        S = caches[0].max_len
+        k_idx = jnp.arange(S)[None, :]
+        ok = k_idx <= pos[:, None]
+        mask = jnp.where(ok, 0.0, -jnp.inf).astype(
+            jnp.float32)[:, None, None, :]
+        logits, caches = model(
+            tokens[:, None], caches=caches, positions=pos[:, None], mask=mask
+        )
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        return (caches, nxt, pos + 1), nxt
+
+    (caches, _, _), toks = jax.lax.scan(
+        body, (caches, tokens, pos), None, length=n)
+    return jnp.swapaxes(toks, 0, 1), caches  # (B, n)
+
+
 @jax.jit
 def _prefill_b1(model, caches, ids, length):
     """Prefill a B=1 bucketed prompt; returns (last-real-token logits (V,),
@@ -139,11 +173,17 @@ class ContinuousBatcher:
     `model(ids, caches, positions, mask)` calling convention)."""
 
     def __init__(self, model, slots: int = 4, max_len: int = 2048,
-                 cache_dtype=jnp.bfloat16, seed: int = 0):
+                 cache_dtype=jnp.bfloat16, seed: int = 0,
+                 tick_tokens: int = 1):
         cfg = model.config
         self.model = model
         self.slots = slots
         self.max_len = max_len
+        # tick_tokens > 1: fuse that many greedy decode steps per device
+        # dispatch (_step_n) whenever every live request is greedy —
+        # amortizes per-token dispatch latency (the dominant cost on
+        # remote/tunnel backends). Sampling requests fall back per-token.
+        self.tick_tokens = max(1, int(tick_tokens))
         self._cache_dtype = cache_dtype
         self.caches = [
             SlotKVCache(slots, cfg.num_key_value_heads, max_len,
@@ -285,6 +325,46 @@ class ContinuousBatcher:
         if req and not req.future.done():
             req.future.set_result(req.tokens)
 
+    def _fused_tick(self, n: int) -> None:
+        """One fused n-step greedy tick (see _step_n). Consumes up to n
+        tokens per live slot; truncates past EOS / max_tokens."""
+        try:
+            toks, self.caches = _step_n(
+                self.model, self.caches,
+                jnp.asarray(self.cur_tok), jnp.asarray(self.pos), n=n,
+            )
+            self.steps += 1
+            toks_np = np.asarray(jax.device_get(toks))  # (slots, n)
+        except Exception as e:  # pragma: no cover - defensive
+            for slot, req in enumerate(self.active):
+                if req is not None and not req.future.done():
+                    req.future.set_exception(e)
+                self.active[slot] = None
+                self.pos[slot] = self.max_len - 1
+            cfg = self.model.config
+            self.caches = [
+                SlotKVCache(self.slots, cfg.num_key_value_heads,
+                            self.max_len, cfg.head_dim, self._cache_dtype)
+                for _ in range(cfg.num_hidden_layers)
+            ]
+            return
+        for slot, req in enumerate(self.active):
+            if req is None:
+                continue
+            for j in range(n):
+                tok = int(toks_np[slot, j])
+                req.tokens.append(tok)
+                self._emit(req, tok)
+                self.pos[slot] += 1
+                self.cur_tok[slot] = tok
+                if (
+                    tok in req.eos_ids
+                    or len(req.tokens) >= req.max_tokens
+                    or self.pos[slot] >= self.max_len - 1
+                ):
+                    self._finish(slot)
+                    break
+
     def _worker(self):
         while not self._stop.is_set():
             # admit pending requests into free slots
@@ -305,6 +385,16 @@ class ContinuousBatcher:
                 self._wake.clear()
                 continue
 
+            fused = self.tick_tokens > 1 and all(
+                r is None or (
+                    r.temp == 0.0 and r.rep_penalty == 1.0
+                    and r.top_k == 0 and r.top_p == 1.0
+                )
+                for r in self.active
+            )
+            if fused:
+                self._fused_tick(self.tick_tokens)
+                continue
             try:
                 logits, self.caches = _step(
                     self.model, self.caches,

@@ -181,3 +181,66 @@ def test_batcher_with_tensor_parallel_model(lm, monkeypatch):
     finally:
         cb.close()
     assert [list(o) for o in outs] == refs
+
+
+def test_fused_ticks_match_per_token(lm):
+    """tick_tokens>1 fuses n greedy steps per dispatch (_step_n) and must
+    produce exactly the per-token-tick (and single-request) tokens."""
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(1, 97, n)) for n in (5, 11, 3)]
+    refs = [_ref_decode(lm, p, 12) for p in prompts]
+
+    cb = ContinuousBatcher(lm, slots=4, max_len=256,
+                           cache_dtype=np.float32, tick_tokens=4)
+    try:
+        futs = [cb.submit(p, max_tokens=12) for p in prompts]
+        outs = [f.result(timeout=300) for f in futs]
+        fused_steps = cb.steps
+    finally:
+        cb.close()
+    for ref, out in zip(refs, outs):
+        assert out == ref, (out, ref)
+    # 12 tokens at 4 per tick -> ~3 fused dispatches (+ join boundaries),
+    # far below the 12+ of per-token ticking
+    assert fused_steps <= 8
+
+
+def test_fused_ticks_truncate_at_eos(lm):
+    """A request hitting EOS mid-chunk keeps tokens only up to EOS."""
+    rng = np.random.default_rng(8)
+    prompt = list(rng.integers(1, 97, 6))
+    ref = _ref_decode(lm, prompt, 24)
+    first_idx = {}
+    for i, t in enumerate(ref):
+        first_idx.setdefault(int(t), i)
+    eos, k = max(first_idx.items(), key=lambda kv: kv[1])
+
+    cb = ContinuousBatcher(lm, slots=2, max_len=128,
+                           cache_dtype=np.float32, tick_tokens=5)
+    try:
+        out = cb.submit(prompt, max_tokens=24,
+                        eos_ids=[eos]).result(timeout=300)
+    finally:
+        cb.close()
+    assert out == ref[:k + 1]
+
+
+def test_fused_ticks_fall_back_for_sampling_requests(lm):
+    """A live sampling request forces the per-token path; greedy results
+    stay exact."""
+    rng = np.random.default_rng(9)
+    g_prompt = list(rng.integers(1, 97, 5))
+    s_prompt = list(rng.integers(1, 97, 4))
+    ref = _ref_decode(lm, g_prompt, 10)
+
+    cb = ContinuousBatcher(lm, slots=2, max_len=128,
+                           cache_dtype=np.float32, tick_tokens=4)
+    try:
+        f1 = cb.submit(g_prompt, max_tokens=10)
+        f2 = cb.submit(s_prompt, max_tokens=10, temp=0.8, top_k=5)
+        out1 = f1.result(timeout=300)
+        out2 = f2.result(timeout=300)
+    finally:
+        cb.close()
+    assert out1 == ref
+    assert len(out2) == 10
