@@ -351,13 +351,14 @@ def bench_qwen3_tts(bits=None, n_frames: int = 256, runs: int = 2):
     — the end-to-end number for the int4 path (BASELINE config 5:
     "Qwen3-TTS int4"; KERNEL_BENCH predicts 4.6x on GEMV)."""
     from mlx_audio_tpu.nn.layers import Embedding, Linear
-    from mlx_audio_tpu.nn.module import cast_floats
+    from mlx_audio_tpu.nn.module import build_on_host
     from mlx_audio_tpu.nn.quantized import quantize_module
     from mlx_audio_tpu.tts.models.qwen3_tts import Model, ModelConfig
 
-    model = Model(ModelConfig.from_dict({}))
+    # host build: ~1.1B random init on-device would cost thousands of
+    # tunnel dispatches and an f32 HBM peak
+    model = build_on_host(lambda: Model(ModelConfig.from_dict({})))
     model.set_runtime(tokenizer=_AsciiTok())
-    model = cast_floats(model)
     if bits:
         def predicate(path, m):
             if not isinstance(m, Linear):
@@ -428,6 +429,7 @@ def main():
             bench_whisper_conditioned(model, tok)
         if all_ or "--serving" in args:
             bench_whisper_serving(model, tok)
+        del model  # free HBM before the Qwen3 section
     if all_ or "--qwen3" in args:
         bench_qwen3_tts()
         bench_qwen3_tts(bits=4)
