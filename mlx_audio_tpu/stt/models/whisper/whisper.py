@@ -524,6 +524,16 @@ class Model(Module):
 
     @staticmethod
     @jax.jit
+    def _window_slice(mel_flat, seek, seg):
+        """N_FRAMES window at frame `seek` from the on-device whole-audio
+        mel, rows >= `seg` zeroed — identical to the host path's
+        slice-then-zero-pad, without the mel ever leaving HBM (host mel
+        was ~half the warm seek-loop wall; see docs/stt/whisper.md)."""
+        w = jax.lax.dynamic_slice_in_dim(mel_flat, seek, A.N_FRAMES, 0)
+        return w * (jnp.arange(A.N_FRAMES) < seg)[:, None].astype(w.dtype)
+
+    @staticmethod
+    @jax.jit
     def _lang_logits(model: "Model", cross_kv, tokens):
         return model.decoder(tokens, 0, None, cross_kv)[0]
 
@@ -606,8 +616,13 @@ class Model(Module):
             audio = load_audio(audio, sample_rate=A.SAMPLE_RATE)
         audio = np.asarray(audio, np.float32).reshape(-1)
 
-        mel_all = self._mel_windows(audio)
-        content_frames = mel_all.shape[0] - A.N_FRAMES
+        # whole-audio mel stays ON DEVICE; each seek window is one jitted
+        # dynamic-slice (+ zero mask past the content edge), never a host
+        # round trip — host mel measured ~half the warm seek-loop wall
+        mel_dev, _ = self._mel_chunks_device(audio)
+        mel_flat = mel_dev.reshape(-1, mel_dev.shape[-1])
+        want_frames = (len(audio) + A.N_SAMPLES) // A.HOP_LENGTH
+        content_frames = want_frames - A.N_FRAMES
         content_duration = content_frames * A.HOP_LENGTH / A.SAMPLE_RATE
 
         if tokenizer is None:
@@ -667,10 +682,7 @@ class Model(Module):
                 clip_idx += 1
                 continue
             segment_size = min(A.N_FRAMES, content_frames - seek, clip_end - seek)
-            window = mel_all[seek : seek + segment_size]
-            if window.shape[0] < A.N_FRAMES:
-                window = np.pad(window, ((0, A.N_FRAMES - window.shape[0]), (0, 0)))
-            window = jnp.asarray(window)
+            window = self._window_slice(mel_flat, seek, segment_size)
             seg_duration = segment_size * A.HOP_LENGTH / A.SAMPLE_RATE
             time_offset = seek * A.HOP_LENGTH / A.SAMPLE_RATE
             window_end_time = (seek + A.N_FRAMES) * A.HOP_LENGTH / A.SAMPLE_RATE
