@@ -513,15 +513,6 @@ class Model(Module):
         )
         return mel, n_chunks
 
-    def _mel_windows(self, audio: np.ndarray):
-        """Whole-audio mel with N_SAMPLES zero padding (host array for the
-        seek loop; one device dispatch + one fetch)."""
-        mel, n_chunks = self._mel_chunks_device(audio)
-        mel = np.asarray(jax.device_get(mel[:n_chunks]))
-        mel = mel.reshape(-1, mel.shape[-1])
-        want = (len(audio) + A.N_SAMPLES) // A.HOP_LENGTH
-        return mel[:want]  # host array; fixed-shape windows re-uploaded per seek
-
     @staticmethod
     @jax.jit
     def _window_slice(mel_flat, seek, seg):
