@@ -252,9 +252,19 @@ class WhisperBatcher:
         from .stt.models.whisper.decoding import decode_window_batch
 
         model = self.model
-        windows = jnp.stack([jnp.asarray(w) for w, _, _, _ in items])
+        # pad to a power-of-two batch bucket (repeat the last row) so any
+        # grouping the scheduler produces hits an already-compiled
+        # executable — without this, every distinct concurrency level
+        # compiles its own program, and a new level mid-traffic stalls
+        # live requests behind a full XLA compile
+        n = len(items)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        padded = list(items) + [items[-1]] * (bucket - n)
+        windows = jnp.stack([jnp.asarray(w) for w, _, _, _ in padded])
         _xa, cross_kv = type(model)._encode(model, windows)
-        prompts = [list(p) for _, p, _, _ in items]
+        prompts = [list(p) for _, p, _, _ in padded]
         opts = items[0][2]
         tokenizer = items[0][3]
         return decode_window_batch(
@@ -262,7 +272,7 @@ class WhisperBatcher:
             n_ctx=model.dims.n_text_ctx, n_vocab=model.dims.n_vocab,
             decoder_step=type(model)._decoder_step,
             make_caches=model._make_caches,
-        )
+        )[:n]
 
     def __call__(self, window, prompt, opts, tokenizer):
         return self.sched((window, prompt, opts, tokenizer))
