@@ -297,6 +297,19 @@ def bench_whisper_serving(model, tok, n_streams: int = 8,
     # 8 windows). Serving cares about throughput here, not 40 ms latency.
     batcher = model.make_batcher(max_batch=n_streams, window_ms=50.0).install()
     try:
+        # pre-compile every batch bucket: group sizes depend on arrival
+        # timing, and an unwarmed bucket in the timed pass measures an
+        # XLA compile instead of serving throughput
+        import jax.numpy as jnp
+
+        from mlx_audio_tpu.stt.models.whisper.decoding import DecodingOptions
+
+        warm_opts = DecodingOptions(
+            task="transcribe", language="en", temperature=0.0,
+            without_timestamps=True, sample_len=96)
+        batcher.warmup(
+            jnp.zeros((3000, model.dims.n_mels), jnp.float32),
+            list(tok.sot_sequence_including_notimestamps), warm_opts, tok)
         with ThreadPoolExecutor(n_streams) as ex:  # batched-shape compile
             list(ex.map(transcribe, audios))
         t0 = time.perf_counter()

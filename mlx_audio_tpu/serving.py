@@ -277,6 +277,17 @@ class WhisperBatcher:
     def __call__(self, window, prompt, opts, tokenizer):
         return self.sched((window, prompt, opts, tokenizer))
 
+    def warmup(self, window, prompt, opts, tokenizer):
+        """Pre-compile every batch bucket (1, 2, 4, …, max_batch) for this
+        (prompt length, options) key, so live traffic never stalls behind
+        an XLA compile when the concurrency level shifts. Call at server
+        boot per served model/options combination."""
+        item = (window, prompt, opts, tokenizer)
+        b = 1
+        while b <= self.sched.max_batch:
+            self._run([item] * b)
+            b *= 2
+
     def install(self):
         register_infer_hook(self.model, self)
         return self
