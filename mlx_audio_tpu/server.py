@@ -52,9 +52,39 @@ class ModelProvider:
                 # models exposing make_batcher get a scheduler so concurrent
                 # requests fuse into one XLA dispatch.
                 if BATCHING and hasattr(model, "make_batcher"):
-                    model.make_batcher().install()
+                    batcher = model.make_batcher().install()
+                    self._maybe_warmup(model, batcher)
                 self._models[model_name] = model
             return self._models[model_name]
+
+    @staticmethod
+    def _maybe_warmup(model, batcher) -> None:
+        """Best-effort background pre-compile of every batch bucket
+        (batcher.warmup): without it, the first request at a new
+        concurrency level stalls ~30 s behind an XLA compile
+        (SERVING_BENCH.md). Runs on a daemon thread so load_model
+        returns immediately; failures (no tokenizer on disk, non-Whisper
+        batchers) are silently skipped."""
+        if not hasattr(batcher, "warmup"):
+            return
+
+        def _warm():
+            try:
+                import jax.numpy as jnp
+
+                from .stt.models.whisper.decoding import DecodingOptions
+
+                tok = model.get_tokenizer()
+                opts = DecodingOptions(task="transcribe",
+                                       language=tok.language or "en",
+                                       temperature=0.0)
+                batcher.warmup(
+                    jnp.zeros((3000, model.dims.n_mels), jnp.float32),
+                    list(tok.sot_sequence), opts, tok)
+            except Exception:
+                pass
+
+        threading.Thread(target=_warm, daemon=True).start()
 
     def list_models(self) -> List[str]:
         with self._lock:

@@ -211,3 +211,40 @@ def test_whisper_batcher_matches_sequential(whisper_tiny):
     finally:
         batcher.close()
     assert get_infer_hook(model) is None
+
+
+def test_server_warms_batcher_buckets():
+    """ModelProvider kicks off a background bucket warmup when the
+    installed batcher supports it (SERVING_BENCH.md: an unwarmed bucket
+    stalls live traffic behind a ~30 s compile)."""
+    import threading
+    import time as _time
+
+    from mlx_audio_tpu.server import ModelProvider
+
+    calls = []
+    done = threading.Event()
+
+    class FakeTok:
+        language = "en"
+        sot_sequence = (1, 2, 3)
+
+    class FakeBatcher:
+        def warmup(self, window, prompt, opts, tok):
+            calls.append((tuple(window.shape), tuple(prompt),
+                          opts.temperature))
+            done.set()
+
+    class FakeModel:
+        class dims:
+            n_mels = 128
+
+        def get_tokenizer(self):
+            return FakeTok()
+
+    ModelProvider._maybe_warmup(FakeModel(), FakeBatcher())
+    assert done.wait(timeout=30)
+    assert calls == [((3000, 128), (1, 2, 3), 0.0)]
+
+    # batcher without warmup: no-op, no crash
+    ModelProvider._maybe_warmup(FakeModel(), object())
