@@ -1,12 +1,13 @@
 """Continuous (slot-based) batching for autoregressive decode.
 
-NEW relative to the reference (strictly one request at a time): a fixed
-pool of B cache slots decodes in lock-step as ONE jitted program per step;
-requests join a free slot at any step boundary (prefill into a B=1 cache,
-device-copied into the slot) and leave when they hit EOS/max_tokens. In
-steady state a chip serves B concurrent token streams for roughly the cost
-of one — decode is memory-bandwidth-bound, so batching the tiny per-step
-matmuls is nearly free on the MXU.
+NEW relative to the reference (strictly one request at a time per process;
+see reference server.py:74-94): a fixed pool of B cache slots decodes in
+lock-step as ONE jitted program per tick; requests join a free slot at any
+tick boundary (prefill into a B=1 cache, device-copied into the slot) and
+leave when they hit EOS/max_tokens. In steady state a chip serves B
+concurrent token streams for roughly the cost of one — decode is
+memory-bandwidth-bound, so batching the tiny per-step matmuls is nearly
+free on the MXU.
 
 Design notes:
 - `SlotKVCache` has a per-row `pos` vector; the step function overwrites it
@@ -15,8 +16,15 @@ Design notes:
 - Prompt prefill lengths are bucketed (right-padding is safe: padded K/V
   land at indices the mask only ever exposes after a real token has
   overwritten them).
-- Sampling is greedy or temperature on the host over fetched (B, V) logits
-  — one fetch per step serves every stream.
+- Sampling is IN-GRAPH and per-slot: every tick carries per-row PRNG keys,
+  temperature / top-k / top-p / repetition-penalty parameters and a
+  fixed-width token-history window, so fused multi-step ticks (`_step_n`)
+  serve sampled and greedy requests alike — a sampled request no longer
+  collapses the pool to per-token dispatches. A request's token stream
+  depends only on its own seed, never on co-tenants, so batched output is
+  exactly equal to running the request alone (given bitwise-equal logits).
+- The only per-token fallback left is `repetition_context_size` larger than
+  the batcher's `rep_hist` window (host-side sampling over full history).
 """
 
 from __future__ import annotations
@@ -76,6 +84,70 @@ class SlotKVCache(Module):
         return nk, nv, new
 
 
+# ---------------------------------------------------------------------------
+# In-graph per-row sampling
+# ---------------------------------------------------------------------------
+
+
+def _sample_rows_core(logits, keys, hist, temps, top_ps, top_ks, rep_pens,
+                      rep_windows):
+    """Per-row temperature / top-k / top-p / repetition-penalty sampling.
+
+    All parameters are (B,) DYNAMIC arrays, so one compiled program serves
+    every mix of greedy and sampled slots (top-k is handled with per-row
+    ranks over one descending sort rather than `lax.top_k`'s static k).
+    `hist` is a (B, W) right-aligned token window (-1 padded); only the
+    last `rep_windows[b]` entries of row b are penalized. `keys` is (B, 2)
+    uint32 — each row advances its own PRNG stream exactly once per call,
+    so a slot's tokens are reproducible regardless of co-tenants.
+
+    Returns (tokens (B,), new_keys (B, 2)).
+    """
+    B, V = logits.shape
+    z = logits.astype(jnp.float32)
+    # repetition penalty over each row's window
+    W = hist.shape[1]
+    age = (W - 1) - jnp.arange(W)[None, :]
+    valid = (age < rep_windows[:, None]) & (hist >= 0) & (hist < V)
+    hist_c = jnp.where(valid, hist, V)  # pads land on the V scratch column
+    onehot = jnp.zeros((B, V + 1), jnp.bool_).at[
+        jnp.arange(B)[:, None], hist_c
+    ].set(True)[:, :V]
+    pen = rep_pens[:, None].astype(jnp.float32)
+    penalized = jnp.where(z > 0, z / pen, z * pen)
+    z = jnp.where(onehot & (pen != 1.0), penalized, z)
+
+    greedy_tok = jnp.argmax(z, axis=-1).astype(jnp.int32)
+
+    # sampled path (selected per row where temps > 0)
+    x = z / jnp.maximum(temps, 1e-6)[:, None]
+    sorted_desc = jnp.sort(x, axis=-1)[:, ::-1]
+    # top-k: masking with -inf preserves the order of survivors, so the
+    # post-top-k sort is just the first k_eff columns of sorted_desc
+    k_eff = jnp.clip(jnp.where(top_ks > 0, top_ks, V), 1, V)
+    kth = jnp.take_along_axis(sorted_desc, (k_eff - 1)[:, None], axis=-1)
+    x = jnp.where((top_ks[:, None] > 0) & (x < kth), -jnp.inf, x)
+    col = jnp.arange(V)[None, :]
+    sorted_k = jnp.where(col < k_eff[:, None], sorted_desc, -jnp.inf)
+    # top-p nucleus over the top-k survivors (lm.sample filter order)
+    probs = jax.nn.softmax(sorted_k, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = cum - probs < top_ps[:, None]  # always keeps top-1
+    threshold = jnp.min(
+        jnp.where(keep_sorted, sorted_k, jnp.inf), axis=-1, keepdims=True
+    )
+    x = jnp.where((top_ps[:, None] < 1.0) & (x < threshold), -jnp.inf, x)
+
+    split = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+    sub, new_keys = split[:, 0], split[:, 1]
+    sampled = jax.vmap(jax.random.categorical)(sub, x).astype(jnp.int32)
+    tok = jnp.where(temps == 0.0, greedy_tok, sampled)
+    return tok, new_keys
+
+
+_sample_rows = jax.jit(_sample_rows_core)
+
+
 @partial(jax.jit, donate_argnames=("caches",))
 def _step(model, caches: List[SlotKVCache], tokens, pos):
     """One lock-step decode step for all slots.
@@ -95,22 +167,24 @@ def _step(model, caches: List[SlotKVCache], tokens, pos):
 
 
 @partial(jax.jit, donate_argnames=("caches",), static_argnames=("n",))
-def _step_n(model, caches: List[SlotKVCache], tokens, pos, n: int):
-    """`n` lock-step greedy decode steps fused into ONE dispatch.
+def _step_n(model, caches: List[SlotKVCache], tokens, pos, keys, hist,
+            temps, top_ps, top_ks, rep_pens, rep_windows, n: int):
+    """`n` lock-step decode steps fused into ONE dispatch, sampling in-graph.
 
     Per-token host round trips are the continuous batcher's overhead
     floor — on high-dispatch-latency links (remote/tunnel backends,
     ~40-100 ms RTT) they dominate the wall clock outright. Fusing n steps
     amortizes the round trip n-fold at the cost of up to n-1 wasted steps
     past a mid-chunk EOS (host truncates) and join latency of one chunk.
-    Greedy-only: on-device argmax; requests with sampling options stay on
-    the per-token path (`_step`).
+    Sampling state (PRNG keys, history window) rides in the scan carry, so
+    greedy AND sampled slots fuse alike — every sampler parameter is a
+    dynamic (B,) array, so one executable serves any request mix.
 
-    Returns (tokens_out (B, n) int32, updated caches).
+    Returns (tokens_out (B, n) int32, new_keys (B, 2), updated caches).
     """
 
     def body(carry, _):
-        caches, tokens, pos = carry
+        caches, tokens, pos, keys, hist = carry
         caches = [c.replace(pos=pos) for c in caches]
         S = caches[0].max_len
         k_idx = jnp.arange(S)[None, :]
@@ -120,12 +194,16 @@ def _step_n(model, caches: List[SlotKVCache], tokens, pos, n: int):
         logits, caches = model(
             tokens[:, None], caches=caches, positions=pos[:, None], mask=mask
         )
-        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-        return (caches, nxt, pos + 1), nxt
+        nxt, keys = _sample_rows_core(
+            logits[:, -1, :].astype(jnp.float32), keys, hist,
+            temps, top_ps, top_ks, rep_pens, rep_windows,
+        )
+        hist = jnp.concatenate([hist[:, 1:], nxt[:, None]], axis=1)
+        return (caches, nxt, pos + 1, keys, hist), nxt
 
-    (caches, _, _), toks = jax.lax.scan(
-        body, (caches, tokens, pos), None, length=n)
-    return jnp.swapaxes(toks, 0, 1), caches  # (B, n)
+    (caches, _, _, keys, _), toks = jax.lax.scan(
+        body, (caches, tokens, pos, keys, hist), None, length=n)
+    return jnp.swapaxes(toks, 0, 1), keys, caches  # (B, n)
 
 
 @jax.jit
@@ -161,6 +239,8 @@ class _Request:
     top_k: int = 0
     rep_penalty: float = 1.0
     rep_window: int = 64
+    seed: int = 0
+    host_sampling: bool = False  # rep_window exceeds the device hist width
     future: Future = field(default_factory=Future)
     on_token: Optional[callable] = None
     tokens: list = field(default_factory=list)
@@ -174,16 +254,18 @@ class ContinuousBatcher:
 
     def __init__(self, model, slots: int = 4, max_len: int = 2048,
                  cache_dtype=jnp.bfloat16, seed: int = 0,
-                 tick_tokens: int = 1):
+                 tick_tokens: int = 1, rep_hist: int = 64):
         cfg = model.config
         self.model = model
         self.slots = slots
         self.max_len = max_len
-        # tick_tokens > 1: fuse that many greedy decode steps per device
-        # dispatch (_step_n) whenever every live request is greedy —
-        # amortizes per-token dispatch latency (the dominant cost on
-        # remote/tunnel backends). Sampling requests fall back per-token.
+        # tick_tokens > 1: fuse that many decode steps per device dispatch
+        # (_step_n) — amortizes per-token dispatch latency (the dominant
+        # cost on remote/tunnel backends). Sampling happens in-graph, so
+        # sampled requests fuse too; only rep_window > rep_hist falls back
+        # to host-side per-token sampling.
         self.tick_tokens = max(1, int(tick_tokens))
+        self.rep_hist = max(1, int(rep_hist))
         self._cache_dtype = cache_dtype
         self.caches = [
             SlotKVCache(slots, cfg.num_key_value_heads, max_len,
@@ -193,7 +275,10 @@ class ContinuousBatcher:
         self.active: List[Optional[_Request]] = [None] * slots
         self.cur_tok = np.zeros(slots, np.int32)
         self.pos = np.full(slots, max_len - 1, np.int32)  # scratch index
+        self.keys = np.zeros((slots, 2), np.uint32)  # per-slot PRNG streams
         self._joinq: "queue.Queue[_Request]" = queue.Queue()
+        self.seed = seed
+        self._req_counter = 0
         self._rng = np.random.default_rng(seed)
         self._stop = threading.Event()
         self._wake = threading.Event()
@@ -208,16 +293,30 @@ class ContinuousBatcher:
                top_p: float = 1.0, top_k: int = 0,
                repetition_penalty: float = 1.0,
                repetition_context_size: int = 64,
+               seed: Optional[int] = None,
                on_token=None) -> Future:
         """Queue a generation request; resolves to the token list
-        (EOS included when hit)."""
+        (EOS included when hit).
+
+        `seed` pins the request's private PRNG stream: a sampled request
+        with a fixed seed produces the same tokens whether it runs alone
+        or batched with arbitrary co-tenants. Default: a fresh stream per
+        request derived from the batcher seed."""
         prompt = list(prompt)
+        if seed is None:
+            self._req_counter += 1
+            seed = int(np.uint32(hash((self.seed, self._req_counter))
+                                 & 0xFFFFFFFF))
         req = _Request(
             prompt=np.asarray(prompt, np.int32),
             max_tokens=max_tokens, eos_ids=frozenset(int(e) for e in eos_ids),
             temp=temp, top_p=top_p, top_k=top_k,
             rep_penalty=repetition_penalty,
-            rep_window=repetition_context_size, on_token=on_token,
+            rep_window=repetition_context_size,
+            seed=seed,
+            host_sampling=(repetition_penalty != 1.0
+                           and repetition_context_size > self.rep_hist),
+            on_token=on_token,
             prompt_tail=(
                 tuple(prompt[-repetition_context_size:])
                 if repetition_context_size > 0 else ()
@@ -246,8 +345,9 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
 
     def _sample(self, logits_row: np.ndarray, req: "_Request") -> int:
-        """Host-side sampler mirroring lm.sample semantics (rep penalty over
-        a sliding window, top-k, top-p nucleus, temperature)."""
+        """Host-side sampler for the rep_window > rep_hist fallback
+        (mirrors lm.sample semantics: rep penalty over a sliding window,
+        top-k, top-p nucleus, temperature)."""
         z = logits_row.astype(np.float64).copy()
         if req.rep_penalty != 1.0 and req.rep_window > 0:
             window = (list(req.prompt_tail) + req.tokens)[-req.rep_window:]
@@ -276,6 +376,39 @@ class ContinuousBatcher:
         p /= p.sum()
         return int(self._rng.choice(len(p), p=p))
 
+    # ---- per-slot sampler-state marshalling --------------------------
+
+    def _hist_row(self, req: Optional[_Request]) -> np.ndarray:
+        row = np.full(self.rep_hist, -1, np.int32)
+        if req is None:
+            return row
+        seq = (list(req.prompt_tail) + req.tokens)[-self.rep_hist:]
+        if seq:
+            row[-len(seq):] = seq
+        return row
+
+    def _sampler_state(self):
+        """Build the per-slot (B,) sampler parameter arrays + history for
+        the current pool (dead slots get inert greedy defaults)."""
+        B = self.slots
+        temps = np.zeros(B, np.float32)
+        top_ps = np.ones(B, np.float32)
+        top_ks = np.zeros(B, np.int32)
+        rep_pens = np.ones(B, np.float32)
+        rep_windows = np.zeros(B, np.int32)
+        hist = np.full((B, self.rep_hist), -1, np.int32)
+        for i, req in enumerate(self.active):
+            if req is None:
+                continue
+            temps[i] = req.temp
+            top_ps[i] = req.top_p
+            top_ks[i] = req.top_k
+            if not req.host_sampling:
+                rep_pens[i] = req.rep_penalty
+                rep_windows[i] = min(req.rep_window, self.rep_hist)
+                hist[i] = self._hist_row(req)
+        return temps, top_ps, top_ks, rep_pens, rep_windows, hist
+
     def _admit(self, req: _Request, slot: int):
         T = len(req.prompt)
         if T >= self.max_len:
@@ -298,8 +431,24 @@ class ContinuousBatcher:
         self.caches = _install_slot(
             self.caches, single, slot, jnp.asarray(T, jnp.int32)
         )
-        first = self._sample(np.asarray(jax.device_get(logits)), req)
+        key = np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
+        if req.host_sampling:
+            first = self._sample(np.asarray(jax.device_get(logits)), req)
+        else:
+            hist1 = self._hist_row(req)[None]
+            tok1, key1 = _sample_rows(
+                jnp.asarray(logits)[None], jnp.asarray(key[None]),
+                jnp.asarray(hist1),
+                jnp.asarray([req.temp], np.float32),
+                jnp.asarray([req.top_p], np.float32),
+                jnp.asarray([req.top_k], np.int32),
+                jnp.asarray([req.rep_penalty], np.float32),
+                jnp.asarray([min(req.rep_window, self.rep_hist)], np.int32),
+            )
+            first = int(jax.device_get(tok1)[0])
+            key = np.asarray(jax.device_get(key1))[0]
         self.active[slot] = req
+        self.keys[slot] = key
         req.tokens.append(first)
         self._emit(req, first)
         if first in req.eos_ids or req.max_tokens <= 1:
@@ -325,28 +474,41 @@ class ContinuousBatcher:
         if req and not req.future.done():
             req.future.set_result(req.tokens)
 
+    def _fail_all(self, e: Exception) -> None:
+        """Fail every live stream and rebuild the cache pool: a failed
+        dispatch DONATED the old buffers, so they are unusable."""
+        for slot, req in enumerate(self.active):
+            if req is not None and not req.future.done():
+                req.future.set_exception(e)
+            self.active[slot] = None
+            self.pos[slot] = self.max_len - 1
+        cfg = self.model.config
+        self.caches = [
+            SlotKVCache(self.slots, cfg.num_key_value_heads,
+                        self.max_len, cfg.head_dim, self._cache_dtype)
+            for _ in range(cfg.num_hidden_layers)
+        ]
+
     def _fused_tick(self, n: int) -> None:
-        """One fused n-step greedy tick (see _step_n). Consumes up to n
-        tokens per live slot; truncates past EOS / max_tokens."""
+        """One fused n-step tick (see _step_n), greedy and sampled slots
+        alike. Consumes up to n tokens per live slot; truncates past
+        EOS / max_tokens."""
+        temps, top_ps, top_ks, rep_pens, rep_windows, hist = (
+            self._sampler_state())
         try:
-            toks, self.caches = _step_n(
+            toks, keys, self.caches = _step_n(
                 self.model, self.caches,
-                jnp.asarray(self.cur_tok), jnp.asarray(self.pos), n=n,
+                jnp.asarray(self.cur_tok), jnp.asarray(self.pos),
+                jnp.asarray(self.keys), jnp.asarray(hist),
+                jnp.asarray(temps), jnp.asarray(top_ps),
+                jnp.asarray(top_ks), jnp.asarray(rep_pens),
+                jnp.asarray(rep_windows), n=n,
             )
             self.steps += 1
             toks_np = np.asarray(jax.device_get(toks))  # (slots, n)
+            self.keys = np.array(jax.device_get(keys))
         except Exception as e:  # pragma: no cover - defensive
-            for slot, req in enumerate(self.active):
-                if req is not None and not req.future.done():
-                    req.future.set_exception(e)
-                self.active[slot] = None
-                self.pos[slot] = self.max_len - 1
-            cfg = self.model.config
-            self.caches = [
-                SlotKVCache(self.slots, cfg.num_key_value_heads,
-                            self.max_len, cfg.head_dim, self._cache_dtype)
-                for _ in range(cfg.num_hidden_layers)
-            ]
+            self._fail_all(e)
             return
         for slot, req in enumerate(self.active):
             if req is None:
@@ -385,44 +547,49 @@ class ContinuousBatcher:
                 self._wake.clear()
                 continue
 
-            fused = self.tick_tokens > 1 and all(
-                r is None or (
-                    r.temp == 0.0 and r.rep_penalty == 1.0
-                    and r.top_k == 0 and r.top_p == 1.0
-                )
-                for r in self.active
+            # fused multi-step ticks serve every request mix; the only
+            # fallback is host-side sampling for oversized rep windows
+            fused = self.tick_tokens > 1 and not any(
+                r is not None and r.host_sampling for r in self.active
             )
             if fused:
                 self._fused_tick(self.tick_tokens)
                 continue
+            any_host = any(
+                r is not None and r.host_sampling for r in self.active)
+            temps, top_ps, top_ks, rep_pens, rep_windows, hist = (
+                self._sampler_state())
             try:
                 logits, self.caches = _step(
                     self.model, self.caches,
                     jnp.asarray(self.cur_tok), jnp.asarray(self.pos),
                 )
                 self.steps += 1
-                logits_np = np.asarray(jax.device_get(logits))
+                # device-side sampling keeps per-request determinism (a
+                # request's stream depends only on its own key); host rows
+                # are overridden below from fetched logits
+                toks_dev, keys = _sample_rows(
+                    logits, jnp.asarray(self.keys), jnp.asarray(hist),
+                    jnp.asarray(temps), jnp.asarray(top_ps),
+                    jnp.asarray(top_ks), jnp.asarray(rep_pens),
+                    jnp.asarray(rep_windows),
+                )
+                toks_np = np.asarray(jax.device_get(toks_dev))
+                self.keys = np.array(jax.device_get(keys))
+                logits_np = (
+                    np.asarray(jax.device_get(logits)) if any_host else None
+                )
             except Exception as e:  # pragma: no cover - defensive
-                # fail every live stream rather than stranding futures, and
-                # rebuild the cache pool: the failed dispatch DONATED the
-                # old buffers, so they are unusable for future requests
-                for slot, req in enumerate(self.active):
-                    if req is not None and not req.future.done():
-                        req.future.set_exception(e)
-                    self.active[slot] = None
-                    self.pos[slot] = self.max_len - 1
-                cfg = self.model.config
-                self.caches = [
-                    SlotKVCache(self.slots, cfg.num_key_value_heads,
-                                self.max_len, cfg.head_dim, self._cache_dtype)
-                    for _ in range(cfg.num_hidden_layers)
-                ]
+                self._fail_all(e)
                 continue
             for slot, req in enumerate(self.active):
                 if req is None:
                     continue
                 try:
-                    tok = self._sample(logits_np[slot], req)
+                    if req.host_sampling:
+                        tok = self._sample(logits_np[slot], req)
+                    else:
+                        tok = int(toks_np[slot])
                 except Exception as e:  # NaN logits under temp>0, etc.
                     self.active[slot] = None
                     self.pos[slot] = self.max_len - 1

@@ -225,9 +225,10 @@ def test_fused_ticks_truncate_at_eos(lm):
     assert out == ref[:k + 1]
 
 
-def test_fused_ticks_fall_back_for_sampling_requests(lm):
-    """A live sampling request forces the per-token path; greedy results
-    stay exact."""
+def test_sampled_requests_stay_fused(lm):
+    """A live sampling request no longer collapses the pool to per-token
+    ticks: sampling is in-graph, so mixed greedy+sampled pools fuse and
+    the greedy stream stays exact."""
     rng = np.random.default_rng(9)
     g_prompt = list(rng.integers(1, 97, 5))
     s_prompt = list(rng.integers(1, 97, 4))
@@ -237,10 +238,72 @@ def test_fused_ticks_fall_back_for_sampling_requests(lm):
                            cache_dtype=np.float32, tick_tokens=4)
     try:
         f1 = cb.submit(g_prompt, max_tokens=10)
-        f2 = cb.submit(s_prompt, max_tokens=10, temp=0.8, top_k=5)
+        f2 = cb.submit(s_prompt, max_tokens=10, temp=0.8, top_k=5, seed=3)
         out1 = f1.result(timeout=300)
         out2 = f2.result(timeout=300)
+        fused_steps = cb.steps
     finally:
         cb.close()
     assert out1 == ref
     assert len(out2) == 10
+    # 10 tokens at 4/tick → ≤ 2·ceil(10/4) fused dispatches even with
+    # staggered joins; per-token ticking would need ≥ 10
+    assert fused_steps <= 7
+
+
+def _cb_decode(lm, prompts, seeds, slots, tick_tokens, max_tokens=12,
+               **samp):
+    cb = ContinuousBatcher(lm, slots=slots, max_len=256,
+                           cache_dtype=np.float32, tick_tokens=tick_tokens)
+    try:
+        futs = [cb.submit(p, max_tokens=max_tokens, seed=s, **samp)
+                for p, s in zip(prompts, seeds)]
+        return [f.result(timeout=600) for f in futs]
+    finally:
+        cb.close()
+
+
+def test_sampled_batched_equals_sequential(lm):
+    """Token-exactness for sampled fused ticks: a request's stream depends
+    only on its own seed, so fixed seeds ⇒ batched == sequential
+    (one-slot pool) == per-token ticking."""
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(1, 97, n)) for n in (5, 11, 3, 8)]
+    seeds = [101, 202, 303, 404]
+    samp = dict(temp=0.8, top_p=0.9, top_k=12,
+                repetition_penalty=1.2, repetition_context_size=16)
+
+    batched = _cb_decode(lm, prompts, seeds, slots=4, tick_tokens=4, **samp)
+    sequential = [
+        _cb_decode(lm, [p], [s], slots=1, tick_tokens=4, **samp)[0]
+        for p, s in zip(prompts, seeds)
+    ]
+    per_token = _cb_decode(lm, prompts, seeds, slots=4, tick_tokens=1,
+                           **samp)
+    assert batched == sequential
+    assert batched == per_token
+    for out in batched:
+        assert len(out) == 12
+        assert all(0 <= t < 97 for t in out)
+
+
+def test_oversized_rep_window_falls_back_to_host(lm):
+    """rep_window > rep_hist can't ride the fixed device history window;
+    those requests sample host-side per-token (and force per-token ticks
+    while live)."""
+    rng = np.random.default_rng(13)
+    prompt = list(rng.integers(1, 97, 6))
+    cb = ContinuousBatcher(lm, slots=2, max_len=128,
+                           cache_dtype=np.float32, tick_tokens=4,
+                           rep_hist=8)
+    try:
+        out = cb.submit(prompt, max_tokens=10, temp=0.7,
+                        repetition_penalty=1.3,
+                        repetition_context_size=64, seed=5).result(
+                            timeout=300)
+        steps = cb.steps
+    finally:
+        cb.close()
+    assert len(out) == 10
+    assert all(0 <= t < 97 for t in out)
+    assert steps >= 9  # per-token ticking: ~one dispatch per token
