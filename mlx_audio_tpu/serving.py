@@ -28,6 +28,7 @@ __all__ = [
     "KokoroBatcher",
     "WhisperBatcher",
     "LMContinuousBatcher",
+    "FrameBatcherBase",
     "register_infer_hook",
     "unregister_infer_hook",
     "get_infer_hook",
@@ -213,6 +214,108 @@ class LMContinuousBatcher:
     @property
     def dispatch_count(self) -> int:
         return self.cb.steps
+
+
+# ---------------------------------------------------------------------------
+# Frame-AR slot batching (Sesame, Qwen3-TTS — models whose decode emits a
+# multi-codebook FRAME per step through nested inner loops, so they can't
+# ride lm.ContinuousBatcher's token-level step)
+# ---------------------------------------------------------------------------
+
+
+class FrameBatcherBase:
+    """Host-side slot scheduler for frame-AR continuous batching.
+
+    Same scheduling model as `lm.ContinuousBatcher` (a fixed pool of B
+    cache slots decodes in lock-step; requests join free slots at tick
+    boundaries and leave at EOS/cap) but at FRAME granularity: one tick =
+    `tick_frames` fused frame steps, each frame being a full nested decode
+    (e.g. backbone step + depth-decoder inner loop). Subclasses own the
+    device state and implement:
+
+    - `_admit(req, slot)`: prefill the request (B=1) and install its rows
+      into the slot state; raise to reject (future gets the exception).
+    - `_tick(n)`: ONE fused device dispatch advancing every live slot by
+      n frames; consume outputs, append to requests, and `_finish` slots
+      that hit EOS/cap. On dispatch failure call `_fail_all` (donated
+      buffers are gone — rebuild device state there).
+    """
+
+    def __init__(self, slots: int = 4, tick_frames: int = 8):
+        self.slots = slots
+        self.tick_frames = max(1, int(tick_frames))
+        self.active: List[Optional[Any]] = [None] * slots
+        self._joinq: "queue.Queue[Any]" = queue.Queue()
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self.steps = 0  # fused tick dispatches (for tests/metrics)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # -- subclass interface -------------------------------------------
+
+    def _admit(self, req, slot: int) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def _tick(self, n: int) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def _fail_all(self, e: Exception) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    # -----------------------------------------------------------------
+
+    def submit_request(self, req) -> Future:
+        self._joinq.put(req)
+        self._wake.set()
+        return req.future
+
+    def _finish(self, slot: int, result) -> None:
+        req = self.active[slot]
+        self.active[slot] = None
+        if req is not None and not req.future.done():
+            req.future.set_result(result)
+
+    def close(self):
+        self._stop.set()
+        self._wake.set()
+        self._thread.join(timeout=10)
+        while True:
+            try:
+                req = self._joinq.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(RuntimeError("batcher closed"))
+
+    def _worker(self):
+        while not self._stop.is_set():
+            while any(a is None for a in self.active):
+                try:
+                    req = self._joinq.get_nowait()
+                except queue.Empty:
+                    break
+                slot = self.active.index(None)
+                try:
+                    self._admit(req, slot)
+                    self.active[slot] = req
+                except Exception as e:  # pragma: no cover - defensive
+                    self.active[slot] = None
+                    if not req.future.done():
+                        req.future.set_exception(e)
+            if not any(self.active):
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            try:
+                self._tick(self.tick_frames)
+                self.steps += 1
+            except Exception as e:  # pragma: no cover - defensive
+                self._fail_all(e)
+
+    @property
+    def dispatch_count(self) -> int:
+        return self.steps
 
 
 # ---------------------------------------------------------------------------

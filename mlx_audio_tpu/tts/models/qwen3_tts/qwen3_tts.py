@@ -459,17 +459,35 @@ class Model(Module):
         chunk_size = (
             max(1, int(streaming_interval * 12.5)) if stream else max_tokens
         )
-        run = self._run_codes(
-            input_embeds, trailing, tts_pad, max_tokens=max_tokens,
-            chunk_tokens=chunk_size, temperature=temperature, top_k=top_k,
-            top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
-            min_tokens=min_tokens,
-        )
+        # under a running server a Qwen3TTSBatcher may be installed:
+        # concurrent requests' frame loops then decode in lock-step
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None and not stream:
+            codes = hook.submit(
+                input_embeds, trailing, max_tokens=max_tokens,
+                min_tokens=min_tokens, temperature=temperature,
+                top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty, seed=seed,
+            ).result()  # (n, K)
+            run = None
+        else:
+            run = self._run_codes(
+                input_embeds, trailing, tts_pad, max_tokens=max_tokens,
+                chunk_tokens=chunk_size, temperature=temperature,
+                top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty, seed=seed,
+                min_tokens=min_tokens,
+            )
         if not stream:
-            chunks = list(run)
-            if not chunks:
+            if run is not None:
+                chunks = list(run)
+                if not chunks:
+                    return
+                codes = np.concatenate(chunks, axis=0)  # (n, K)
+            elif codes.shape[0] == 0:
                 return
-            codes = np.concatenate(chunks, axis=0)  # (n, K)
             n = codes.shape[0]
             if ref_codes is not None:
                 ref_t = np.asarray(ref_codes)[0].T  # (Tref, K)
@@ -787,6 +805,14 @@ class Model(Module):
         return p.startswith("talker.model.layers") or p.startswith(
             "talker.code_predictor"
         )
+
+    def make_batcher(self, **kwargs):
+        """Serving batcher: continuous (slot-based) batching of concurrent
+        talker+code-predictor frame loops — one lock-step fused device
+        tick for all live requests (see batcher.Qwen3TTSBatcher)."""
+        from .batcher import Qwen3TTSBatcher
+
+        return Qwen3TTSBatcher(self, **kwargs)
 
     def sanitize(self, weights: dict) -> dict:
         from ....nn.sanitize import orient_weights_to_model

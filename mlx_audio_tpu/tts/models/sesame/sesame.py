@@ -356,6 +356,14 @@ class Model(Module):
     def model_quant_predicate(self, p, m):
         return not p.startswith("_audio_tokenizer")
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: continuous (slot-based) batching of concurrent
+        frame loops — one lock-step fused device tick for all live
+        requests (see batcher.SesameBatcher)."""
+        from .batcher import SesameBatcher
+
+        return SesameBatcher(self, **kwargs)
+
     # ---- tokenization (host) ----
 
     def _tokenize_text_segment(self, text: str, speaker: int):
@@ -513,28 +521,46 @@ class Model(Module):
             tokens = np.concatenate(toks)[None]
             tokens_mask = np.concatenate(masks)[None]
 
-            caches = self.model.make_backbone_caches(
-                1, tokens.shape[1] + max_frames + 1
-            )
-            h_last, caches = _prefill(
-                self.model, caches, jnp.asarray(tokens), jnp.asarray(tokens_mask)
-            )
-            if stream:
-                yield from self._generate_streaming(
-                    caches, h_last, kwargs.get("seed", 0), max_frames,
-                    float(temperature), int(top_k), sampler,
-                    streaming_interval, segment_idx, tokens.shape[1], t0,
-                    apply_watermark=kwargs.get("apply_watermark", True))
-                continue
-            frames, n = _generate_frames(
-                self.model, caches, h_last, jax.random.PRNGKey(kwargs.get("seed", 0)),
-                max_frames, float(temperature), int(top_k), sampler,
-            )
-            frames_np, n = jax.device_get((frames, n))
-            n = int(n)
-            if n == 0:
-                continue
-            codes = frames_np[0, :n].T[None]  # (1, K, n)
+            # under a running server a SesameBatcher may be installed:
+            # concurrent requests' frame loops then decode in lock-step
+            from ....serving import get_infer_hook
+
+            hook = get_infer_hook(self)
+            if hook is not None and not stream and sampler is None:
+                codes_nk = hook.submit(
+                    tokens, tokens_mask, max_frames=max_frames,
+                    temp=float(temperature), top_k=int(top_k),
+                    seed=kwargs.get("seed", 0),
+                ).result()  # (n, K)
+                n = int(codes_nk.shape[0])
+                if n == 0:
+                    continue
+                codes = codes_nk.T[None]  # (1, K, n)
+            else:
+                caches = self.model.make_backbone_caches(
+                    1, tokens.shape[1] + max_frames + 1
+                )
+                h_last, caches = _prefill(
+                    self.model, caches, jnp.asarray(tokens),
+                    jnp.asarray(tokens_mask)
+                )
+                if stream:
+                    yield from self._generate_streaming(
+                        caches, h_last, kwargs.get("seed", 0), max_frames,
+                        float(temperature), int(top_k), sampler,
+                        streaming_interval, segment_idx, tokens.shape[1], t0,
+                        apply_watermark=kwargs.get("apply_watermark", True))
+                    continue
+                frames, n = _generate_frames(
+                    self.model, caches, h_last,
+                    jax.random.PRNGKey(kwargs.get("seed", 0)),
+                    max_frames, float(temperature), int(top_k), sampler,
+                )
+                frames_np, n = jax.device_get((frames, n))
+                n = int(n)
+                if n == 0:
+                    continue
+                codes = frames_np[0, :n].T[None]  # (1, K, n)
             audio = np.asarray(self.audio_tokenizer.decode(codes)).reshape(-1)
 
             # Imperceptible watermark marking audio as AI-generated
