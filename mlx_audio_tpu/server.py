@@ -75,14 +75,19 @@ class ModelProvider:
                 from .stt.models.whisper.decoding import DecodingOptions
 
                 tok = model.get_tokenizer()
-                opts = DecodingOptions(task="transcribe",
-                                       language=tok.language or "en",
-                                       temperature=0.0)
-                batcher.warmup(
-                    jnp.zeros((3000, model.dims.n_mels), jnp.float32),
-                    list(tok.sot_sequence), opts, tok)
-            except Exception:
-                pass
+                window = jnp.zeros((3000, model.dims.n_mels), jnp.float32)
+                # warm the option combinations the transcription endpoints
+                # actually produce — both without_timestamps values share
+                # the encoder but compile distinct decode programs
+                for without_ts in (False, True):
+                    opts = DecodingOptions(task="transcribe",
+                                           language=tok.language or "en",
+                                           temperature=0.0,
+                                           without_timestamps=without_ts)
+                    batcher.warmup(window, list(tok.sot_sequence), opts, tok)
+            except Exception as e:
+                logging.getLogger(__name__).debug(
+                    "batcher warmup skipped: %s", e)
 
         threading.Thread(target=_warm, daemon=True).start()
 

@@ -359,11 +359,14 @@ class WhisperBatcher:
         # grouping the scheduler produces hits an already-compiled
         # executable — without this, every distinct concurrency level
         # compiles its own program, and a new level mid-traffic stalls
-        # live requests behind a full XLA compile
+        # live requests behind a full XLA compile. Clamped to max_batch:
+        # a non-power-of-two cap must not be silently exceeded (it bounds
+        # HBM use, and warmup only compiles buckets <= max_batch).
         n = len(items)
         bucket = 1
         while bucket < n:
             bucket *= 2
+        bucket = min(bucket, self.sched.max_batch)
         padded = list(items) + [items[-1]] * (bucket - n)
         windows = jnp.stack([jnp.asarray(w) for w, _, _, _ in padded])
         _xa, cross_kv = type(model)._encode(model, windows)
@@ -386,10 +389,15 @@ class WhisperBatcher:
         an XLA compile when the concurrency level shifts. Call at server
         boot per served model/options combination."""
         item = (window, prompt, opts, tokenizer)
-        b = 1
-        while b <= self.sched.max_batch:
-            self._run([item] * b)
+        # same bucket set _run can produce: powers of two clamped to
+        # max_batch (which need not be a power of two itself)
+        buckets, b = [], 1
+        while b < self.sched.max_batch:
+            buckets.append(b)
             b *= 2
+        buckets.append(self.sched.max_batch)
+        for b in buckets:
+            self._run([item] * b)
 
     def install(self):
         register_infer_hook(self.model, self)

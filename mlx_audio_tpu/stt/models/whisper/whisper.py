@@ -1073,7 +1073,8 @@ class Model(Module):
         all_segments: List[dict] = []
         n_gen = 0
         time_precision = 0.02
-        n_sweeps = 0
+        n_sweeps = 0  # batched conditioning sweeps
+        n_tail = 0  # windows re-decoded by the strict sequential finish
 
         def is_silent(res) -> bool:
             # no-speech skip (reference whisper.py:942-949): silence
@@ -1183,25 +1184,27 @@ class Model(Module):
                 todo = [k for k in range(n_windows) if used[k] != desired[k]]
                 if not todo:
                     break
-                n_sweeps += 1
-                if n_sweeps > max_sweeps and not strict_conditioning:
+                if n_sweeps >= max_sweeps and not strict_conditioning:
                     # Approximation mode: accept the last sweep's results
                     # (each window conditioned on near-final estimates).
                     # Real checkpoints typically converge in 2 sweeps, so
                     # this only changes output on inputs whose text keeps
                     # flipping — there the "right" transcript is unstable
                     # under the seek loop too.
-                    n_sweeps -= 1
                     break
-                if n_sweeps > max_sweeps:
+                if n_sweeps >= max_sweeps:
                     # Exact sequential finish for a still-unstable tail:
                     # each window gets its final-chain prompt in order, so
                     # this terminates with seek-loop-exact conditioning.
+                    # Counted as tail windows, not sweeps — the reported
+                    # "sweeps" metric covers batched sweeps only.
+                    n_tail += len(todo)
                     for k in todo:
                         row = desired_row(k, results)
                         got, _ = decode_idxs([k], [row])
                         results[k], used[k] = got[0], row
                     continue
+                n_sweeps += 1
                 # Window k's prompt depends only on windows < k, so the
                 # stable prefix grows every sweep — ≤ n_windows sweeps.
                 by_len: dict = {}
@@ -1211,10 +1214,13 @@ class Model(Module):
                     for g0 in range(0, len(idxs), max_batch):
                         sub = idxs[g0:g0 + max_batch]
                         # pad to a power-of-two bucket so later sweeps
-                        # reuse the compiled batch sizes
+                        # reuse the compiled batch sizes (clamped to
+                        # max_batch — the HBM-bounding cap need not be a
+                        # power of two)
                         bucket = 1
                         while bucket < len(sub):
                             bucket *= 2
+                        bucket = min(bucket, max_batch)
                         psub = sub + [sub[-1]] * (bucket - len(sub))
                         got, _ = decode_idxs(
                             psub, [desired[k] for k in psub])
@@ -1260,7 +1266,7 @@ class Model(Module):
                    "xrt": content_duration / max(wall, 1e-9),
                    "mode": ("chunked+conditioned"
                             if condition_on_previous_text else "chunked"),
-                   **({"sweeps": n_sweeps}
+                   **({"sweeps": n_sweeps, "tail_windows": n_tail}
                       if condition_on_previous_text else {})},
         )
 

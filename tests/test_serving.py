@@ -232,8 +232,9 @@ def test_server_warms_batcher_buckets():
     class FakeBatcher:
         def warmup(self, window, prompt, opts, tok):
             calls.append((tuple(window.shape), tuple(prompt),
-                          opts.temperature))
-            done.set()
+                          opts.temperature, opts.without_timestamps))
+            if len(calls) == 2:
+                done.set()
 
     class FakeModel:
         class dims:
@@ -244,7 +245,10 @@ def test_server_warms_batcher_buckets():
 
     ModelProvider._maybe_warmup(FakeModel(), FakeBatcher())
     assert done.wait(timeout=30)
-    assert calls == [((3000, 128), (1, 2, 3), 0.0)]
+    # both without_timestamps variants get warmed — they compile distinct
+    # decode programs the transcription endpoints can hit
+    assert calls == [((3000, 128), (1, 2, 3), 0.0, False),
+                     ((3000, 128), (1, 2, 3), 0.0, True)]
 
     # batcher without warmup: no-op, no crash
     ModelProvider._maybe_warmup(FakeModel(), object())
