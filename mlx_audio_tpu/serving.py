@@ -27,6 +27,7 @@ __all__ = [
     "BatchScheduler",
     "KokoroBatcher",
     "WhisperBatcher",
+    "ParakeetBatcher",
     "LMContinuousBatcher",
     "FrameBatcherBase",
     "register_infer_hook",
@@ -214,6 +215,70 @@ class LMContinuousBatcher:
     @property
     def dispatch_count(self) -> int:
         return self.cb.steps
+
+
+# ---------------------------------------------------------------------------
+# Parakeet adapter
+# ---------------------------------------------------------------------------
+
+
+class ParakeetBatcher:
+    """Batches Parakeet transcription windows across concurrent requests.
+
+    Each chunk of `generate`/`decode_chunk` submits its mel window;
+    windows in the same length bucket are encoded as ONE batched conformer
+    pass and decoded by the lock-step TDT greedy loop
+    (`ParakeetTDT.decode_batch`). Rows are independent, so batched results
+    equal sequential ones. Mirrors WhisperBatcher incl. power-of-two batch
+    buckets (clamped to max_batch) and `warmup`."""
+
+    def __init__(self, model, max_batch: int = 8, window_ms: float = 10.0):
+        self.model = model
+        self.sched = BatchScheduler(
+            self._run, self._key, max_batch=max_batch, window_ms=window_ms
+        )
+
+    def _key(self, mel):
+        from .stt.models.parakeet.parakeet import _bucket
+
+        T = mel.shape[-2]
+        return (_bucket(T), str(mel.dtype))
+
+    def _run(self, items):
+        n = len(items)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        bucket = min(bucket, self.sched.max_batch)
+        padded = list(items) + [items[-1]] * (bucket - n)
+        return self.model.decode_batch(padded)[:n]
+
+    def __call__(self, mel):
+        return self.sched(mel)
+
+    def warmup(self, mel):
+        """Pre-compile every batch bucket for this mel-length bucket so
+        live traffic never stalls behind an XLA compile when the
+        concurrency level shifts."""
+        buckets, b = [], 1
+        while b < self.sched.max_batch:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self.sched.max_batch)
+        for b in buckets:
+            self._run([mel] * b)
+
+    def install(self):
+        register_infer_hook(self.model, self)
+        return self
+
+    def close(self):
+        unregister_infer_hook(self.model)
+        self.sched.close()
+
+    @property
+    def dispatch_count(self) -> int:
+        return self.sched.dispatch_count
 
 
 # ---------------------------------------------------------------------------

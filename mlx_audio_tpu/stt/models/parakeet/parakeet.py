@@ -135,51 +135,67 @@ def _bucket(n, buckets=MEL_BUCKETS):
 )
 def _tdt_greedy_loop(model, features, length, durations: tuple,
                      max_symbols: int, vocab_size: int, max_steps: int):
-    """TDT greedy decode on device. features (1, T, D); returns fixed-size
-    (tokens, times, dur_idx, count)."""
+    """TDT greedy decode on device, batch-polymorphic: features (B, T, D),
+    length (B,) → fixed-size (tokens (B, S), times, dur_idx, count (B,)).
+
+    Rows advance independently in lock-step (per-row time index, LSTM
+    state, emit gate); a row whose time index passes its length goes
+    inert while the others finish. B=1 reproduces the single-window
+    decode exactly, so the serving batcher (`decode_batch`) yields
+    sequential-identical tokens. Reference: parakeet.py:511 (python
+    per-step loop, one window at a time)."""
     dur_arr = jnp.asarray(durations, jnp.int32)
-    T = features.shape[1]
-    lstm0 = model.decoder.init_state(1)
+    B, T = features.shape[0], features.shape[1]
+    lstm0 = model.decoder.init_state(B)
+    brow = jnp.arange(B)
 
     def cond(s):
-        return (s[1] < length) & (s[0] < max_steps)
+        return jnp.any(s[1] < length) & (s[0] < max_steps)
 
     def body(s):
         step, time_idx, last_tok, lstm, n_sym, j, toks, times, durs = s
-        feature = jax.lax.dynamic_slice(
-            features, (0, jnp.clip(time_idx, 0, T - 1), 0), (1, 1, features.shape[2])
-        )
+        active = time_idx < length  # (B,)
+        t_idx = jnp.clip(time_idx, 0, T - 1)
+        feature = jnp.take_along_axis(
+            features, t_idx[:, None, None], axis=1)  # (B, 1, D)
         use_zero = last_tok == vocab_size
         dec_out, new_lstm = model.decoder.step_embed(
-            jnp.clip(last_tok, 0, vocab_size - 1)[None, None], use_zero[None], lstm
+            jnp.clip(last_tok, 0, vocab_size - 1)[:, None], use_zero, lstm
         )
-        joint = model.joint(feature, dec_out)[0, 0, 0]  # (V+1+ndur,)
-        pred = jnp.argmax(joint[: vocab_size + 1]).astype(jnp.int32)
-        decision = jnp.argmax(joint[vocab_size + 1 :]).astype(jnp.int32)
-        dur = dur_arr[decision]
+        joint = model.joint(feature, dec_out)[:, 0, 0]  # (B, V+1+ndur)
+        pred = jnp.argmax(joint[:, : vocab_size + 1],
+                          axis=-1).astype(jnp.int32)
+        decision = jnp.argmax(joint[:, vocab_size + 1:],
+                              axis=-1).astype(jnp.int32)
+        dur = dur_arr[decision]  # (B,)
 
-        emit = pred != vocab_size
-        toks = toks.at[j].set(jnp.where(emit, pred, toks[j]))
-        times = times.at[j].set(jnp.where(emit, time_idx, times[j]))
-        durs = durs.at[j].set(jnp.where(emit, dur, durs[j]))
+        emit = (pred != vocab_size) & active
+        jc = jnp.clip(j, 0, max_steps - 1)
+        toks = toks.at[brow, jc].set(jnp.where(emit, pred, toks[brow, jc]))
+        times = times.at[brow, jc].set(
+            jnp.where(emit, time_idx, times[brow, jc]))
+        durs = durs.at[brow, jc].set(jnp.where(emit, dur, durs[brow, jc]))
         j = j + emit.astype(jnp.int32)
         last_tok = jnp.where(emit, pred, last_tok)
         lstm = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(emit, new, old), new_lstm, lstm
+            # LSTM state is (L, B, H): select per ROW
+            lambda new, old: jnp.where(emit[None, :, None], new, old),
+            new_lstm, lstm,
         )
 
-        time_idx = time_idx + dur
-        n_sym = jnp.where(dur != 0, 0, n_sym + 1)
-        force = (max_symbols > 0) & (n_sym >= max_symbols)
+        time_idx = time_idx + jnp.where(active, dur, 0)
+        n_sym = jnp.where(active, jnp.where(dur != 0, 0, n_sym + 1), n_sym)
+        force = (max_symbols > 0) & (n_sym >= max_symbols) & active
         time_idx = time_idx + force.astype(jnp.int32)
         n_sym = jnp.where(force, 0, n_sym)
-        return (step + 1, time_idx, last_tok, lstm, n_sym, j, toks, times, durs)
+        return (step + 1, time_idx, last_tok, lstm, n_sym, j, toks, times,
+                durs)
 
-    z = jnp.zeros((max_steps,), jnp.int32)
+    z = jnp.zeros((B, max_steps), jnp.int32)
+    zb = jnp.zeros((B,), jnp.int32)
     state = (
-        jnp.array(0, jnp.int32), jnp.array(0, jnp.int32),
-        jnp.array(vocab_size, jnp.int32), lstm0, jnp.array(0, jnp.int32),
-        jnp.array(0, jnp.int32), z, z, z,
+        jnp.array(0, jnp.int32), zb,
+        jnp.full((B,), vocab_size, jnp.int32), lstm0, zb, zb, z, z, z,
     )
     state = jax.lax.while_loop(cond, body, state)
     _, _, _, _, _, j, toks, times, durs = state
@@ -276,12 +292,23 @@ class BaseParakeet(Module):
     def decode(self, mel: jax.Array) -> List[AlignedResult]:
         raise NotImplementedError
 
+    def _decode_window(self, mel: jax.Array) -> AlignedResult:
+        """One transcription window — routed through an installed serving
+        batcher when present (concurrent requests' windows then fuse into
+        one batched encoder + lock-step decode dispatch)."""
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            return hook(mel)
+        return self.decode(mel)[0]
+
     def decode_chunk(self, audio_data, verbose: bool = False,
                      dtype=None) -> AlignedResult:
         mel = log_mel_spectrogram(audio_data, self.preprocessor_config)
         if dtype is not None:
             mel = mel.astype(dtype)
-        result = self.decode(mel)[0]
+        result = self._decode_window(mel)
         if verbose:
             print(result.text)
         return result
@@ -321,7 +348,7 @@ class BaseParakeet(Module):
             mel = log_mel_spectrogram(seg, self.preprocessor_config)
             if dtype is not None:
                 mel = mel.astype(dtype)
-            res = self.decode(mel)[0]
+            res = self._decode_window(mel)
             offset = pos / sr
             toks = [
                 AlignedToken(t.id, t.text, t.start + offset, t.duration)
@@ -366,7 +393,7 @@ class BaseParakeet(Module):
             mel = log_mel_spectrogram(seg, self.preprocessor_config)
             if dtype is not None:
                 mel = mel.astype(dtype)
-            res = self.decode(mel)[0]
+            res = self._decode_window(mel)
             offset = pos / sr
             toks = [
                 AlignedToken(t.id, t.text, t.start + offset, t.duration)
@@ -439,6 +466,23 @@ class ParakeetTDT(BaseParakeet):
         self.decoder = PredictNetwork(args.decoder)
         self.joint = JointNetwork(args.joint)
 
+    def _results_from_loop(self, toks, times, durs, j) -> List[AlignedResult]:
+        toks, times, durs, j = jax.device_get((toks, times, durs, j))
+        tpf = self.time_per_encoded_frame
+        results = []
+        for b in range(toks.shape[0]):
+            hyp = [
+                AlignedToken(
+                    int(toks[b, i]),
+                    text=tok.decode([int(toks[b, i])], self.vocabulary),
+                    start=float(times[b, i]) * tpf,
+                    duration=float(durs[b, i]) * tpf,
+                )
+                for i in range(int(j[b]))
+            ]
+            results.append(sentences_to_result(tokens_to_sentences(hyp)))
+        return results
+
     def decode(self, mel: jax.Array) -> List[AlignedResult]:
         if mel.ndim == 2:
             mel = mel[None]
@@ -446,23 +490,39 @@ class ParakeetTDT(BaseParakeet):
         for b in range(mel.shape[0]):
             feats, out_len = self._encode_mel(mel[b])
             max_steps = 2 * feats.shape[1] + 8
-            toks, times, durs, j = _tdt_greedy_loop(
-                self, feats, jnp.asarray(out_len), self.durations,
+            out = _tdt_greedy_loop(
+                self, feats, jnp.asarray([out_len]), self.durations,
                 self.max_symbols, len(self.vocabulary), max_steps,
             )
-            toks, times, durs, j = jax.device_get((toks, times, durs, j))
-            tpf = self.time_per_encoded_frame
-            hyp = [
-                AlignedToken(
-                    int(toks[i]),
-                    text=tok.decode([int(toks[i])], self.vocabulary),
-                    start=float(times[i]) * tpf,
-                    duration=float(durs[i]) * tpf,
-                )
-                for i in range(int(j))
-            ]
-            results.append(sentences_to_result(tokens_to_sentences(hyp)))
+            results.extend(self._results_from_loop(*out))
         return results
+
+    def decode_batch(self, mels: List[jax.Array]) -> List[AlignedResult]:
+        """Decode several (possibly different-length) mel windows as ONE
+        batched encoder pass + ONE lock-step TDT greedy loop. Serving path
+        for concurrent requests (reference serves windows one at a time,
+        parakeet.py:243-275); per-row results equal `decode` exactly."""
+        Ts = [m.shape[-2] for m in mels]
+        Tpad = _bucket(max(Ts))
+        mel_b = jnp.stack([
+            jnp.pad(m[0] if m.ndim == 3 else m, [(0, Tpad - t), (0, 0)])
+            for m, t in zip(mels, Ts)
+        ])
+        feats, out_lens = _encode(self, mel_b,
+                                  jnp.asarray(Ts, jnp.int32))
+        max_steps = 2 * feats.shape[1] + 8
+        out = _tdt_greedy_loop(
+            self, feats, out_lens, self.durations,
+            self.max_symbols, len(self.vocabulary), max_steps,
+        )
+        return self._results_from_loop(*out)
+
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent transcription windows fuse into one
+        batched encoder + lock-step TDT decode (serving.ParakeetBatcher)."""
+        from ....serving import ParakeetBatcher
+
+        return ParakeetBatcher(self, **kwargs)
 
 
 class ParakeetRNNT(BaseParakeet):

@@ -196,3 +196,63 @@ def test_sentence_splitting():
     ]
     sents = tokens_to_sentences(toks)
     assert len(sents) == 2
+
+
+def test_tdt_batched_decode_matches_sequential(tdt):
+    """decode_batch (one batched conformer pass + lock-step TDT loop)
+    equals per-window decode exactly, including mixed window lengths."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    audios = [
+        (rng.standard_normal(16000 * d) * 0.1).astype(np.float32)
+        for d in (2, 2, 1)
+    ]
+    mels = [log_mel_spectrogram(a, tdt.preprocessor_config) for a in audios]
+    seq = [tdt.decode(m)[0] for m in mels]
+    batched = tdt.decode_batch(mels)
+    assert len(batched) == len(seq)
+    for s, b in zip(seq, batched):
+        assert b.text == s.text
+        s_toks = [(t.id, round(t.start, 4)) for sen in s.sentences
+                  for t in sen.tokens]
+        b_toks = [(t.id, round(t.start, 4)) for sen in b.sentences
+                  for t in sen.tokens]
+        assert b_toks == s_toks
+
+
+def test_tdt_batcher_fuses_concurrent_requests(tdt):
+    """Concurrent generate() calls route windows through an installed
+    ParakeetBatcher: same text as sequential, fewer dispatches."""
+    import threading
+
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    rng = np.random.default_rng(8)
+    audios = [
+        (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+        for _ in range(3)
+    ]
+    seq = [tdt.generate(a) for a in audios]
+
+    batcher = tdt.make_batcher(max_batch=4, window_ms=300.0).install()
+    try:
+        assert get_infer_hook(tdt) is batcher
+        results = [None] * 3
+
+        def run(i):
+            results[i] = tdt.generate(audios[i])
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert all(r is not None for r in results)
+        for s, b in zip(seq, results):
+            assert b.text == s.text
+        # same-length windows share one bucket → one fused dispatch
+        assert batcher.dispatch_count == 1
+    finally:
+        batcher.close()
+    assert get_infer_hook(tdt) is None
