@@ -145,6 +145,11 @@ class QuantizedLinear(Module):
 
         if not pallas_enabled():
             return False
+        if getattr(self, "tp_sharded", False):
+            # tensor-parallel shards flow through XLA's dequant+matmul —
+            # pallas_call is not SPMD-partitionable without shard_map
+            # (flag set by parallel.mesh.shard_module)
+            return False
         if self.bits not in (4, 8):
             return False
         N, K = self.weight.shape[0], x.shape[-1]

@@ -62,13 +62,19 @@ def get_mesh(
 
 # Tensor-parallel rules for the Llama/Qwen family (column-parallel QKV +
 # gate/up, row-parallel o_proj/down_proj, vocab-sharded embeddings).
+# Quantized checkpoints store each projection as a (packed `weight`,
+# `scales`, `biases`) triple — all three carry the out dim on axis 0 and
+# the (packed / grouped) in dim on axis 1, so they shard with the SAME
+# spec as the float weight; `shard_module` additionally enforces that a
+# triple shards all-or-nothing (group/pack alignment, see below).
 LLAMA_TP_RULES = [
-    (r".*\.(q_proj|k_proj|v_proj|gate_proj|up_proj)\.weight$", P("model", None)),
+    (r".*\.(q_proj|k_proj|v_proj|gate_proj|up_proj)\.(weight|scales|biases)$",
+     P("model", None)),
     (r".*\.(q_proj|k_proj|v_proj|gate_proj|up_proj)\.bias$", P("model")),
-    (r".*\.(o_proj|down_proj)\.weight$", P(None, "model")),
+    (r".*\.(o_proj|down_proj)\.(weight|scales|biases)$", P(None, "model")),
     (r".*\.(o_proj|down_proj)\.bias$", P()),
-    (r".*embed_tokens\.weight$", P("model", None)),
-    (r".*lm_head\.weight$", P("model", None)),
+    (r".*embed_tokens\.(weight|scales|biases)$", P("model", None)),
+    (r".*lm_head\.(weight|scales|biases)$", P("model", None)),
     (r".*norm.*\.weight$", P()),
 ]
 
@@ -91,35 +97,99 @@ def _spec_for(key: str, rules) -> P:
     return P()
 
 
+def _divisible(leaf, spec: P, axis_sizes: dict) -> bool:
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        size = axis_sizes.get(axis, 1)
+        if dim >= len(leaf.shape) or leaf.shape[dim] % size != 0:
+            return False
+    return True
+
+
+def _walk_modules(obj, prefix: str = ""):
+    """Yield (dotted-path, module) pairs, matching `path_str` naming."""
+    from ..nn.module import Module as _Mod
+
+    if isinstance(obj, _Mod):
+        yield prefix, obj
+        for name, val in vars(obj).items():
+            sub = f"{prefix}.{name}" if prefix else name
+            yield from _walk_modules(val, sub)
+    elif isinstance(obj, (list, tuple)):
+        for i, v in enumerate(obj):
+            yield from _walk_modules(v, f"{prefix}.{i}" if prefix else str(i))
+    elif isinstance(obj, dict):
+        for k, v in obj.items():
+            yield from _walk_modules(v, f"{prefix}.{k}" if prefix else str(k))
+
+
 def shard_module(model, mesh: Mesh, rules=None):
     """device_put every array leaf with a NamedSharding chosen by path rules.
 
     Leaves with no matching rule (or whose dims don't divide the mesh axis)
     are replicated.
+
+    Quantized layers (packed `weight` + `scales` + `biases` triples,
+    nn.quantized.QuantizedLinear layout) get two extra guarantees:
+    - a triple shards ALL-OR-NOTHING: if any member fails divisibility
+      (e.g. a row-parallel split that doesn't land on a quant-group
+      boundary — scales has in/group_size columns), the whole triple
+      replicates, so the affine dequant never mixes shard layouts;
+    - TP-sharded QuantizedLinear modules are flagged (`tp_sharded`) so
+      their Pallas fused-dequant routing steps aside — pallas_call is not
+      SPMD-partitionable without shard_map, and XLA's dequant+matmul
+      partitions cleanly.
     """
     rules = rules or []
     leaves, treedef = jax.tree_util.tree_flatten_with_path(model)
-    new_leaves = []
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    infos = []  # (key|None, leaf, spec, ok) per leaf, in tree order
+    families: dict = {}  # parent path -> {member name: info index}
     for path, leaf in leaves:
         if not hasattr(leaf, "shape"):
-            new_leaves.append(leaf)
+            infos.append((None, leaf, None, True))
             continue
         key = path_str(path)
         spec = _spec_for(key, rules)
-        # Validate divisibility; fall back to replication.
-        ok = True
-        for dim, axis in enumerate(spec):
-            if axis is None:
-                continue
-            size = axis_sizes.get(axis, 1)
-            if dim >= len(leaf.shape) or leaf.shape[dim] % size != 0:
-                ok = False
+        ok = _divisible(leaf, spec, axis_sizes)
+        infos.append((key, leaf, spec, ok))
+        base, _, name = key.rpartition(".")
+        if name in ("weight", "scales", "biases"):
+            families.setdefault(base, {})[name] = len(infos) - 1
+
+    # all-or-nothing for quantized triples (a family with `scales` is one)
+    bad_parents = set()
+    for base, members in families.items():
+        if "scales" not in members:
+            continue
+        for i in members.values():
+            _, _, spec, ok = infos[i]
+            if spec != P() and not ok:
+                bad_parents.add(base)
                 break
-        if not ok:
+
+    new_leaves = []
+    sharded_quant_parents = set()
+    for key, leaf, spec, ok in infos:
+        if key is None:
+            new_leaves.append(leaf)
+            continue
+        base = key.rpartition(".")[0]
+        if not ok or base in bad_parents:
             spec = P()
+        if (spec != P() and base in families
+                and "scales" in families[base]):
+            sharded_quant_parents.add(base)
         new_leaves.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    new_model = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    if sharded_quant_parents:
+        for mpath, mod in _walk_modules(new_model):
+            if mpath in sharded_quant_parents and hasattr(mod, "bits"):
+                mod.tp_sharded = True
+    return new_model
 
 
 def replicate(model, mesh: Mesh):

@@ -201,3 +201,68 @@ def test_tp_vibevoice_asr_real_widths_sharded_matches_single():
     out = np.asarray(jax.jit(fwd)(sharded, audio, ids, pos))
     assert out.shape == (1, 16, 2048)
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+
+
+def test_tp_quantized_matches_single_device():
+    """TP x quantization: int4 packed weight/scales/biases triples shard
+    with the float rules (column- and row-parallel) and TP logits equal
+    single-device int4 logits exactly."""
+    from mlx_audio_tpu.nn import quantize_module
+    from mlx_audio_tpu.nn.quantized import QuantizedLinear
+
+    cfg = LMConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        intermediate_size=128,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        vocab_size=96,
+    )
+    qmodel = quantize_module(CausalLM(cfg), group_size=32, bits=4)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 96, (2, 6)))
+    ref, _ = jax.jit(lambda m, i: m(i))(qmodel, ids)
+
+    mesh = get_mesh(data=4, model=2)
+    sharded = shard_module(qmodel, mesh, LLAMA_TP_RULES)
+    qp = sharded.model.layers[0].self_attn.q_proj
+    assert isinstance(qp, QuantizedLinear)
+    # whole triple column-sharded together
+    assert qp.weight.sharding.spec == P("model", None)
+    assert qp.scales.sharding.spec == P("model", None)
+    assert qp.biases.sharding.spec == P("model", None)
+    # row-parallel triple: packed K dim + groups sharded together
+    dp = sharded.model.layers[0].mlp.down_proj
+    assert dp.weight.sharding.spec == P(None, "model")
+    assert dp.scales.sharding.spec == P(None, "model")
+    # pallas fused-dequant routing must step aside under TP
+    assert qp.tp_sharded and not qp._pallas_routable(jnp.zeros((1, 64)))
+
+    out, _ = jax.jit(lambda m, i: m(i))(sharded, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=1e-2)
+
+
+def test_tp_quantized_group_misalignment_replicates_triple():
+    """A row-parallel split that doesn't land on quant-group boundaries
+    must replicate the WHOLE triple (never mix shard layouts within one
+    affine dequant)."""
+    from mlx_audio_tpu.nn import quantize_module
+
+    cfg = LMConfig(
+        hidden_size=64,
+        num_hidden_layers=1,
+        intermediate_size=96,  # 96/32 = 3 groups: not divisible by model=2
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        vocab_size=96,
+    )
+    qmodel = quantize_module(CausalLM(cfg), group_size=32, bits=4)
+    mesh = get_mesh(data=4, model=2)
+    sharded = shard_module(qmodel, mesh, LLAMA_TP_RULES)
+    dp = sharded.model.layers[0].mlp.down_proj
+    # scales (out, 3) fails divisibility → weight (out, 24) would divide,
+    # but the triple replicates together
+    assert dp.scales.sharding.spec == P()
+    assert dp.weight.sharding.spec == P()
+    assert dp.biases.sharding.spec == P()
+    assert not getattr(dp, "tp_sharded", False)
