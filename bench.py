@@ -31,6 +31,34 @@ warnings.filterwarnings("ignore")
 import jax
 import numpy as np
 
+RESULTS = []
+
+
+def emit(obj):
+    """Print one metric line AND record it for the final summary line.
+
+    The driver captures only the output TAIL, so the LAST line is a
+    compact summary of every metric — a partial capture still yields the
+    full metric set (round-3 lesson: the Kokoro line fell off the tail)."""
+    RESULTS.append(obj)
+    print(json.dumps(obj), flush=True)
+
+
+def emit_summary():
+    if not RESULTS:
+        return
+    print(json.dumps({
+        "metric": "bench_summary",
+        "value": round(min(r["vs_baseline"] for r in RESULTS), 3),
+        "unit": "min_vs_baseline",
+        "vs_baseline": round(min(r["vs_baseline"] for r in RESULTS), 3),
+        "metrics": {
+            r["metric"]: {"value": r["value"], "unit": r["unit"],
+                          "vs_baseline": r["vs_baseline"]}
+            for r in RESULTS
+        },
+    }), flush=True)
+
 
 KOKORO_82M_CONFIG = dict(
     istftnet=dict(
@@ -108,8 +136,7 @@ def bench_kokoro():
     audio_seconds = audio.shape[-1] / cfg.sample_rate
     rtf = wall / audio_seconds
     target = 0.05
-    print(
-        json.dumps(
+    emit(
             {
                 "metric": "kokoro82m_tts_rtf",
                 "value": round(rtf, 5),
@@ -124,8 +151,6 @@ def bench_kokoro():
                     "phoneme_len": len(ps),
                 },
             }
-        ),
-        flush=True,
     )
 
 
@@ -188,8 +213,7 @@ def bench_whisper(model, tok, seconds: float = 120.0, runs: int = 5,
         wall = min(walls)
         xrt = dur / wall
         target = 40.0
-        print(
-            json.dumps(
+        emit(
                 {
                     "metric": metric,
                     "value": round(xrt, 2),
@@ -206,8 +230,6 @@ def bench_whisper(model, tok, seconds: float = 120.0, runs: int = 5,
                         "device": str(jax.devices()[0]),
                     },
                 }
-            ),
-            flush=True,
         )
 
 
@@ -244,7 +266,7 @@ def bench_whisper_conditioned(model, tok, long_seconds: float = 600.0,
     wall = min(walls)
     xrt = long_seconds / wall
     target = 40.0
-    print(json.dumps({
+    emit({
         "metric": "whisper_long_conditioned_xrt",
         "value": round(xrt, 2),
         "unit": "x_realtime",
@@ -261,7 +283,7 @@ def bench_whisper_conditioned(model, tok, long_seconds: float = 600.0,
                        "2-sweep operating point measured)",
             "device": str(jax.devices()[0]),
         },
-    }), flush=True)
+    })
 
 
 def bench_whisper_serving(model, tok, n_streams: int = 8,
@@ -312,10 +334,15 @@ def bench_whisper_serving(model, tok, n_streams: int = 8,
             list(tok.sot_sequence_including_notimestamps), warm_opts, tok)
         with ThreadPoolExecutor(n_streams) as ex:  # batched-shape compile
             list(ex.map(transcribe, audios))
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(n_streams) as ex:
-            list(ex.map(transcribe, audios))
-        bat_wall = time.perf_counter() - t0
+        # >= 3 timed trials: tunnel noise is ±30% on sub-second walls
+        # (round-3 single-trial 237x vs sweep 403x); report the spread
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(n_streams) as ex:
+                list(ex.map(transcribe, audios))
+            trials.append(time.perf_counter() - t0)
+        bat_wall = sorted(trials)[len(trials) // 2]  # median
         dispatches = batcher.dispatch_count
     finally:
         batcher.close()
@@ -323,7 +350,7 @@ def bench_whisper_serving(model, tok, n_streams: int = 8,
     total_audio = seconds * n_streams
     xrt = total_audio / bat_wall
     target = 40.0  # aggregate must at least hold the single-stream target
-    print(json.dumps({
+    emit({
         "metric": "whisper_serving_aggregate_xrt",
         "value": round(xrt, 2),
         "unit": "x_realtime",
@@ -333,7 +360,9 @@ def bench_whisper_serving(model, tok, n_streams: int = 8,
             "streams": n_streams,
             "audio_seconds": total_audio,
             "seconds_per_stream": seconds,
-            "wall_seconds": round(bat_wall, 3),
+            "wall_seconds_median": round(bat_wall, 3),
+            "xrt_min_med_max": [round(total_audio / w, 1)
+                                for w in sorted(trials, reverse=True)],
             "sequential_wall_seconds": round(seq_wall, 3),
             "speedup_vs_sequential": round(seq_wall / bat_wall, 2),
             "dispatches": dispatches,
@@ -341,7 +370,7 @@ def bench_whisper_serving(model, tok, n_streams: int = 8,
             "weights": "random (decode runs to sample_len)",
             "device": str(jax.devices()[0]),
         },
-    }), flush=True)
+    })
 
 
 class _AsciiTok:
@@ -410,7 +439,7 @@ def bench_qwen3_tts(bits=None, n_frames: int = 256, runs: int = 2):
     rtf = wall / max(audio_seconds, 1e-9)
     target = 1.0  # must beat realtime end-to-end
     label = f"int{bits}" if bits else "bf16"
-    print(json.dumps({
+    emit({
         "metric": f"qwen3_tts_ar_rtf_{label}",
         "value": round(rtf, 4),
         "unit": "rtf",
@@ -427,25 +456,182 @@ def bench_qwen3_tts(bits=None, n_frames: int = 256, runs: int = 2):
             "weights": "random (min_tokens pins decode length)",
             "device": str(jax.devices()[0]),
         },
-    }), flush=True)
+    })
+
+
+def bench_qwen3_serving(model=None, n_streams: int = 8, n_frames: int = 64,
+                        tick_frames: int = 8):
+    """AR TTS serving: N concurrent SAMPLED Qwen3-TTS requests through the
+    slot-based frame batcher (one fused device tick for all live slots) vs
+    the same N one-at-a-time on the SAME engine (one live slot). BASELINE
+    north star: batch concurrent TTS streams per chip; the reference
+    serves strictly one request at a time (server.py:74-94)."""
+    from mlx_audio_tpu.nn.module import build_on_host
+    from mlx_audio_tpu.tts.models.qwen3_tts import Model, ModelConfig
+
+    if model is None:
+        model = build_on_host(lambda: Model(ModelConfig.from_dict({})))
+        model.set_runtime(tokenizer=_AsciiTok())
+
+    texts = [
+        f"Concurrent stream number {i}: the quick brown fox jumps over "
+        "the lazy dog while the synthesis model turns text into speech."
+        for i in range(n_streams)
+    ]
+    preps = [model._prepare_generation_inputs(t) for t in texts]
+    samp = dict(max_tokens=n_frames, min_tokens=n_frames,
+                temperature=0.9, top_k=50, top_p=1.0,
+                repetition_penalty=1.05)
+
+    batcher = model.make_batcher(
+        slots=n_streams, max_len=1024, tick_frames=tick_frames)
+    try:
+        # compile prefill/tick AND every slot's install program (the slot
+        # index is a static jit arg): warm with a full concurrent wave
+        warm = {**samp, "max_tokens": tick_frames,
+                "min_tokens": tick_frames}
+        for f in [batcher.submit(emb, tr, seed=0, **warm)
+                  for emb, tr, _pad in preps]:
+            f.result()
+
+        # sequential baseline: one live slot at a time, same engine
+        t0 = time.perf_counter()
+        for i, (emb, tr, _pad) in enumerate(preps):
+            batcher.submit(emb, tr, seed=i, **samp).result()
+        seq_wall = time.perf_counter() - t0
+
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            futs = [batcher.submit(emb, tr, seed=i, **samp)
+                    for i, (emb, tr, _pad) in enumerate(preps)]
+            frames = [f.result() for f in futs]
+            trials.append(time.perf_counter() - t0)
+        bat_wall = sorted(trials)[len(trials) // 2]
+        total_frames = sum(f.shape[0] for f in frames)
+    finally:
+        batcher.close()
+
+    audio_seconds = total_frames / 12.5  # 12.5 Hz codec frames
+    speedup = seq_wall / bat_wall
+    target = 2.0  # ≥2x aggregate over sequential at 8 sampled streams
+    emit({
+        "metric": "qwen3_tts_serving_speedup",
+        "value": round(speedup, 2),
+        "unit": "x_sequential",
+        "vs_baseline": round(speedup / target, 3),
+        "detail": {
+            "mode": "slot_frame_batcher_sampled",
+            "streams": n_streams,
+            "frames_total": total_frames,
+            "aggregate_frames_per_sec": round(total_frames / bat_wall, 1),
+            "aggregate_audio_xrt": round(audio_seconds / bat_wall, 2),
+            "wall_seconds_median": round(bat_wall, 3),
+            "wall_min_med_max": [round(w, 3) for w in sorted(trials)],
+            "sequential_wall_seconds": round(seq_wall, 3),
+            "tick_frames": tick_frames,
+            "sampling": "temp=0.9 top_k=50 (in-graph, per-slot PRNG)",
+            "weights": "random (min_tokens pins decode length)",
+            "device": str(jax.devices()[0]),
+        },
+    })
+
+
+def bench_sesame_serving(model=None, n_streams: int = 8, n_frames: int = 64,
+                         tick_frames: int = 8):
+    """Sesame/CSM-1B serving: N concurrent SAMPLED frame loops (backbone
+    16x2048 + 32-codebook depth decoder 4x1024, real dims) through the
+    slot batcher vs one-at-a-time on the same engine."""
+    from mlx_audio_tpu.nn.module import build_on_host
+    from mlx_audio_tpu.tts.models.sesame.sesame import Model, ModelConfig
+
+    if model is None:
+        model = build_on_host(lambda: Model(ModelConfig()))
+    rng = np.random.default_rng(3)
+    prompts = []
+    K = model.config.audio_num_codebooks
+    for i in range(n_streams):
+        T = 48
+        toks = np.zeros((1, T, K + 1), np.int32)
+        toks[:, :, -1] = rng.integers(5, 1000, T)
+        mask = np.zeros((1, T, K + 1), bool)
+        mask[:, :, -1] = True
+        prompts.append((toks, mask))
+
+    batcher = model.make_batcher(
+        slots=n_streams, max_len=1024, tick_frames=tick_frames)
+    try:
+        # warm every slot's install program with a full concurrent wave
+        for f in [batcher.submit(toks, mask, max_frames=tick_frames,
+                                 temp=0.9, top_k=50, seed=0)
+                  for toks, mask in prompts]:
+            f.result()
+        t0 = time.perf_counter()
+        for i, (toks, mask) in enumerate(prompts):
+            batcher.submit(toks, mask, max_frames=n_frames, temp=0.9,
+                           top_k=50, seed=i).result()
+        seq_wall = time.perf_counter() - t0
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            futs = [batcher.submit(toks, mask, max_frames=n_frames,
+                                   temp=0.9, top_k=50, seed=i)
+                    for i, (toks, mask) in enumerate(prompts)]
+            frames = [f.result() for f in futs]
+            trials.append(time.perf_counter() - t0)
+        bat_wall = sorted(trials)[len(trials) // 2]
+        total_frames = sum(f.shape[0] for f in frames)
+    finally:
+        batcher.close()
+
+    speedup = seq_wall / bat_wall
+    target = 2.0
+    emit({
+        "metric": "sesame_serving_speedup",
+        "value": round(speedup, 2),
+        "unit": "x_sequential",
+        "vs_baseline": round(speedup / target, 3),
+        "detail": {
+            "mode": "slot_frame_batcher_sampled",
+            "streams": n_streams,
+            "frames_total": total_frames,
+            "aggregate_frames_per_sec": round(total_frames / bat_wall, 1),
+            "aggregate_audio_xrt": round(
+                total_frames / 12.5 / bat_wall, 2),
+            "wall_seconds_median": round(bat_wall, 3),
+            "wall_min_med_max": [round(w, 3) for w in sorted(trials)],
+            "sequential_wall_seconds": round(seq_wall, 3),
+            "tick_frames": tick_frames,
+            "sampling": "temp=0.9 top_k=50 (in-graph, per-slot PRNG)",
+            "weights": "random (random frames never all-zero → cap)",
+            "device": str(jax.devices()[0]),
+        },
+    })
 
 
 def main():
     args = set(sys.argv[1:])
     all_ = not args or "--all" in args
-    if all_ or "--kokoro" in args:
-        bench_kokoro()
-    if all_ or "--whisper" in args or "--serving" in args:
-        model, tok = build_whisper_turbo()
-        if all_ or "--whisper" in args:
-            bench_whisper(model, tok)
-            bench_whisper_conditioned(model, tok)
-        if all_ or "--serving" in args:
-            bench_whisper_serving(model, tok)
-        del model  # free HBM before the Qwen3 section
-    if all_ or "--qwen3" in args:
-        bench_qwen3_tts()
-        bench_qwen3_tts(bits=4)
+    try:
+        if all_ or "--kokoro" in args:
+            bench_kokoro()
+        if all_ or "--whisper" in args or "--serving" in args:
+            model, tok = build_whisper_turbo()
+            if all_ or "--whisper" in args:
+                bench_whisper(model, tok)
+                bench_whisper_conditioned(model, tok)
+            if all_ or "--serving" in args:
+                bench_whisper_serving(model, tok)
+            del model  # free HBM before the Qwen3 section
+        if all_ or "--qwen3" in args:
+            bench_qwen3_tts()
+            bench_qwen3_tts(bits=4)
+        if all_ or "--serving-tts" in args:
+            bench_qwen3_serving()
+            bench_sesame_serving()
+    finally:
+        # LAST line = complete metric set (the driver records the tail)
+        emit_summary()
 
 
 if __name__ == "__main__":
