@@ -93,23 +93,77 @@ _LEXICON = {
     "quick": "kwˈɪk", "brown": "bɹˈWn", "fox": "fˈɑks", "jumps": "ʤˈʌmps",
     "lazy": "lˈAzi", "dog": "dˈɔɡ", "test": "tˈɛst", "speech": "spˈiʧ",
     "synthesis": "sˈɪnθəsɪs", "audio": "ˈɔdiO", "model": "mˈɑdəl",
+    "maybe": "mˈAbi", "once": "wˈʌns", "woman": "wˈʊmən",
+    "women": "wˈɪmɪn", "friend": "fɹˈɛnd", "sure": "ʃˈʊɹ",
+    "pretty": "pɹˈɪɾi", "busy": "bˈɪzi", "done": "dˈʌn", "gone": "ɡˈɔn",
+    "love": "lˈʌv", "above": "əbˈʌv", "enough": "ɪnˈʌf",
+    "young": "jˈʌŋ", "touch": "tˈʌʧ", "heart": "hˈɑɹt", "says": "sˈɛz",
+    "month": "mˈʌnθ", "nothing": "nˈʌθɪŋ", "someone": "sˈʌmwʌn",
+    "island": "ˈIlənd", "hour": "ˈWɹ", "honest": "ˈɑnəst",
+    "listen": "lˈɪsən", "often": "ˈɔfən", "beautiful": "bjˈuɾəfəl",
+    "language": "lˈæŋɡwɪʤ", "machine": "məʃˈin", "today": "tədˈA",
+    "tomorrow": "təmˈɑɹO", "minute": "mˈɪnɪt", "business": "bˈɪznəs",
+    "question": "kwˈɛsʧən", "course": "kˈɔɹs", "against": "əɡˈɛnst",
 }
 
-# Digraph / context rules applied left-to-right for OOV words.
+# Digraph / context rules applied left-to-right for OOV words. Longest
+# match wins (list is ordered longest-first within overlaps). The engine
+# additionally special-cases soft c/g, positional y, magic-e lengthening
+# and initial kn-/wr-/gn- before this table applies.
 _RULES: List[Tuple[str, str]] = [
-    ("tion", "ʃən"), ("sion", "ʒən"), ("ough", "ʌf"), ("igh", "I"),
-    ("tch", "ʧ"), ("dge", "ʤ"), ("ing", "ɪŋ"), ("qu", "kw"),
+    ("ought", "ɔt"), ("aught", "ɔt"),
+    ("tion", "ʃən"), ("sion", "ʒən"), ("cian", "ʃən"), ("tial", "ʃəl"),
+    ("cial", "ʃəl"), ("ture", "ʧəɹ"), ("sure", "ʒəɹ"), ("ough", "ʌf"),
+    ("igh", "I"), ("eigh", "A"), ("tch", "ʧ"), ("dge", "ʤ"),
+    ("ing", "ɪŋ"), ("qu", "kw"), ("squ", "skw"),
     ("ch", "ʧ"), ("sh", "ʃ"), ("th", "θ"), ("ph", "f"), ("wh", "w"),
-    ("ck", "k"), ("ng", "ŋ"), ("ee", "i"), ("oo", "u"), ("ea", "i"),
-    ("ai", "A"), ("ay", "A"), ("oa", "O"), ("ow", "O"), ("ou", "W"),
-    ("oi", "ɔI"), ("oy", "ɔI"), ("ar", "ɑɹ"), ("er", "əɹ"), ("ir", "ɜɹ"),
-    ("or", "ɔɹ"), ("ur", "ɜɹ"), ("a", "æ"), ("b", "b"), ("c", "k"),
-    ("d", "d"), ("e", "ɛ"), ("f", "f"), ("g", "ɡ"), ("h", "h"),
-    ("i", "ɪ"), ("j", "ʤ"), ("k", "k"), ("l", "l"), ("m", "m"),
-    ("n", "n"), ("o", "ɑ"), ("p", "p"), ("r", "ɹ"), ("s", "s"),
-    ("t", "t"), ("u", "ʌ"), ("v", "v"), ("w", "w"), ("x", "ks"),
-    ("y", "j"), ("z", "z"),
+    ("ck", "k"), ("ng", "ŋ"),
+    # double consonants
+    ("bb", "b"), ("dd", "d"), ("ff", "f"), ("gg", "ɡ"), ("ll", "l"),
+    ("mm", "m"), ("nn", "n"), ("pp", "p"), ("rr", "ɹ"), ("ss", "s"),
+    ("tt", "t"), ("zz", "z"),
+    # r-controlled and vowel teams
+    ("air", "ɛɹ"), ("are", "ɛɹ"), ("ear", "ɪɹ"), ("eer", "ɪɹ"),
+    ("ore", "ɔɹ"), ("oor", "ɔɹ"), ("our", "ɔɹ"),
+    ("ar", "ɑɹ"), ("er", "əɹ"), ("ir", "ɜɹ"), ("or", "ɔɹ"), ("ur", "ɜɹ"),
+    ("ee", "i"), ("oo", "u"), ("ea", "i"), ("ai", "A"), ("ay", "A"),
+    ("oa", "O"), ("ow", "O"), ("ou", "W"), ("oi", "ɔI"), ("oy", "ɔI"),
+    ("au", "ɔ"), ("aw", "ɔ"), ("ew", "u"), ("ue", "u"), ("ui", "u"),
+    ("ie", "i"), ("ei", "A"), ("ey", "A"),
+    # magic-e lengthened vowels (substituted by the engine)
+    ("ā", "A"), ("ē", "i"), ("ī", "I"), ("ō", "O"), ("ū", "u"),
+    # context markers injected by _respell (soft c/g, positional y)
+    ("ç", "s"), ("ĝ", "ʤ"), ("ĵ", "j"), ("ŷ", "i"), ("ï", "ɪ"),
+    # single letters
+    ("a", "æ"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "ɛ"),
+    ("f", "f"), ("g", "ɡ"), ("h", "h"), ("i", "ɪ"), ("j", "ʤ"),
+    ("k", "k"), ("l", "l"), ("m", "m"), ("n", "n"), ("o", "ɑ"),
+    ("p", "p"), ("r", "ɹ"), ("s", "s"), ("t", "t"), ("u", "ʌ"),
+    ("v", "v"), ("w", "w"), ("x", "ks"), ("y", "j"), ("z", "z"),
 ]
+
+_VOICELESS = set("ptkfθsʃʧh")
+_SIBILANT = set("szʃʒʧʤ")
+
+
+def _plural(ps: str) -> str:
+    """Voicing-aware -s/-es/-'s (cats→s, dogs→z, wishes→ɪz)."""
+    last = ps[-1] if ps else ""
+    if last in _SIBILANT:
+        return ps + "ɪz"
+    if last in _VOICELESS:
+        return ps + "s"
+    return ps + "z"
+
+
+def _past(ps: str) -> str:
+    """Voicing-aware -ed (liked→t, loved→d, wanted→ɪd)."""
+    last = ps[-1] if ps else ""
+    if last in "td":
+        return ps + "ɪd"
+    if last in _VOICELESS:
+        return ps + "t"
+    return ps + "d"
 
 _NUM_WORDS = {
     "0": "zero", "1": "one", "2": "two", "3": "three", "4": "four",
@@ -118,25 +172,135 @@ _NUM_WORDS = {
 
 
 class BasicEnglishG2P:
-    """Lexicon + letter-rule fallback G2P (stand-in for misaki's en.G2P)."""
+    """Lexicon + morphology + letter-rule fallback G2P (stand-in for
+    misaki's en.G2P).
+
+    Resolution order per word: big lexicon (CMUdict-scale when available
+    — see lexicon.find_lexicon: MLX_AUDIO_TPU_LEXICON env / prebuilt
+    data file / nltk corpus) → built-in irregulars → morphological
+    decomposition (voicing-aware -s/-ed/-ing/-ly/-er/… over lexicon
+    bases) → context-aware letter-to-sound rules (soft c/g, positional
+    y, magic-e lengthening, silent kn-/wr-/gn-/-mb)."""
 
     def __init__(self, british: bool = False):
         self.british = british
+        from .lexicon import find_lexicon
 
-    def _word_to_phonemes(self, word: str) -> str:
-        lw = word.lower()
-        if lw in _LEXICON:
-            return _LEXICON[lw]
-        # strip possessive
-        if lw.endswith("'s") and lw[:-2] in _LEXICON:
-            return _LEXICON[lw[:-2]] + "z"
-        if lw.endswith("s") and lw[:-1] in _LEXICON:
-            return _LEXICON[lw[:-1]] + "z"
+        self.lexicon = dict(_LEXICON)
+        big = find_lexicon()
+        if big:
+            self.lexicon.update(big)
+        self._cache: dict = {}
+
+    # -- morphology ----------------------------------------------------
+
+    def _morph(self, lw: str) -> Optional[str]:
+        """Suffix-stripped lexicon lookup with phonological composition."""
+        cand: List[Tuple[str, callable]] = []
+        if lw.endswith("'s"):
+            cand.append((lw[:-2], _plural))
+        if lw.endswith("s'"):
+            cand.append((lw[:-2], _plural))
+        if lw.endswith("es"):
+            cand.append((lw[:-2], _plural))
+            cand.append((lw[:-1], _plural))  # e.g. "makes" → "make"
+        elif lw.endswith("s") and not lw.endswith("ss"):
+            cand.append((lw[:-1], _plural))
+        if lw.endswith("ed"):
+            cand.append((lw[:-2], _past))
+            cand.append((lw[:-1], _past))  # "liked" → "like"
+            if len(lw) > 4 and lw[-3] == lw[-4]:
+                cand.append((lw[:-3], _past))  # "stopped" → "stop"
+        if lw.endswith("ing"):
+            cand.append((lw[:-3], lambda ps: ps + "ɪŋ"))
+            cand.append((lw[:-3] + "e", lambda ps: ps + "ɪŋ"))  # making
+            if len(lw) > 5 and lw[-4] == lw[-5]:
+                cand.append((lw[:-4], lambda ps: ps + "ɪŋ"))  # running
+        for suf, tail in (("ly", "li"), ("er", "əɹ"), ("est", "əst"),
+                          ("ness", "nəs"), ("ment", "mənt"),
+                          ("ful", "fəl"), ("less", "ləs")):
+            if lw.endswith(suf):
+                base = lw[: -len(suf)]
+                cand.append((base, lambda ps, t=tail: ps + t))
+                if suf in ("er", "est"):  # "nicer" → "nice"
+                    cand.append((base + "e", lambda ps, t=tail: ps + t))
+                if base.endswith("i"):  # "happily" → "happy"
+                    cand.append((base[:-1] + "y",
+                                 lambda ps, t=tail: ps + t))
+        for base, fn in cand:
+            ps = self.lexicon.get(base)
+            if ps:
+                return fn(ps)
+        # no lexicon base: still decompose clear suffixes so voicing and
+        # stem spelling rules (doubling, silent e) apply to the LTS base
+        for suf in ("ing", "ed", "es", "ly", "ness", "ment", "ful",
+                    "less"):
+            if lw.endswith(suf) and len(lw) - len(suf) >= 3:
+                base = lw[: -len(suf)]
+                if len(base) > 2 and base[-1] == base[-2]:
+                    base = base[:-1]  # stopped → stop
+                ps = self._letters_to_sound(base)
+                if suf == "ing":
+                    return ps + "ɪŋ"
+                if suf == "ed":
+                    return _past(ps)
+                if suf == "es":
+                    return _plural(ps)
+                return ps + {"ly": "li", "ness": "nəs", "ment": "mənt",
+                             "ful": "fəl", "less": "ləs"}[suf]
+        return None
+
+    # -- letter-to-sound -----------------------------------------------
+
+    @staticmethod
+    def _respell(lw: str) -> str:
+        """Context transforms before the rule table: silent letters,
+        soft c/g, positional y, magic-e lengthening."""
+        # silent initial clusters / final -mb
+        if lw.startswith("kn"):
+            lw = lw[1:]
+        if lw.startswith("wr"):
+            lw = lw[1:]
+        if lw.startswith("gn"):
+            lw = lw[1:]
+        if lw.endswith("mb"):
+            lw = lw[:-1]
+        # magic-e: V-C-e ending lengthens the vowel, e silent (except for
+        # the -ture/-sure suffixes, whose rules must see the raw spelling)
+        long_map = {"a": "ā", "e": "ē", "i": "ī", "o": "ō", "u": "ū",
+                    "y": "ī"}
+        if lw.endswith(("ture", "sure")):
+            pass
+        elif (len(lw) >= 4 and lw[-1] == "e" and lw[-2] not in "aeiouwy"
+                and lw[-3] in long_map and lw[-4] not in "aeiou"):
+            lw = lw[:-3] + long_map[lw[-3]] + lw[-2]
+        elif len(lw) > 3 and lw.endswith("e") and lw[-2] not in "aeiou":
+            lw = lw[:-1]  # other silent final e
+        out = []
+        for i, c in enumerate(lw):
+            nxt = lw[i + 1] if i + 1 < len(lw) else ""
+            if c == "c" and nxt in ("e", "i", "y", "ē", "ī"):
+                out.append("ç")
+            elif c == "g" and nxt in ("e", "y"):
+                out.append("ĝ")
+            elif c == "y":
+                prev = lw[i - 1] if i > 0 else ""
+                if prev in "aeiou":
+                    out.append("y")  # vowel team (ay/ey/oy rules)
+                elif i == 0:
+                    out.append("ĵ")
+                elif i == len(lw) - 1:
+                    out.append("ŷ")
+                else:
+                    out.append("ï")
+            else:
+                out.append(c)
+        return "".join(out)
+
+    def _letters_to_sound(self, lw: str) -> str:
+        lw = self._respell(lw)
         out = []
         i = 0
-        # drop silent final e
-        if len(lw) > 3 and lw.endswith("e") and lw[-2] not in "aeiou":
-            lw = lw[:-1]
         while i < len(lw):
             for pat, ph in _RULES:
                 if lw.startswith(pat, i):
@@ -144,14 +308,23 @@ class BasicEnglishG2P:
                     i += len(pat)
                     break
             else:
-                i += 1
+                i += 1  # unmapped character (apostrophes etc.)
         ps = "".join(out)
         # put primary stress before first vowel-ish symbol
-        for v in "æɑɔɛɪʊʌəiuAIOW":
-            j = ps.find(v)
-            if j >= 0:
+        for j, ch in enumerate(ps):
+            if ch in "æɑɔɛɪʊʌəiuAIOWɜ":
                 ps = ps[:j] + "ˈ" + ps[j:]
                 break
+        return ps
+
+    def _word_to_phonemes(self, word: str) -> str:
+        lw = word.lower()
+        hit = self._cache.get(lw)
+        if hit is not None:
+            return hit
+        ps = (self.lexicon.get(lw) or self._morph(lw)
+              or self._letters_to_sound(lw))
+        self._cache[lw] = ps
         return ps
 
     def __call__(self, text: str):
