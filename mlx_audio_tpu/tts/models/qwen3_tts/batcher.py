@@ -159,7 +159,10 @@ def _tick_n(talker, caches: List[SlotKVCache], pos, logits, hidden, keys,
             positions=pos[:, None])
         return (
             caches, pos + 1, new_logits[:, -1].astype(jnp.float32),
-            new_hidden[:, -1], keys, tr_idx + 1, hist, steps + 1,
+            # keep the carry dtype stable under bf16 weights (layer norms
+            # may emit f32)
+            new_hidden[:, -1].astype(hidden.dtype), keys, tr_idx + 1,
+            hist, steps + 1,
         ), (c0, codes)
 
     carry = (caches, pos, logits, hidden, keys, tr_idx, hist, steps)

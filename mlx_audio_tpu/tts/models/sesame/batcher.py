@@ -119,7 +119,8 @@ def _tick_n(model: SesameModel, caches: List[SlotKVCache], h_last, pos,
         )[:, None, None, :]
         h, caches = model.backbone(
             emb, caches, positions=pos[:, None], mask=amask)
-        return (caches, h[:, -1], pos + 1, keys), frame
+        # keep the carry dtype stable under bf16 weights
+        return (caches, h[:, -1].astype(h_last.dtype), pos + 1, keys), frame
 
     (caches, h_last, pos, keys), frames = jax.lax.scan(
         body, (caches, h_last, pos, keys), None, length=n)
