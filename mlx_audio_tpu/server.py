@@ -59,32 +59,39 @@ class ModelProvider:
 
     @staticmethod
     def _maybe_warmup(model, batcher) -> None:
-        """Best-effort background pre-compile of every batch bucket
-        (batcher.warmup): without it, the first request at a new
-        concurrency level stalls ~30 s behind an XLA compile
-        (SERVING_BENCH.md). Runs on a daemon thread so load_model
-        returns immediately; failures (no tokenizer on disk, non-Whisper
-        batchers) are silently skipped."""
+        """Best-effort background pre-compile of every batch bucket /
+        slot program (batcher.warmup): without it, the first request at a
+        new concurrency level stalls ~30 s behind an XLA compile
+        (SERVING_BENCH.md). Runs on a daemon thread so load_model returns
+        immediately. Whisper batchers get the option combinations the
+        transcription endpoints actually produce; every other batcher
+        (Kokoro buckets, Parakeet windows, Qwen3-TTS/Sesame slot pools)
+        exposes a no-arg warmup. Failures log at debug level."""
         if not hasattr(batcher, "warmup"):
             return
 
         def _warm():
             try:
-                import jax.numpy as jnp
+                if hasattr(model, "dims") and hasattr(model,
+                                                      "get_tokenizer"):
+                    import jax.numpy as jnp
 
-                from .stt.models.whisper.decoding import DecodingOptions
+                    from .stt.models.whisper.decoding import DecodingOptions
 
-                tok = model.get_tokenizer()
-                window = jnp.zeros((3000, model.dims.n_mels), jnp.float32)
-                # warm the option combinations the transcription endpoints
-                # actually produce — both without_timestamps values share
-                # the encoder but compile distinct decode programs
-                for without_ts in (False, True):
-                    opts = DecodingOptions(task="transcribe",
-                                           language=tok.language or "en",
-                                           temperature=0.0,
-                                           without_timestamps=without_ts)
-                    batcher.warmup(window, list(tok.sot_sequence), opts, tok)
+                    tok = model.get_tokenizer()
+                    window = jnp.zeros((3000, model.dims.n_mels),
+                                       jnp.float32)
+                    # both without_timestamps values share the encoder but
+                    # compile distinct decode programs
+                    for without_ts in (False, True):
+                        opts = DecodingOptions(task="transcribe",
+                                               language=tok.language or "en",
+                                               temperature=0.0,
+                                               without_timestamps=without_ts)
+                        batcher.warmup(window, list(tok.sot_sequence),
+                                       opts, tok)
+                else:
+                    batcher.warmup()
             except Exception as e:
                 logging.getLogger(__name__).debug(
                     "batcher warmup skipped: %s", e)

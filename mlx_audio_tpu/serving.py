@@ -176,6 +176,22 @@ class KokoroBatcher:
     def __call__(self, ps: str, ref_s, speed: float = 1.0):
         return self.sched((ps, ref_s, speed))
 
+    def warmup(self):
+        """Pre-compile the batch buckets for the smallest text bucket so
+        the first wave of concurrent requests doesn't stall behind XLA
+        compiles (same contract as WhisperBatcher.warmup)."""
+        import numpy as np
+
+        ref = np.zeros((1, self.model.config.style_dim * 2), np.float32)
+        item = ("həlˈO wˈɜɹld", ref, 1.0)
+        buckets, b = [], 1
+        while b < self.sched.max_batch:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self.sched.max_batch)
+        for b in buckets:
+            self._run([item] * b)
+
     def install(self):
         register_infer_hook(self.model, self)
         return self
@@ -256,10 +272,19 @@ class ParakeetBatcher:
     def __call__(self, mel):
         return self.sched(mel)
 
-    def warmup(self, mel):
+    def warmup(self, mel=None):
         """Pre-compile every batch bucket for this mel-length bucket so
         live traffic never stalls behind an XLA compile when the
-        concurrency level shifts."""
+        concurrency level shifts. Default mel: a 2 s synthetic window
+        through the model's own preprocessor."""
+        if mel is None:
+            import numpy as np
+
+            from .stt.models.parakeet.audio import log_mel_spectrogram
+
+            pre = self.model.preprocessor_config
+            mel = log_mel_spectrogram(
+                np.zeros(pre.sample_rate * 2, np.float32), pre)
         buckets, b = [], 1
         while b < self.sched.max_batch:
             buckets.append(b)
@@ -335,6 +360,15 @@ class FrameBatcherBase:
         self._wake.set()
         return req.future
 
+    def warmup_requests(self, reqs) -> None:
+        """Submit a full concurrent wave of (tiny) requests and wait —
+        compiles the B=1 prefill buckets, EVERY slot's install program
+        (the slot index is a static jit arg) and the fused tick, so live
+        traffic never stalls behind an XLA compile. Subclasses expose a
+        no-arg `warmup()` that builds suitable tiny requests."""
+        for fut in [self.submit_request(r) for r in reqs]:
+            fut.result()
+
     def _finish(self, slot: int, result) -> None:
         req = self.active[slot]
         self.active[slot] = None
@@ -373,8 +407,10 @@ class FrameBatcherBase:
                 self._wake.clear()
                 continue
             try:
+                # subclasses increment self.steps right after their fused
+                # dispatch, BEFORE resolving futures — a caller observing
+                # a resolved future must also observe the tick count
                 self._tick(self.tick_frames)
-                self.steps += 1
             except Exception as e:  # pragma: no cover - defensive
                 self._fail_all(e)
 

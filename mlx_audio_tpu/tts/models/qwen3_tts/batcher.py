@@ -305,6 +305,7 @@ class Qwen3TTSBatcher(FrameBatcherBase):
         codes_np = np.asarray(jax.device_get(codes))  # (slots, n, K)
         self.keys = np.array(jax.device_get(keys))
         self.hist = np.array(jax.device_get(hist))
+        self.steps += 1  # before _finish: future observers see the count
         eos = self.talker.config.codec_eos_token_id
         for slot, req in enumerate(self.active):
             if req is None:
@@ -345,6 +346,22 @@ class Qwen3TTSBatcher(FrameBatcherBase):
         self._build_device_state(self.slots)
 
     # -- pipeline integration -----------------------------------------
+
+    def warmup(self):
+        """Pre-compile prefill/install/tick for every slot with one
+        concurrent wave of tiny requests (see
+        FrameBatcherBase.warmup_requests)."""
+        emb, tr, _pad = self._owner._prepare_generation_inputs(
+            "Warm up the batcher.")
+        reqs = [
+            _FrameRequest(
+                input_embeds=np.asarray(emb), trailing=np.asarray(tr),
+                max_tokens=self.tick_frames, min_tokens=self.tick_frames,
+                temp=0.9, top_k=50, top_p=1.0, rep_penalty=1.05, seed=0,
+            )
+            for _ in range(self.slots)
+        ]
+        self.warmup_requests(reqs)
 
     def install(self):
         from ....serving import register_infer_hook

@@ -216,6 +216,7 @@ class SesameBatcher(FrameBatcherBase):
         )
         frames_np = np.asarray(jax.device_get(frames))  # (slots, n, K)
         self.keys = np.array(jax.device_get(keys))
+        self.steps += 1  # before _finish: future observers see the count
         for slot, req in enumerate(self.active):
             if req is None:
                 continue
@@ -252,6 +253,24 @@ class SesameBatcher(FrameBatcherBase):
         self._build_device_state(self.slots, self._cache_dtype)
 
     # -- pipeline integration -----------------------------------------
+
+    def warmup(self):
+        """Pre-compile prefill/install/tick for every slot with one
+        concurrent wave of tiny requests (see
+        FrameBatcherBase.warmup_requests)."""
+        K = self.model.args.audio_num_codebooks
+        T = 8
+        toks = np.zeros((1, T, K + 1), np.int32)
+        toks[:, :, -1] = np.arange(1, T + 1)
+        mask = np.zeros((1, T, K + 1), bool)
+        mask[:, :, -1] = True
+        reqs = [
+            _FrameRequest(tokens=toks, tokens_mask=mask,
+                          max_frames=self.tick_frames, temp=0.9, top_k=50,
+                          seed=0)
+            for _ in range(self.slots)
+        ]
+        self.warmup_requests(reqs)
 
     def install(self):
         from ....serving import register_infer_hook

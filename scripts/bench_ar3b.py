@@ -76,57 +76,50 @@ def timed_loop(make_step, n_lo=8, n_hi=40):
     return (hi - lo) / (n_hi - n_lo)
 
 
+def _quant_layers(lm):
+    layers = []
+    for layer in lm.model.layers:
+        a, m = layer.self_attn, layer.mlp
+        layers += [a.q_proj, a.k_proj, a.v_proj, a.o_proj,
+                   m.gate_proj, m.up_proj, m.down_proj]
+    if hasattr(lm, "lm_head"):
+        layers.append(lm.lm_head)
+    return layers
+
+
+# The model rides as a jit ARGUMENT (never a closure: 6.6 GB of weights
+# captured as constants would be embedded into the program).
+@partial(jax.jit, static_argnames=("n", "quant"))
+def _floor_loop(lm, n: int, quant: bool):
+    def body(i, acc):
+        s = acc
+        if quant:
+            for q in _quant_layers(lm):
+                in_dim = q.scales.shape[1] * q.group_size
+                x = jnp.full((1, in_dim), 1e-3, jnp.bfloat16)
+                x = x * (1.0 + acc * 1e-9)  # data dep chains steps
+                s = s + q(x)[0, 0].astype(jnp.float32)
+        else:
+            for w in _decode_weights(lm):
+                x = jnp.full((1, w.shape[1]), 1e-3, w.dtype)
+                x = x * (1.0 + acc * 1e-9)
+                s = s + jnp.matmul(x, w.T)[0, 0].astype(jnp.float32)
+        return s
+
+    return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+
 def bench_weight_floor(lm, label):
-    mats = _decode_weights(lm)
     is_quant = isinstance(lm.model.layers[0].self_attn.q_proj,
                           QuantizedLinear)
-
     if is_quant:
-        layers = []
-        for layer in lm.model.layers:
-            a, m = layer.self_attn, layer.mlp
-            layers += [a.q_proj, a.k_proj, a.v_proj, a.o_proj,
-                       m.gate_proj, m.up_proj, m.down_proj]
-        head = lm.lm_head if hasattr(lm, "lm_head") else None
-
-        def make_step(n):
-            @jax.jit
-            def f():
-                def body(i, acc):
-                    s = acc
-                    for q in layers + ([head] if head is not None else []):
-                        in_dim = q.scales.shape[1] * q.group_size
-                        x = jnp.full((1, in_dim), 1e-3, jnp.bfloat16)
-                        x = x * (1.0 + acc * 1e-9)  # data dep chains steps
-                        s = s + q(x)[0, 0].astype(jnp.float32)
-                    return s
-
-                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-            return f
-
         nbytes = sum(q.weight.nbytes + q.scales.nbytes + q.biases.nbytes
-                     for q in layers)
-        if head is not None:
-            nbytes += head.weight.nbytes + head.scales.nbytes \
-                + head.biases.nbytes
+                     for q in _quant_layers(lm))
     else:
-        def make_step(n):
-            @jax.jit
-            def f():
-                def body(i, acc):
-                    s = acc
-                    for w in mats:
-                        x = jnp.full((1, w.shape[1]), 1e-3, w.dtype)
-                        x = x * (1.0 + acc * 1e-9)
-                        s = s + jnp.matmul(x, w.T)[0, 0].astype(jnp.float32)
-                    return s
+        nbytes = sum(w.nbytes for w in _decode_weights(lm))
 
-                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-            return f
-
-        nbytes = sum(w.nbytes for w in mats)
+    def make_step(n):
+        return lambda: _floor_loop(lm, n, is_quant)
 
     per_step = timed_loop(make_step)
     gbs = nbytes / per_step / 1e9

@@ -264,3 +264,33 @@ def test_sesame_generate_routes_through_batcher(sesame_model):
     finally:
         batcher.close()
     assert get_infer_hook(model) is None
+
+
+def test_frame_batcher_warmup_compiles_all_slots(qwen3_model):
+    """warmup() runs a full concurrent wave: after it, a live wave of
+    max-concurrency requests adds no new admit/tick compiles (every slot's
+    install program is static-arg-specialized)."""
+    b = qwen3_model.make_batcher(slots=3, max_len=256, tick_frames=4)
+    try:
+        b.warmup()
+        assert b.steps > 0
+        futs = []
+        for i in range(3):
+            emb, tr, _ = qwen3_model._prepare_generation_inputs(
+                "Warm up the batcher.")
+            futs.append(b.submit(emb, tr, max_tokens=4, seed=i))
+        outs = [f.result(timeout=300) for f in futs]
+        assert all(o.shape == (4, 4) for o in outs)
+    finally:
+        b.close()
+
+
+def test_sesame_batcher_warmup(sesame_model):
+    from mlx_audio_tpu.tts.models.sesame.batcher import SesameBatcher
+
+    b = SesameBatcher(sesame_model, slots=2, max_len=128, tick_frames=3)
+    try:
+        b.warmup()
+        assert b.steps > 0
+    finally:
+        b.close()

@@ -252,3 +252,46 @@ def test_server_warms_batcher_buckets():
 
     # batcher without warmup: no-op, no crash
     ModelProvider._maybe_warmup(FakeModel(), object())
+
+
+def test_kokoro_batcher_noarg_warmup(kokoro_tiny):
+    """KokoroBatcher.warmup() pre-compiles the batch buckets without any
+    request-supplied inputs (server-boot path)."""
+    batcher = kokoro_tiny.make_batcher(max_batch=2, window_ms=5.0)
+    try:
+        batcher.warmup()
+    finally:
+        batcher.close()
+
+
+def test_parakeet_batcher_noarg_warmup():
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import test_parakeet as tp
+
+    from mlx_audio_tpu.stt.models.parakeet.parakeet import (
+        ParakeetTDT, ParakeetTDTArgs, TDTDecodingArgs)
+    from mlx_audio_tpu.stt.models.parakeet.rnnt import (
+        JointArgs, JointNetworkArgs, PredictArgs, PredictNetworkArgs)
+
+    args = ParakeetTDTArgs(
+        preprocessor=tp.tiny_pre(), encoder=tp.tiny_enc(),
+        decoder=PredictArgs(
+            prednet=PredictNetworkArgs(pred_hidden=48, pred_rnn_layers=1),
+            vocab_size=len(tp.VOCAB)),
+        joint=JointArgs(
+            jointnet=JointNetworkArgs(joint_hidden=48, activation="relu",
+                                      pred_hidden=48, encoder_hidden=64),
+            num_classes=len(tp.VOCAB), vocabulary=tp.VOCAB,
+            num_extra_outputs=5),
+        decoding=TDTDecodingArgs(model_type="tdt",
+                                 durations=[0, 1, 2, 3, 4],
+                                 greedy={"max_symbols": 3}),
+    )
+    tdt = ParakeetTDT(args)
+    batcher = tdt.make_batcher(max_batch=2, window_ms=5.0)
+    try:
+        batcher.warmup()
+    finally:
+        batcher.close()
