@@ -140,7 +140,10 @@ class QuantizedLinear(Module):
     def _pallas_routable(self, x: jax.Array) -> bool:
         """Measured on v5e (KERNEL_BENCH.md): the fused dequant-matmul
         kernel wins at 4-bit for all M (1.2-4.6x) and at 8-bit for M >= 2
-        (1.7-4.4x; GEMV is a tie). 2/3/6-bit and ragged N stay on XLA."""
+        (1.7-4.4x; GEMV is a tie). 2/3/6-bit stays on XLA. Ragged N rides
+        the kernel's masked edge block (vocab-sized lm_heads are the
+        single biggest weight read of an AR decode step — on the XLA
+        dequant path they measured 2.1x SLOWER than bf16)."""
         from ..ops.pallas import pallas_enabled
 
         if not pallas_enabled():
@@ -156,7 +159,7 @@ class QuantizedLinear(Module):
         per = 32 // self.bits
         if K % per or self.group_size % per:
             return False
-        if not (N % 512 == 0 or (N <= 512 and N % 128 == 0)):
+        if N < 128:
             return False
         M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
         # The kernel keeps x (per, M, Kp), the out block (M, bn) and f32

@@ -57,7 +57,11 @@ def quantized_matmul(x, w_packed, scales, biases, *, bits: int = 4,
     M = x2.shape[0]
     N = w_packed.shape[0]
     bn = min(block_n, N)
-    assert N % bn == 0
+    # ragged N rides Mosaic's implicit edge-block masking: the final grid
+    # block reads past-the-end rows as padding and drops past-the-end
+    # writes; each output element depends only on its own weight row, so
+    # the valid region is exact (needed for vocab-sized lm_heads, e.g.
+    # N=156940)
 
     # host-side prep (cheap, fused by XLA): strided x view + expanded scales
     x_str = jnp.transpose(x2.reshape(M, Kp, per), (2, 0, 1))  # (per, M, Kp)
@@ -68,7 +72,7 @@ def quantized_matmul(x, w_packed, scales, biases, *, bits: int = 4,
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
-        grid=(N // bn,),
+        grid=(pl.cdiv(N, bn),),
         in_specs=[
             pl.BlockSpec((per, M, Kp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),

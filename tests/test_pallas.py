@@ -118,3 +118,24 @@ def test_quant_matmul_large_m_routes_to_xla(monkeypatch):
     assert q._pallas_routable(jnp.zeros((128, 512))) is True     # measured win
     assert q._pallas_routable(jnp.zeros((8192, 512))) is False   # VMEM OOM case
     assert q._pallas_routable(jnp.zeros((8, 1024, 512))) is False  # batched
+
+
+def test_quantized_matmul_ragged_n_matches_dequant():
+    """Ragged N (not a multiple of the 512 block) rides Mosaic's masked
+    edge block — exactness vs the XLA dequant path (vocab-sized lm_heads,
+    e.g. N=156940, are the biggest weight read of a decode step)."""
+    from mlx_audio_tpu.nn.quantized import dequantize_arrays, quantize_arrays
+
+    rng = np.random.default_rng(5)
+    N, K = 700, 256  # N % 512 != 0 and N % 128 != 0
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    packed, scales, biases = quantize_arrays(w, group_size=64, bits=4)
+    x = jnp.asarray(rng.standard_normal((3, K)).astype(np.float32) * 0.1)
+    with pltpu.force_tpu_interpret_mode():
+        out = quantized_matmul(x, jnp.asarray(packed), jnp.asarray(scales),
+                               jnp.asarray(biases), bits=4, group_size=64)
+    ref = x @ dequantize_arrays(jnp.asarray(packed), jnp.asarray(scales),
+                                jnp.asarray(biases), 64, 4).T
+    assert out.shape == (3, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
