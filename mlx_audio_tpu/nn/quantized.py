@@ -159,7 +159,11 @@ class QuantizedLinear(Module):
         per = 32 // self.bits
         if K % per or self.group_size % per:
             return False
-        if N < 128:
+        # N >= 512: fixed 512-row blocks, ragged tail masked by Mosaic.
+        # N < 512: the block IS the whole array, so its shape must stay
+        # tile-aligned (Mosaic rejects unaligned block shapes at compile
+        # — a crash, not a fallback)
+        if not (N >= 512 or (N >= 128 and N % 128 == 0)):
             return False
         M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
         # The kernel keeps x (per, M, Kp), the out block (M, bn) and f32
