@@ -21,26 +21,41 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["quantized_matmul"]
 
 
-def _qmm_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, *, bits):
+def _qmm_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, *, bits, rep):
     # x_ref: (per, M, Kp); w_ref: (block_n, Kp) uint32
-    # s_ref/b_ref: (block_n, Kp) expanded scales/biases; o_ref: (M, block_n)
+    # s_ref/b_ref: (block_n, K/group) RAW scales/biases, expanded to
+    # (block_n, Kp) in-register (`rep` = group_size // per packed words
+    # per group). Expanding on the host instead would stream 2x the
+    # packed weight's bytes of f32 from HBM — measured to erase most of
+    # the int4 bandwidth win at 3B scale.
     per = x_ref.shape[0]
     M = x_ref.shape[1]
+    Kp = x_ref.shape[2]
+    Kg = s_ref.shape[1]
     mask = jnp.uint32((1 << bits) - 1)
     w_packed = w_ref[:]
-    s = s_ref[:].astype(jnp.float32)
-    b = b_ref[:].astype(jnp.float32)
+    # Mosaic has no interleaving repeat/reshape for the (Kg,) → (Kp,)
+    # group expansion; build a 0/1 expansion matrix with iota and ride
+    # the MXU instead (bn·Kg·Kp MACs — noise next to the main dots).
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, (Kg, Kp), 0)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (Kg, Kp), 1)
+    expand = (p_idx // rep == g_idx).astype(jnp.float32)  # (Kg, Kp)
+    s = jnp.dot(s_ref[:].astype(jnp.float32), expand,
+                preferred_element_type=jnp.float32)  # (bn, Kp)
 
     acc = jnp.zeros((M, w_ref.shape[0]), jnp.float32)
-    x_sum = jnp.zeros((M, x_ref.shape[2]), jnp.float32)
+    x_sum = jnp.zeros((M, Kp), jnp.float32)
     for j in range(per):
         xj = x_ref[j].astype(jnp.float32)  # (M, Kp)
         qj = ((w_packed >> jnp.uint32(j * bits)) & mask).astype(jnp.int32)
         wj = qj.astype(jnp.float32) * s  # (block_n, Kp)
         acc = acc + jnp.dot(xj, wj.T, preferred_element_type=jnp.float32)
         x_sum = x_sum + xj
-    # bias term: Σ_i x[i] * b[g(i)] = Σ_p (Σ_j x[:, p, j]) * b[p]
-    acc = acc + jnp.dot(x_sum, b.T, preferred_element_type=jnp.float32)
+    # bias term Σ_i x[i]·b[g(i)]: collapse x to per-group sums first, so
+    # biases never need expanding at all
+    xg = jnp.dot(x_sum, expand.T, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(xg, b_ref[:].astype(jnp.float32).T,
+                        preferred_element_type=jnp.float32)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -63,12 +78,14 @@ def quantized_matmul(x, w_packed, scales, biases, *, bits: int = 4,
     # the valid region is exact (needed for vocab-sized lm_heads, e.g.
     # N=156940)
 
-    # host-side prep (cheap, fused by XLA): strided x view + expanded scales
+    # host-side prep (cheap, fused by XLA): strided x view. Scales and
+    # biases ride RAW (N, K/group) — in-kernel expansion keeps the HBM
+    # read at packed-weight + 1/group-sized sidecars.
     x_str = jnp.transpose(x2.reshape(M, Kp, per), (2, 0, 1))  # (per, M, Kp)
-    s_rep = jnp.repeat(scales, group_size // per, axis=1)
-    b_rep = jnp.repeat(biases, group_size // per, axis=1)
+    Kg = scales.shape[1]
 
-    kernel = functools.partial(_qmm_kernel, bits=bits)
+    kernel = functools.partial(_qmm_kernel, bits=bits,
+                               rep=group_size // per)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
@@ -77,10 +94,10 @@ def quantized_matmul(x, w_packed, scales, biases, *, bits: int = 4,
             pl.BlockSpec((per, M, Kp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, Kg), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, Kg), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-    )(x_str, w_packed, s_rep, b_rep)
+    )(x_str, w_packed, scales, biases)
     return out.reshape(*orig_shape[:-1], N)
