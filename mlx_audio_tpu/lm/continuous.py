@@ -90,8 +90,9 @@ class SlotKVCache(Module):
 
 
 def _sample_rows_core(logits, keys, hist, temps, top_ps, top_ks, rep_pens,
-                      rep_windows):
-    """Per-row temperature / top-k / top-p / repetition-penalty sampling.
+                      rep_windows, min_ps=None):
+    """Per-row temperature / top-k / top-p / min-p / repetition-penalty
+    sampling.
 
     All parameters are (B,) DYNAMIC arrays, so one compiled program serves
     every mix of greedy and sampled slots (top-k is handled with per-row
@@ -137,6 +138,12 @@ def _sample_rows_core(logits, keys, hist, temps, top_ps, top_ks, rep_pens,
         jnp.where(keep_sorted, sorted_k, jnp.inf), axis=-1, keepdims=True
     )
     x = jnp.where((top_ps[:, None] < 1.0) & (x < threshold), -jnp.inf, x)
+    if min_ps is not None:
+        # min-p over the top-k/top-p survivors (lm.sample filter order):
+        # probs >= min_p * max_prob  ⟺  x >= max_x + log(min_p)
+        cutoff = (jnp.max(x, axis=-1, keepdims=True)
+                  + jnp.log(jnp.maximum(min_ps, 1e-9))[:, None])
+        x = jnp.where((min_ps[:, None] > 0.0) & (x < cutoff), -jnp.inf, x)
 
     split = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
     sub, new_keys = split[:, 0], split[:, 1]
@@ -168,7 +175,7 @@ def _step(model, caches: List[SlotKVCache], tokens, pos):
 
 @partial(jax.jit, donate_argnames=("caches",), static_argnames=("n",))
 def _step_n(model, caches: List[SlotKVCache], tokens, pos, keys, hist,
-            temps, top_ps, top_ks, rep_pens, rep_windows, n: int):
+            temps, top_ps, top_ks, rep_pens, rep_windows, min_ps, n: int):
     """`n` lock-step decode steps fused into ONE dispatch, sampling in-graph.
 
     Per-token host round trips are the continuous batcher's overhead
@@ -196,7 +203,7 @@ def _step_n(model, caches: List[SlotKVCache], tokens, pos, keys, hist,
         )
         nxt, keys = _sample_rows_core(
             logits[:, -1, :].astype(jnp.float32), keys, hist,
-            temps, top_ps, top_ks, rep_pens, rep_windows,
+            temps, top_ps, top_ks, rep_pens, rep_windows, min_ps,
         )
         hist = jnp.concatenate([hist[:, 1:], nxt[:, None]], axis=1)
         return (caches, nxt, pos + 1, keys, hist), nxt
@@ -212,6 +219,18 @@ def _prefill_b1(model, caches, ids, length):
     caches). Right padding is masked causally; padded K/V are harmless (see
     module docstring)."""
     logits, caches = model(ids, caches)
+    return logits[0, length - 1, :].astype(jnp.float32), caches
+
+
+@jax.jit
+def _prefill_b1_embeds(model, caches, x, length):
+    """Prefill a B=1 bucketed EMBEDDING prompt (x (1, P, D) float) — the
+    path for audio-conditioned LLMs (Qwen3-ASR / Voxtral / GLM-ASR style)
+    whose prompt is encoder output spliced into token embeddings, not ids.
+    Bypasses the embedding table exactly like stt _lm_call does."""
+    h, caches = model.model(x, caches)
+    logits = (model.lm_head(h) if hasattr(model, "lm_head")
+              else model.model.embed_tokens.as_linear(h))
     return logits[0, length - 1, :].astype(jnp.float32), caches
 
 
@@ -231,12 +250,13 @@ def _install_slot(slot_caches: List[SlotKVCache], single_caches, slot: int,
 
 @dataclass
 class _Request:
-    prompt: np.ndarray
+    prompt: np.ndarray  # token ids; empty when prompt_embeds is set
     max_tokens: int
     eos_ids: frozenset
     temp: float
     top_p: float = 1.0
     top_k: int = 0
+    min_p: float = 0.0
     rep_penalty: float = 1.0
     rep_window: int = 64
     seed: int = 0
@@ -245,6 +265,7 @@ class _Request:
     on_token: Optional[callable] = None
     tokens: list = field(default_factory=list)
     prompt_tail: tuple = ()  # last rep_window prompt tokens
+    prompt_embeds: Optional[np.ndarray] = None  # (T, D) embedding prompt
 
 
 class ContinuousBatcher:
@@ -290,7 +311,7 @@ class ContinuousBatcher:
 
     def submit(self, prompt: Sequence[int], max_tokens: int = 128,
                eos_ids: Sequence[int] = (), temp: float = 0.0,
-               top_p: float = 1.0, top_k: int = 0,
+               top_p: float = 1.0, top_k: int = 0, min_p: float = 0.0,
                repetition_penalty: float = 1.0,
                repetition_context_size: int = 64,
                seed: Optional[int] = None,
@@ -310,7 +331,7 @@ class ContinuousBatcher:
         req = _Request(
             prompt=np.asarray(prompt, np.int32),
             max_tokens=max_tokens, eos_ids=frozenset(int(e) for e in eos_ids),
-            temp=temp, top_p=top_p, top_k=top_k,
+            temp=temp, top_p=top_p, top_k=top_k, min_p=min_p,
             rep_penalty=repetition_penalty,
             rep_window=repetition_context_size,
             seed=seed,
@@ -321,6 +342,44 @@ class ContinuousBatcher:
                 tuple(prompt[-repetition_context_size:])
                 if repetition_context_size > 0 else ()
             ),
+        )
+        self._joinq.put(req)
+        self._wake.set()
+        return req.future
+
+    def submit_embeds(self, prompt_embeds, max_tokens: int = 128,
+                      eos_ids: Sequence[int] = (), temp: float = 0.0,
+                      top_p: float = 1.0, top_k: int = 0,
+                      min_p: float = 0.0,
+                      repetition_penalty: float = 1.0,
+                      repetition_context_size: int = 64,
+                      seed: Optional[int] = None,
+                      on_token=None) -> Future:
+        """Queue a generation request whose prompt is an EMBEDDING matrix
+        (T, D) — audio-conditioned LLM prefixes (Qwen3-ASR / Voxtral /
+        GLM-ASR). Decode after the prefix is ordinary token ids through
+        the model's embedding table, so the lock-step decode path is
+        shared with token-prompt requests. The repetition window starts
+        empty (prompt ids are unknown)."""
+        emb = np.asarray(prompt_embeds)
+        if emb.ndim == 3:
+            assert emb.shape[0] == 1, "prompt_embeds must be (T, D)"
+            emb = emb[0]
+        if seed is None:
+            self._req_counter += 1
+            seed = int(np.uint32(hash((self.seed, self._req_counter))
+                                 & 0xFFFFFFFF))
+        req = _Request(
+            prompt=np.zeros((0,), np.int32),
+            max_tokens=max_tokens, eos_ids=frozenset(int(e) for e in eos_ids),
+            temp=temp, top_p=top_p, top_k=top_k, min_p=min_p,
+            rep_penalty=repetition_penalty,
+            rep_window=repetition_context_size,
+            seed=seed,
+            host_sampling=(repetition_penalty != 1.0
+                           and repetition_context_size > self.rep_hist),
+            on_token=on_token,
+            prompt_embeds=emb,
         )
         self._joinq.put(req)
         self._wake.set()
@@ -371,6 +430,8 @@ class ContinuousBatcher:
             keep = (cum - probs) < req.top_p  # always keeps top-1
             cutoff = zs[keep][-1]
             z[z < cutoff] = -np.inf
+        if req.min_p > 0.0:
+            z[z < z.max() + np.log(req.min_p)] = -np.inf
         z -= z.max()
         p = np.exp(z)
         p /= p.sum()
@@ -394,6 +455,7 @@ class ContinuousBatcher:
         temps = np.zeros(B, np.float32)
         top_ps = np.ones(B, np.float32)
         top_ks = np.zeros(B, np.int32)
+        min_ps = np.zeros(B, np.float32)
         rep_pens = np.ones(B, np.float32)
         rep_windows = np.zeros(B, np.int32)
         hist = np.full((B, self.rep_hist), -1, np.int32)
@@ -403,21 +465,21 @@ class ContinuousBatcher:
             temps[i] = req.temp
             top_ps[i] = req.top_p
             top_ks[i] = req.top_k
+            min_ps[i] = req.min_p
             if not req.host_sampling:
                 rep_pens[i] = req.rep_penalty
                 rep_windows[i] = min(req.rep_window, self.rep_hist)
                 hist[i] = self._hist_row(req)
-        return temps, top_ps, top_ks, rep_pens, rep_windows, hist
+        return temps, top_ps, top_ks, min_ps, rep_pens, rep_windows, hist
 
     def _admit(self, req: _Request, slot: int):
-        T = len(req.prompt)
+        T = (req.prompt_embeds.shape[0] if req.prompt_embeds is not None
+             else len(req.prompt))
         if T >= self.max_len:
             raise ValueError(
                 f"prompt length {T} >= cache capacity {self.max_len}"
             )
         P = min(_bucket(T), self.max_len)
-        ids = np.zeros((1, P), np.int32)
-        ids[0, :T] = req.prompt
         cfg = self.model.config
         single = [
             # plain scalar-pos cache for the bucketed prefill
@@ -425,9 +487,19 @@ class ContinuousBatcher:
                      self.caches[0].k.dtype)
             for _ in range(cfg.num_hidden_layers)
         ]
-        logits, single = _prefill_b1(
-            self.model, single, jnp.asarray(ids), jnp.asarray(T)
-        )
+        if req.prompt_embeds is not None:
+            x = np.zeros((1, P, req.prompt_embeds.shape[1]),
+                         req.prompt_embeds.dtype)
+            x[0, :T] = req.prompt_embeds
+            logits, single = _prefill_b1_embeds(
+                self.model, single, jnp.asarray(x), jnp.asarray(T)
+            )
+        else:
+            ids = np.zeros((1, P), np.int32)
+            ids[0, :T] = req.prompt
+            logits, single = _prefill_b1(
+                self.model, single, jnp.asarray(ids), jnp.asarray(T)
+            )
         self.caches = _install_slot(
             self.caches, single, slot, jnp.asarray(T, jnp.int32)
         )
@@ -444,6 +516,7 @@ class ContinuousBatcher:
                 jnp.asarray([req.top_k], np.int32),
                 jnp.asarray([req.rep_penalty], np.float32),
                 jnp.asarray([min(req.rep_window, self.rep_hist)], np.int32),
+                jnp.asarray([req.min_p], np.float32),
             )
             first = int(jax.device_get(tok1)[0])
             key = np.asarray(jax.device_get(key1))[0]
@@ -493,7 +566,7 @@ class ContinuousBatcher:
         """One fused n-step tick (see _step_n), greedy and sampled slots
         alike. Consumes up to n tokens per live slot; truncates past
         EOS / max_tokens."""
-        temps, top_ps, top_ks, rep_pens, rep_windows, hist = (
+        temps, top_ps, top_ks, min_ps, rep_pens, rep_windows, hist = (
             self._sampler_state())
         try:
             toks, keys, self.caches = _step_n(
@@ -502,7 +575,7 @@ class ContinuousBatcher:
                 jnp.asarray(self.keys), jnp.asarray(hist),
                 jnp.asarray(temps), jnp.asarray(top_ps),
                 jnp.asarray(top_ks), jnp.asarray(rep_pens),
-                jnp.asarray(rep_windows), n=n,
+                jnp.asarray(rep_windows), jnp.asarray(min_ps), n=n,
             )
             self.steps += 1
             toks_np = np.asarray(jax.device_get(toks))  # (slots, n)
@@ -557,7 +630,7 @@ class ContinuousBatcher:
                 continue
             any_host = any(
                 r is not None and r.host_sampling for r in self.active)
-            temps, top_ps, top_ks, rep_pens, rep_windows, hist = (
+            temps, top_ps, top_ks, min_ps, rep_pens, rep_windows, hist = (
                 self._sampler_state())
             try:
                 logits, self.caches = _step(
@@ -572,7 +645,7 @@ class ContinuousBatcher:
                     logits, jnp.asarray(self.keys), jnp.asarray(hist),
                     jnp.asarray(temps), jnp.asarray(top_ps),
                     jnp.asarray(top_ks), jnp.asarray(rep_pens),
-                    jnp.asarray(rep_windows),
+                    jnp.asarray(rep_windows), jnp.asarray(min_ps),
                 )
                 toks_np = np.asarray(jax.device_get(toks_dev))
                 self.keys = np.array(jax.device_get(keys))

@@ -207,18 +207,27 @@ class KokoroBatcher:
 
 class LMContinuousBatcher:
     """Continuous batching for AR token-stream models (Orpheus/Vyvo-style
-    SNAC LMs): concurrent requests' decodes run in lock-step via
-    `lm.ContinuousBatcher`; models route through `hook.submit(...)`."""
+    SNAC LMs, Spark, OuteTTS): concurrent requests' decodes run in
+    lock-step via `lm.ContinuousBatcher`; models route through
+    `hook.submit(...)`.
 
-    def __init__(self, model, slots: int = 4, max_len: int = 4096, **kwargs):
+    `lm` lets wrapper models whose AR stage is a sub-module (e.g. Spark's
+    `model.llm`) batch that sub-LM while the infer hook stays registered on
+    the wrapper (what `get_infer_hook(model)` is keyed on)."""
+
+    def __init__(self, model, lm=None, slots: int = 4, max_len: int = 4096,
+                 **kwargs):
         from .lm.continuous import ContinuousBatcher
 
         self.model = model
-        self.cb = ContinuousBatcher(model, slots=slots, max_len=max_len,
-                                    **kwargs)
+        self.cb = ContinuousBatcher(lm if lm is not None else model,
+                                    slots=slots, max_len=max_len, **kwargs)
 
     def submit(self, *args, **kwargs):
         return self.cb.submit(*args, **kwargs)
+
+    def submit_embeds(self, *args, **kwargs):
+        return self.cb.submit_embeds(*args, **kwargs)
 
     def install(self):
         register_infer_hook(self.model, self)

@@ -51,6 +51,14 @@ class Model(CausalLM):
     def sample_rate(self):
         return self.config.sample_rate
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: OuteTTS IS a token-prompt CausalLM, so
+        concurrent requests' audio-code decodes ride continuous
+        (slot-based) batching; DAC decode stays per-request."""
+        from ....serving import LMContinuousBatcher
+
+        return LMContinuousBatcher(self, **kwargs)
+
     @property
     def tokenizer(self):
         if Model._tokenizer is None:
@@ -357,11 +365,30 @@ class Model(CausalLM):
             prompt = self.prompt_processor.get_completion_prompt(chunk, speaker)
             ids = self.tokenizer.encode(prompt, add_special_tokens=False)
             if not stream:
-                toks, n = generate_tokens(
-                    self, jnp.asarray(ids, jnp.int32), max_tokens=max_tokens,
-                    sampler=sampler, repetition_penalty=rep_p,
-                    repetition_context_size=rep_ctx, eos_token_ids=eos_ids,
-                )
+                # Under a running server a ContinuousBatcher may be
+                # installed: concurrent requests decode in lock-step.
+                from ....serving import get_infer_hook
+
+                hook = get_infer_hook(self)
+                if hook is not None:
+                    out_list = hook.submit(
+                        [int(t) for t in ids], max_tokens=max_tokens,
+                        temp=temperature, top_p=top_p,
+                        top_k=kwargs.get("top_k", 40),
+                        min_p=kwargs.get("min_p", 0.05),
+                        repetition_penalty=rep_p,
+                        repetition_context_size=rep_ctx,
+                        eos_ids=eos_ids).result()
+                    toks = np.asarray([out_list], np.int32)
+                    n = len(out_list)
+                else:
+                    toks, n = generate_tokens(
+                        self, jnp.asarray(ids, jnp.int32),
+                        max_tokens=max_tokens,
+                        sampler=sampler, repetition_penalty=rep_p,
+                        repetition_context_size=rep_ctx,
+                        eos_token_ids=eos_ids,
+                    )
                 if verbose:
                     print(f"[outetts] segment {segment_idx}: {n} tokens")
                 audio = self._decode_tokens_to_audio(toks[0])

@@ -804,6 +804,15 @@ class Model(Module):
                 rt["feature_extractor"] = SparkWav2VecFeatures(w2v)
         return rt
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: Spark's AR stage is a plain token-prompt qwen2
+        LM (`self.llm`), so concurrent requests' semantic-token decodes ride
+        continuous (slot-based) batching; the BiCodec detokenize stays
+        per-request."""
+        from ....serving import LMContinuousBatcher
+
+        return LMContinuousBatcher(self, lm=self.llm, **kwargs)
+
     def process_prompt_control(self, text: str, gender: str = "female",
                                pitch: str = "moderate",
                                speed: str = "moderate") -> str:
@@ -903,14 +912,31 @@ class Model(Module):
                     np.asarray(ref_semantic) if ref_text else None, ref_text)
 
             ids = np.asarray(tokenizer.encode(prompt), np.int64).reshape(-1)
-            out_ids, _ = generate_tokens(
-                self.llm, jnp.asarray(ids, jnp.int32), max_tokens=max_tokens,
-                temp=temperature, top_k=top_k, top_p=top_p,
-                repetition_penalty=kwargs.get("repetition_penalty", 1.3),
-                repetition_context_size=kwargs.get(
-                    "repetition_context_size", 20),
-                eos_token_ids=(tokenizer.eos_token_id,)
-                if hasattr(tokenizer, "eos_token_id") else (), seed=seed)
+            eos_ids = ((tokenizer.eos_token_id,)
+                       if hasattr(tokenizer, "eos_token_id") else ())
+            # Under a running server a ContinuousBatcher may be installed:
+            # concurrent requests' token streams then decode in lock-step.
+            from ....serving import get_infer_hook
+
+            hook = get_infer_hook(self)
+            if hook is not None:
+                out_list = hook.submit(
+                    [int(t) for t in ids], max_tokens=max_tokens,
+                    temp=temperature, top_k=top_k, top_p=top_p,
+                    repetition_penalty=kwargs.get("repetition_penalty", 1.3),
+                    repetition_context_size=kwargs.get(
+                        "repetition_context_size", 20),
+                    eos_ids=eos_ids, seed=seed).result()
+                out_ids = np.asarray([out_list], np.int32)
+            else:
+                out_ids, _ = generate_tokens(
+                    self.llm, jnp.asarray(ids, jnp.int32),
+                    max_tokens=max_tokens,
+                    temp=temperature, top_k=top_k, top_p=top_p,
+                    repetition_penalty=kwargs.get("repetition_penalty", 1.3),
+                    repetition_context_size=kwargs.get(
+                        "repetition_context_size", 20),
+                    eos_token_ids=eos_ids, seed=seed)
             text_out = tokenizer.decode(list(np.asarray(out_ids).reshape(-1)))
 
             semantic_ids = [int(m) for m in

@@ -307,3 +307,114 @@ def test_oversized_rep_window_falls_back_to_host(lm):
     assert len(out) == 10
     assert all(0 <= t < 97 for t in out)
     assert steps >= 9  # per-token ticking: ~one dispatch per token
+
+
+def test_min_p_batched_equals_sequential(lm):
+    """min-p rides the in-graph per-row sampler (OuteTTS defaults
+    min_p=0.05): fixed seeds ⇒ batched == one-slot == per-token, and a
+    near-1 min_p degenerates to greedy."""
+    rng = np.random.default_rng(17)
+    prompts = [list(rng.integers(1, 97, n)) for n in (5, 9, 4)]
+    seeds = [11, 22, 33]
+    samp = dict(temp=0.7, top_k=40, min_p=0.05)
+
+    batched = _cb_decode(lm, prompts, seeds, slots=3, tick_tokens=4, **samp)
+    sequential = [
+        _cb_decode(lm, [p], [s], slots=1, tick_tokens=4, **samp)[0]
+        for p, s in zip(prompts, seeds)
+    ]
+    per_token = _cb_decode(lm, prompts, seeds, slots=3, tick_tokens=1,
+                           **samp)
+    assert batched == sequential
+    assert batched == per_token
+
+    # min_p → 1 keeps only tokens with prob ≥ max prob ⇒ argmax survives
+    ref = _ref_decode(lm, prompts[0], 12)
+    got = _cb_decode(lm, [prompts[0]], [seeds[0]], slots=1, tick_tokens=4,
+                     temp=0.7, min_p=0.999999)[0]
+    assert got == ref
+
+
+def test_spark_routes_through_installed_batcher():
+    """Spark + installed LMContinuousBatcher: generate() decodes the
+    semantic-token stream via lock-step batched steps on `model.llm`."""
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.serving import get_infer_hook
+    from mlx_audio_tpu.tts.models.spark import Model, ModelConfig
+
+    seed_rng(2)
+    cfg = ModelConfig(llm=dict(
+        vocab_size=2000, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+    ))
+    model = Model(cfg)
+
+    class Tok:
+        eos_token_id = 2
+
+        def encode(self, text):
+            return [(ord(c) % 90) + 10 for c in text[:12]]
+
+        def decode(self, toks):
+            return "<|bicodec_global_3|>" + "".join(
+                f"<|bicodec_semantic_{int(t) % 32}|>" for t in toks)
+
+    class Bicodec:
+        def detokenize(self, semantic, glob):
+            n = int(np.asarray(semantic).shape[-1])
+            return np.zeros((1, max(n, 1) * 320), np.float32)
+
+    model.set_runtime(tokenizer=Tok(), bicodec=Bicodec())
+    batcher = model.make_batcher(slots=2, max_len=256,
+                                 cache_dtype=np.float32).install()
+    try:
+        assert get_infer_hook(model) is batcher
+        results = list(model.generate("hello", gender="male",
+                                      max_tokens=12, temperature=0.0))
+        assert batcher.dispatch_count > 0
+        assert results and results[0].sample_rate == 16000
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None
+
+
+def test_outetts_routes_through_installed_batcher():
+    """OuteTTS + installed LMContinuousBatcher: the non-stream generate()
+    path decodes via lock-step batched steps (min_p in-graph)."""
+    import sys
+
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.serving import get_infer_hook
+    from mlx_audio_tpu.tts.models.outetts import Model, ModelConfig
+
+    sys.path.insert(0, "tests")
+    try:
+        from test_tts_small_models import FakeTok
+    finally:
+        sys.path.pop(0)
+
+    seed_rng(3)
+    cfg = ModelConfig(hidden_size=64, num_hidden_layers=1,
+                      intermediate_size=128, num_attention_heads=4,
+                      num_key_value_heads=2, vocab_size=5000,
+                      model_type="qwen3")
+    model = Model(cfg)
+
+    class Codec:
+        def decode_codes(self, codes):
+            T = np.asarray(codes).shape[-1]
+            return np.zeros((1, 1, T * 512), np.float32)
+
+    model.set_runtime(tokenizer=FakeTok(), codec=Codec())
+    batcher = model.make_batcher(slots=2, max_len=512,
+                                 cache_dtype=np.float32).install()
+    try:
+        assert get_infer_hook(model) is batcher
+        results = list(model.generate("Hello world.", temperature=0.8,
+                                      max_tokens=24))
+        assert batcher.dispatch_count > 0
+        for r in results:
+            assert r.sample_rate == 24000
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None
