@@ -233,6 +233,14 @@ class Model(Module):
     def sample_rate(self) -> int:
         return self.config.sample_rate
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent transcriptions share lock-step
+        continuous batching of the llama decoder (the audio encoder runs
+        per-request; the embedding prompt prefills via submit_embeds)."""
+        from ....serving import LMContinuousBatcher
+
+        return LMContinuousBatcher(self, lm=self.language_model, **kwargs)
+
     def set_runtime(self, tokenizer=None):
         if tokenizer is not None:
             Model._RUNTIME.setdefault(id(self), {})["tokenizer"] = tokenizer
@@ -425,20 +433,36 @@ class Model(Module):
         inputs = self._prepare_chunk_inputs(audio, prompt, tokenizer)
         lm = self.language_model
 
-        caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1,
-                                dtype=jnp.float32)
         eos = (list(self.config.lm_config.eos_token_id) + [-1, -1, -1])[:3]
-        logits, caches = _prefill(lm, caches, inputs, _lm_call)
-        out, i, *_ = _decode_chunk(
-            lm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
-            jnp.zeros((1,), bool), jax.random.PRNGKey(0),
-            jnp.asarray(eos, jnp.int32), _lm_call,
-            make_sampler(temp=float(temperature), top_p=float(top_p),
-                         top_k=int(top_k), min_p=float(min_p),
-                         min_tokens_to_keep=int(min_tokens_to_keep)),
-            1.0, int(max_tokens))
-        toks, n = jax.device_get((out, i))
-        seq = [int(t) for t in toks[0][: int(n)] if int(t) not in eos]
+        # Under a running server a ContinuousBatcher may be installed:
+        # concurrent transcriptions' decodes then run in lock-step (the
+        # audio-conditioned embedding prompt prefills via submit_embeds).
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            out_list = hook.submit_embeds(
+                np.asarray(inputs[0], np.float32),
+                max_tokens=int(max_tokens),
+                eos_ids=tuple(e for e in eos if e >= 0),
+                temp=float(temperature), top_p=float(top_p),
+                top_k=int(top_k), min_p=float(min_p)).result()
+            seq = [int(t) for t in out_list if int(t) not in eos]
+        else:
+            caches = lm.make_caches(
+                1, max_len=inputs.shape[1] + max_tokens + 1,
+                dtype=jnp.float32)
+            logits, caches = _prefill(lm, caches, inputs, _lm_call)
+            out, i, *_ = _decode_chunk(
+                lm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
+                jnp.zeros((1,), bool), jax.random.PRNGKey(0),
+                jnp.asarray(eos, jnp.int32), _lm_call,
+                make_sampler(temp=float(temperature), top_p=float(top_p),
+                             top_k=int(top_k), min_p=float(min_p),
+                             min_tokens_to_keep=int(min_tokens_to_keep)),
+                1.0, int(max_tokens))
+            toks, n = jax.device_get((out, i))
+            seq = [int(t) for t in toks[0][: int(n)] if int(t) not in eos]
         wall = time.perf_counter() - t0
         if verbose:
             print(tokenizer.decode(seq).strip())

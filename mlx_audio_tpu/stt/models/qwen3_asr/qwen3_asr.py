@@ -333,6 +333,14 @@ class Model(Module):
         if tokenizer is not None:
             Model._RUNTIME.setdefault(id(self), {})["tokenizer"] = tokenizer
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent transcriptions share lock-step
+        continuous batching of the qwen3 decoder (the audio tower runs
+        per-request; the embedding prompt prefills via submit_embeds)."""
+        from ....serving import LMContinuousBatcher
+
+        return LMContinuousBatcher(self, lm=self.language_model, **kwargs)
+
     def model_quant_predicate(self, p, m):
         return not p.startswith("audio_tower")
 
@@ -583,25 +591,44 @@ class Model(Module):
         total_prompt = 0
         total_gen = 0
         remaining = max_tokens
+        # Under a running server a ContinuousBatcher may be installed:
+        # concurrent transcriptions' decodes then run in lock-step (the
+        # audio-conditioned embedding prompt prefills via submit_embeds).
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
         for chunk_audio, _offset in chunks:
             if remaining <= 0:
                 break
             inputs, ids = self._prepare_inputs(
                 chunk_audio, language, system_prompt, tokenizer)
             total_prompt += int(ids.shape[0])
-            caches = lm.make_caches(
-                1, max_len=inputs.shape[1] + remaining + 1,
-                dtype=jnp.float32)
-            logits, caches = _prefill(lm, caches, inputs, _lm_call)
-            out, i, *_ = _decode_chunk(
-                lm, caches, logits,
-                jnp.full((1, max(repetition_context_size, 1)), -1,
-                         jnp.int32),
-                jnp.zeros((1,), bool), jax.random.PRNGKey(0),
-                jnp.asarray(eos, jnp.int32), _lm_call,
-                sampler, rep_p, int(remaining))
-            toks, nt = jax.device_get((out, i))
-            seq = [int(t) for t in toks[0][: int(nt)] if int(t) not in eos]
+            if hook is not None:
+                out_list = hook.submit_embeds(
+                    np.asarray(inputs[0], np.float32),
+                    max_tokens=int(remaining),
+                    eos_ids=tuple(e for e in eos if e >= 0),
+                    temp=float(temperature), top_p=float(top_p),
+                    top_k=int(top_k), min_p=float(min_p),
+                    repetition_penalty=rep_p,
+                    repetition_context_size=max(
+                        repetition_context_size, 1)).result()
+                seq = [int(t) for t in out_list if int(t) not in eos]
+            else:
+                caches = lm.make_caches(
+                    1, max_len=inputs.shape[1] + remaining + 1,
+                    dtype=jnp.float32)
+                logits, caches = _prefill(lm, caches, inputs, _lm_call)
+                out, i, *_ = _decode_chunk(
+                    lm, caches, logits,
+                    jnp.full((1, max(repetition_context_size, 1)), -1,
+                             jnp.int32),
+                    jnp.zeros((1,), bool), jax.random.PRNGKey(0),
+                    jnp.asarray(eos, jnp.int32), _lm_call,
+                    sampler, rep_p, int(remaining))
+                toks, nt = jax.device_get((out, i))
+                seq = [int(t) for t in toks[0][: int(nt)]
+                       if int(t) not in eos]
             total_gen += len(seq)
             remaining -= len(seq)
             text = tokenizer.decode(seq)

@@ -164,6 +164,14 @@ class Model(Module):
     def get_audio_embeds(self, mel):
         return _audio_embeds(self, mel)
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent transcriptions share lock-step
+        continuous batching of the llama decoder (the audio tower runs
+        per-request; the embedding prompt prefills via submit_embeds)."""
+        from ....serving import LMContinuousBatcher
+
+        return LMContinuousBatcher(self, lm=self.language_model, **kwargs)
+
     _RUNTIME: dict = {}  # id(self) → host-side objects (stable treedef)
 
     def _processor(self):
@@ -310,23 +318,39 @@ class Model(Module):
             tokenizer = tok
         lm = self.language_model
 
-        # prefill on embeddings, then decode token-by-token on device
-        caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1)
-        from ....lm.generate import _decode_chunk, _prefill
-        from ....lm.sample import make_sampler
+        # Under a running server a ContinuousBatcher may be installed:
+        # concurrent transcriptions' decodes then run in lock-step (the
+        # embedding prompt prefills via submit_embeds).
+        from ....serving import get_infer_hook
 
-        logits, caches = _prefill(lm, caches, inputs, _lm_call)
-        out, i, *_ = _decode_chunk(
-            lm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
-            jnp.zeros((1,), bool), jax.random.PRNGKey(0),
-            jnp.asarray([2, 4, 32000], jnp.int32), _lm_call,
-            make_sampler(temp=float(temperature), top_p=float(top_p),
-                         top_k=int(top_k), min_p=float(min_p),
-                         min_tokens_to_keep=int(min_tokens_to_keep)),
-            1.0, int(max_tokens),
-        )
-        toks, n = jax.device_get((out, i))
-        seq = [int(t) for t in toks[0][: int(n)] if t not in (2, 4, 32000)]
+        hook = get_infer_hook(self)
+        if hook is not None:
+            out_list = hook.submit_embeds(
+                np.asarray(inputs[0], np.float32),
+                max_tokens=int(max_tokens), eos_ids=(2, 4, 32000),
+                temp=float(temperature), top_p=float(top_p),
+                top_k=int(top_k), min_p=float(min_p)).result()
+            seq = [int(t) for t in out_list if t not in (2, 4, 32000)]
+        else:
+            # prefill on embeddings, then decode token-by-token on device
+            caches = lm.make_caches(
+                1, max_len=inputs.shape[1] + max_tokens + 1)
+            from ....lm.generate import _decode_chunk, _prefill
+            from ....lm.sample import make_sampler
+
+            logits, caches = _prefill(lm, caches, inputs, _lm_call)
+            out, i, *_ = _decode_chunk(
+                lm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
+                jnp.zeros((1,), bool), jax.random.PRNGKey(0),
+                jnp.asarray([2, 4, 32000], jnp.int32), _lm_call,
+                make_sampler(temp=float(temperature), top_p=float(top_p),
+                             top_k=int(top_k), min_p=float(min_p),
+                             min_tokens_to_keep=int(min_tokens_to_keep)),
+                1.0, int(max_tokens),
+            )
+            toks, n = jax.device_get((out, i))
+            seq = [int(t) for t in toks[0][: int(n)]
+                   if t not in (2, 4, 32000)]
         text = ""
         if tokenizer is not None:
             text = tokenizer.decode(seq)
