@@ -216,12 +216,33 @@ class LMContinuousBatcher:
     the wrapper (what `get_infer_hook(model)` is keyed on)."""
 
     def __init__(self, model, lm=None, slots: int = 4, max_len: int = 4096,
-                 **kwargs):
+                 warm_embeds: bool = False, **kwargs):
         from .lm.continuous import ContinuousBatcher
 
         self.model = model
+        self.warm_embeds = warm_embeds
         self.cb = ContinuousBatcher(lm if lm is not None else model,
                                     slots=slots, max_len=max_len, **kwargs)
+
+    def warmup(self):
+        """Pre-compile the smallest prefill bucket, every slot's install
+        program and the fused tick with one concurrent wave of tiny
+        requests (same contract as the other batchers' warmup). Families
+        whose prompts are embedding matrices (warm_embeds=True — the
+        audio-conditioned STT LLMs) warm the embeds-prefill variant."""
+        n = self.cb.tick_tokens + 1
+        if self.warm_embeds:
+            import numpy as np
+
+            D = self.cb.model.config.hidden_size
+            emb = np.zeros((8, D), np.float32)
+            futs = [self.cb.submit_embeds(emb, max_tokens=n)
+                    for _ in range(self.cb.slots)]
+        else:
+            futs = [self.cb.submit([1] * 8, max_tokens=n)
+                    for _ in range(self.cb.slots)]
+        for f in futs:
+            f.result()
 
     def submit(self, *args, **kwargs):
         return self.cb.submit(*args, **kwargs)

@@ -339,6 +339,7 @@ class Model(Module):
         per-request; the embedding prompt prefills via submit_embeds)."""
         from ....serving import LMContinuousBatcher
 
+        kwargs.setdefault("warm_embeds", True)
         return LMContinuousBatcher(self, lm=self.language_model, **kwargs)
 
     def model_quant_predicate(self, p, m):

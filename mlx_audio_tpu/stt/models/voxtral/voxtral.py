@@ -170,6 +170,7 @@ class Model(Module):
         per-request; the embedding prompt prefills via submit_embeds)."""
         from ....serving import LMContinuousBatcher
 
+        kwargs.setdefault("warm_embeds", True)
         return LMContinuousBatcher(self, lm=self.language_model, **kwargs)
 
     _RUNTIME: dict = {}  # id(self) → host-side objects (stable treedef)

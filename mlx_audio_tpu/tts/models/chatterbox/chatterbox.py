@@ -120,6 +120,14 @@ class Model(Module):
                 self.set_runtime(mtl_tokenizer=MTLTokenizer(tok))
         return self
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent requests' T3 CFG decodes run in
+        lock-step (each slot owns a cond/uncond cache-row pair); voice
+        conditioning and S3Gen vocoding stay per-request."""
+        from .batcher import T3Batcher
+
+        return T3Batcher(self, **kwargs)
+
     # ------------------------------------------------------------------
     def prepare_conditionals(self, ref_wav, ref_sr: int,
                              exaggeration: float = 0.5) -> Conditionals:
@@ -219,11 +227,28 @@ class Model(Module):
         key = (jax.random.PRNGKey(seed) if seed is not None
                else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)))
         k1, k2 = jax.random.split(key)
-        speech_tokens = self.t3.inference(
-            t3_cond=conds.t3, text_tokens=ids,
-            max_new_tokens=max_new_tokens, temperature=temperature,
-            cfg_weight=cfg_weight, repetition_penalty=repetition_penalty,
-            min_p=min_p, top_p=top_p, key=k1)
+        # Under a running server a T3Batcher may be installed: concurrent
+        # requests' CFG decodes then run in lock-step (paired cache rows).
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            embeds = self.t3.build_prefill_embeds(conds.t3, ids, cfg_on=True)
+            toks = hook.submit(
+                np.asarray(embeds, np.float32),
+                max_tokens=max_new_tokens, temperature=temperature,
+                top_p=top_p, min_p=min_p,
+                repetition_penalty=repetition_penalty,
+                cfg_weight=cfg_weight,
+                seed=(seed if seed is not None
+                      else int(np.random.randint(0, 2**31 - 1)))).result()
+            speech_tokens = np.asarray(toks, np.int32)[None]
+        else:
+            speech_tokens = self.t3.inference(
+                t3_cond=conds.t3, text_tokens=ids,
+                max_new_tokens=max_new_tokens, temperature=temperature,
+                cfg_weight=cfg_weight, repetition_penalty=repetition_penalty,
+                min_p=min_p, top_p=top_p, key=k1)
 
         tokens = drop_invalid_tokens(speech_tokens,
                                      sos=self.t3.hp.start_speech_token,

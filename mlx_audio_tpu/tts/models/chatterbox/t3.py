@@ -253,25 +253,14 @@ class T3(Module):
                 self.speech_emb(toks) + self.speech_pos_emb(toks))
         return self.cond_enc(t3_cond)
 
-    def inference(
-        self,
-        t3_cond: T3Cond,
-        text_tokens: np.ndarray,
-        max_new_tokens: int = 1024,
-        temperature: float = 0.8,
-        top_p: float = 0.95,
-        min_p: float = 0.05,
-        repetition_penalty: float = 1.2,
-        cfg_weight: float = 0.5,
-        key=None,
-    ) -> np.ndarray:
-        """Generate speech tokens (1, T) ending before EOS."""
+    def build_prefill_embeds(self, t3_cond: T3Cond, text_tokens,
+                             cfg_on: bool = True) -> jnp.ndarray:
+        """[cond|text|bos] prefill embeddings (B, T0, D); with CFG the
+        unconditional row zeroes the text embedding (reference
+        t3.py:316-368). Shared by `inference` and the serving batcher."""
         text_tokens = np.asarray(text_tokens)
         if text_tokens.ndim == 1:
             text_tokens = text_tokens[None]
-        cfg_on = cfg_weight > 0.0
-        B = 2 if cfg_on else 1
-
         cond_emb = self.prepare_conditioning(t3_cond)  # (1, Lc, D)
         text_ids = jnp.asarray(text_tokens[:1], jnp.int32)
         text_emb = self.text_emb(text_ids)
@@ -286,8 +275,25 @@ class T3(Module):
                                        axis=0)
             cond_emb = jnp.broadcast_to(cond_emb, (2,) + cond_emb.shape[1:])
             bos_emb = jnp.broadcast_to(bos_emb, (2,) + bos_emb.shape[1:])
+        return jnp.concatenate([cond_emb, text_emb, bos_emb], axis=1)
 
-        embeds = jnp.concatenate([cond_emb, text_emb, bos_emb], axis=1)
+    def inference(
+        self,
+        t3_cond: T3Cond,
+        text_tokens: np.ndarray,
+        max_new_tokens: int = 1024,
+        temperature: float = 0.8,
+        top_p: float = 0.95,
+        min_p: float = 0.05,
+        repetition_penalty: float = 1.2,
+        cfg_weight: float = 0.5,
+        key=None,
+    ) -> np.ndarray:
+        """Generate speech tokens (1, T) ending before EOS."""
+        cfg_on = cfg_weight > 0.0
+        B = 2 if cfg_on else 1
+
+        embeds = self.build_prefill_embeds(t3_cond, text_tokens, cfg_on)
         T0 = embeds.shape[1]
         Tp = max(32, ((T0 + 31) // 32) * 32)
         embeds = jnp.pad(embeds, ((0, 0), (0, Tp - T0), (0, 0)))

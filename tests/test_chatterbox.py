@@ -86,7 +86,7 @@ def test_voice_encoder_partials():
     assert out.shape == (1, 12)
 
 
-def test_full_pipeline_tiny():
+def _tiny_full_model():
     cfg = ModelConfig(t3_config=tiny_t3())
     model = Model(cfg)
     # shrink s3gen to a tiny footprint for the test
@@ -136,9 +136,123 @@ def test_full_pipeline_tiny():
                         bias=jnp.zeros(70).at[60:].set(-50.0))
     model.t3.speech_head = head
     model.set_runtime(tokenizer=FakeTok(), s3_tokenizer=FakeS3())
+    return model
+
+
+def test_full_pipeline_tiny():
+    model = _tiny_full_model()
     ref = np.random.randn(24000).astype(np.float32) * 0.1
     results = list(model.generate("hi", ref_audio=ref, audio_prompt_sr=24000,
                                   max_new_tokens=10, seed=0))
     assert len(results) == 1
     assert results[0].audio.size > 0
     assert np.isfinite(results[0].audio).all()
+
+
+def test_chatterbox_routes_through_installed_batcher():
+    """Model.generate() + installed T3Batcher: the T3 decode rides the
+    lock-step CFG pool; the vocoded result stays finite audio."""
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    model = _tiny_full_model()
+    ref = np.random.randn(24000).astype(np.float32) * 0.1
+    batcher = model.make_batcher(slots=2, max_len=256, tick_frames=4)
+    batcher.install()
+    try:
+        assert get_infer_hook(model) is batcher
+        results = list(model.generate("hi", ref_audio=ref,
+                                      audio_prompt_sr=24000,
+                                      max_new_tokens=10, seed=0))
+        assert batcher.dispatch_count > 0
+        assert len(results) == 1
+        assert results[0].audio.size > 0
+        assert np.isfinite(results[0].audio).all()
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None
+
+
+def _pair_embeds(t3, text_ids):
+    cond = T3Cond(
+        speaker_emb=jnp.zeros((1, 16)),
+        cond_prompt_speech_tokens=jnp.zeros((1, 6), jnp.int32),
+        emotion_adv=jnp.ones((1, 1, 1)) * 0.5)
+    return np.asarray(
+        t3.build_prefill_embeds(cond, np.asarray([text_ids]), cfg_on=True),
+        np.float32)
+
+
+def test_t3_batcher_batched_equals_sequential():
+    """CFG-paired continuous batching: a request's speech-token stream
+    depends only on its own seed, so batched == one-slot-sequential on
+    the same engine (sampled AND greedy)."""
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.tts.models.chatterbox.batcher import T3Batcher
+
+    seed_rng(5)
+    t3 = T3(tiny_t3())
+
+    class Shim:
+        pass
+
+    m = Shim()
+    m.t3 = t3
+    prompts = [[3, 4, 5], [7, 8, 9, 10, 11], [12, 13]]
+    embeds = [_pair_embeds(t3, p) for p in prompts]
+    seeds = [41, 42, 43]
+
+    def run(slots, items, **samp):
+        b = T3Batcher(m, slots=slots, max_len=256, tick_frames=4)
+        try:
+            futs = [b.submit(e, max_tokens=10, seed=s, **samp)
+                    for e, s in items]
+            outs = [list(f.result(timeout=600)) for f in futs]
+            assert b.dispatch_count > 0 or all(
+                len(o) <= 1 for o in outs)
+            return outs
+        finally:
+            b.close()
+
+    samp = dict(temperature=0.8, top_p=0.9, min_p=0.05,
+                repetition_penalty=1.2, cfg_weight=0.5)
+    batched = run(3, list(zip(embeds, seeds)), **samp)
+    sequential = [run(1, [(e, s)], **samp)[0]
+                  for e, s in zip(embeds, seeds)]
+    assert batched == sequential
+
+    greedy_b = run(3, list(zip(embeds, seeds)), temperature=0.0,
+                   cfg_weight=0.5)
+    greedy_s = [run(1, [(e, s)], temperature=0.0, cfg_weight=0.5)[0]
+                for e, s in zip(embeds, seeds)]
+    assert greedy_b == greedy_s
+    for out in batched + greedy_b:
+        assert len(out) <= 10
+        assert all(0 <= t < 70 and t != 61 for t in out)
+
+
+def test_t3_batcher_mid_flight_join_and_warmup():
+    """Slots recycle under load (5 requests, 2 slots) and warmup()
+    pre-compiles every slot's install + the fused tick."""
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.tts.models.chatterbox.batcher import T3Batcher
+
+    seed_rng(6)
+    t3 = T3(tiny_t3())
+
+    class Shim:
+        pass
+
+    m = Shim()
+    m.t3 = t3
+    b = T3Batcher(m, slots=2, max_len=256, tick_frames=4)
+    try:
+        b.warmup()
+        embeds = [_pair_embeds(t3, [3 + i, 4, 5]) for i in range(5)]
+        futs = [b.submit(e, max_tokens=6, seed=i, temperature=0.7)
+                for i, e in enumerate(embeds)]
+        outs = [list(f.result(timeout=600)) for f in futs]
+    finally:
+        b.close()
+    assert len(outs) == 5
+    for out in outs:
+        assert len(out) <= 6
