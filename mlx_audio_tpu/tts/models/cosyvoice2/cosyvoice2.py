@@ -141,12 +141,36 @@ class CosyVoice2(Module):
                         sampling: int = 25, max_token_text_ratio: float = 20.0,
                         min_token_text_ratio: float = 2.0,
                         key=None) -> np.ndarray:
+        # Under a running server an RASBatcher may be installed:
+        # concurrent requests' speech-token decodes then run in lock-step.
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            embeds = self.llm.build_prompt_embeds(
+                np.asarray(text), prompt_text, prompt_speech_token)
+            n_text = int(np.asarray(text).size)
+            seed = (int(np.asarray(key).reshape(-1)[-1]) if key is not None
+                    else int(np.random.randint(0, 2**31 - 1)))
+            return np.asarray(hook.submit(
+                np.asarray(embeds, np.float32),
+                min_tokens=int(n_text * min_token_text_ratio),
+                max_steps=max(1, int(n_text * max_token_text_ratio)),
+                seed=seed).result(), np.int32)
         tokens, _ = self.llm.inference(
             text=text, prompt_text=prompt_text,
             prompt_speech_token=prompt_speech_token, sampling=sampling,
             max_token_text_ratio=max_token_text_ratio,
             min_token_text_ratio=min_token_text_ratio, key=key)
         return tokens
+
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent requests' RAS speech-token decodes
+        run in lock-step (CosyVoice2 stop rule: tok == V; fill tokens fed
+        but not emitted); flow + HiFT vocoding stay per-request."""
+        from .batcher import RASBatcher
+
+        return RASBatcher(self, lm=self.llm, v3=False, **kwargs)
 
     def tokens_to_mel(self, tokens: np.ndarray, prompt_token: np.ndarray,
                       prompt_feat, embedding, n_timesteps: Optional[int] = None,
@@ -289,6 +313,11 @@ class Model(Module):
         self.sample_rate = self.config.sample_rate
         inner_cfg = self.config.cosyvoice2 or CosyVoice2Config()
         self.model = build_cosyvoice2(inner_cfg)
+
+    def make_batcher(self, **kwargs):
+        """Serving batcher (server entry point): delegates to the inner
+        CosyVoice2 engine, whose generate_tokens() checks the hook."""
+        return self.model.make_batcher(**kwargs)
 
     def set_runtime(self, tokenizer=None, s3_tokenizer=None,
                     speaker_encoder=None):

@@ -232,11 +232,93 @@ def bench_snac_lm_continuous(n_requests: int, slots: int = 4,
     }), flush=True)
 
 
+def bench_stt_llm_continuous(n_requests: int, slots: int = 8,
+                             prompt_frames: int = 375,
+                             decode_tokens: int = 96,
+                             trials: int = 3):
+    """Embedding-prompt continuous batching for audio-conditioned LLM STT
+    (Qwen3-ASR / Voxtral / GLM-ASR class): N concurrent transcriptions'
+    decodes share the slot pool via `submit_embeds` (round-4 addition) vs
+    the same N submitted one-at-a-time to the SAME engine (tunnel-neutral
+    comparator — both sides pay identical per-tick round trips).
+
+    Qwen3-1.7B decoder dims; the prompt is a (375, D) random embedding
+    matrix standing in for a ~30 s audio window spliced into the prompt
+    (the audio tower runs per-request outside the pool either way, so it
+    cancels out of the comparison). Random weights — throughput depends
+    on the program, not the values; greedy decode runs to the cap so both
+    sides do identical work."""
+    import jax
+
+    from mlx_audio_tpu.lm import CausalLM, LMConfig
+    from mlx_audio_tpu.lm.continuous import ContinuousBatcher
+    from mlx_audio_tpu.nn.module import build_on_host
+
+    cfg = LMConfig(
+        model_type="qwen3", hidden_size=2048, num_hidden_layers=28,
+        intermediate_size=6144, num_attention_heads=16,
+        num_key_value_heads=8, head_dim=128, vocab_size=151936,
+        rope_theta=1000000.0,
+    )
+    lm = build_on_host(lambda: CausalLM(cfg))
+    rng = np.random.default_rng(0)
+    embeds = [rng.standard_normal(
+        (prompt_frames, cfg.hidden_size)).astype(np.float32) * 0.02
+        for _ in range(n_requests)]
+
+    cb = ContinuousBatcher(lm, slots=slots, max_len=1024, tick_tokens=16)
+    try:
+        # warm pass pays prefill/install/tick compiles for every slot
+        futs = [cb.submit_embeds(e, max_tokens=decode_tokens)
+                for e in embeds]
+        for f in futs:
+            f.result(timeout=3600)
+
+        seq_walls, bat_walls = [], []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            for e in embeds:  # one-at-a-time on the same engine
+                cb.submit_embeds(e, max_tokens=decode_tokens).result(
+                    timeout=3600)
+            seq_walls.append(time.perf_counter() - t0)
+
+            t0 = time.perf_counter()
+            futs = [cb.submit_embeds(e, max_tokens=decode_tokens)
+                    for e in embeds]
+            outs = [f.result(timeout=3600) for f in futs]
+            bat_walls.append(time.perf_counter() - t0)
+    finally:
+        cb.close()
+
+    seq_w, bat_w = sorted(seq_walls)[trials // 2], sorted(bat_walls)[trials // 2]
+    total_tokens = sum(len(o) for o in outs)
+    print(json.dumps({
+        "metric": "stt_llm_continuous_tokens_per_sec",
+        "value": round(total_tokens / bat_w, 1),
+        "unit": "tokens/s",
+        "detail": {
+            "n_requests": n_requests, "slots": slots,
+            "tick_tokens": 16, "prompt_frames": prompt_frames,
+            "decode_tokens_per_request": decode_tokens,
+            "batched_wall_s_min_med_max": [
+                round(w, 3) for w in sorted(bat_walls)],
+            "sequential_wall_s_min_med_max": [
+                round(w, 3) for w in sorted(seq_walls)],
+            "speedup_vs_sequential": round(seq_w / bat_w, 2),
+            "decoder": "qwen3-1.7B dims (Qwen3-ASR class)",
+            "prompt": "(375, D) audio-spliced embeddings via submit_embeds",
+            "device": str(jax.devices()[0]),
+            "weights": "random (architecture-true)",
+        },
+    }), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=8)
     ap.add_argument("--max-batch", type=int, default=8)
-    ap.add_argument("--only", choices=["kokoro", "whisper", "snac_lm"],
+    ap.add_argument("--only", choices=["kokoro", "whisper", "snac_lm",
+                                       "stt_llm"],
                     default=None)
     ap.add_argument("--sweep", action="store_true",
                     help="run whisper serving at N in {1,2,4,8}")
@@ -262,3 +344,6 @@ if __name__ == "__main__":
             bench_whisper_serving(args.requests, args.max_batch)
         if args.only in (None, "snac_lm"):
             bench_snac_lm_continuous(args.requests, slots=min(args.max_batch, 4))
+        if args.only in (None, "stt_llm"):
+            bench_stt_llm_continuous(args.requests,
+                                     slots=min(args.max_batch, 8))

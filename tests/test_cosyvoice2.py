@@ -193,3 +193,66 @@ def test_generate_option_surface_matches_reference(capsys):
     list(model.generate("hi", ref_audio=ref, verbose=True, seed=0))
     out = capsys.readouterr().out
     assert "cross-lingual" in out and "audio in" in out
+
+
+def test_ras_batcher_batched_equals_sequential():
+    """RAS continuous batching: a request's speech-token stream depends
+    only on its own seed — batched == one-slot-sequential on the same
+    engine, min-length suppresses EOS, fills are fed but not emitted."""
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.tts.models.cosyvoice2.batcher import RASBatcher
+
+    seed_rng(21)
+    cfg = tiny_config().llm
+    lm = Qwen2LM(cfg)
+
+    class Shim:
+        pass
+
+    m = Shim()
+    m.llm = lm
+    prompts = [np.arange(3) + 2, np.arange(5) + 1, np.arange(4) + 7]
+    embeds = [np.asarray(lm.build_prompt_embeds(p, None, None), np.float32)
+              for p in prompts]
+    seeds = [31, 32, 33]
+
+    def run(slots, items):
+        b = RASBatcher(m, lm=lm, slots=slots, max_len=256, tick_frames=4)
+        try:
+            futs = [b.submit(e, min_tokens=4, max_steps=12, seed=s)
+                    for e, s in items]
+            outs = [list(f.result(timeout=600)) for f in futs]
+            assert b.dispatch_count > 0
+            return outs
+        finally:
+            b.close()
+
+    batched = run(3, list(zip(embeds, seeds)))
+    sequential = [run(1, [(e, s)])[0] for e, s in zip(embeds, seeds)]
+    assert batched == sequential
+    for out in batched:
+        # min-length 4 emitted tokens unless fills padded the window; the
+        # hard cap is 12 steps; all emitted tokens are speech tokens
+        assert len(out) <= 12
+        assert all(0 <= t < 40 for t in out)
+
+
+def test_ras_batcher_routes_through_generate_tokens():
+    """Model.generate_tokens() + installed RASBatcher rides the pool."""
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    seed_rng(22)
+    cv = build_cosyvoice2(tiny_config())
+    batcher = cv.make_batcher(slots=2, max_len=256,
+                              tick_frames=4).install()
+    try:
+        assert get_infer_hook(cv) is batcher
+        toks = cv.generate_tokens(np.arange(4) + 2,
+                                  key=jax.random.PRNGKey(5))
+        assert batcher.dispatch_count > 0
+        assert toks.ndim == 1
+        assert all(0 <= int(t) < 40 for t in toks)
+    finally:
+        batcher.close()
+    assert get_infer_hook(cv) is None

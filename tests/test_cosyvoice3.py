@@ -166,3 +166,42 @@ def test_dit_bf16_dtype_stable():
               jnp.ones((2, 16), jnp.bfloat16) * 0.2,
               jnp.zeros((2, 8, 16), jnp.bfloat16))
     assert out.dtype == jnp.bfloat16
+
+
+def test_ras_batcher_v3_stop_rule():
+    """CosyVoice3 shares the RAS batcher with the v3 stop rule (any token
+    >= V ends the stream); batched == one-slot-sequential."""
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.tts.models.cosyvoice2.batcher import RASBatcher
+    from mlx_audio_tpu.tts.models.cosyvoice3.llm import CosyVoice3LM
+
+    seed_rng(23)
+    lm = CosyVoice3LM(tiny_config().llm)
+
+    class Shim:
+        pass
+
+    m = Shim()
+    m.llm = lm
+    prompts = [np.arange(3) + 2, np.arange(5) + 1]
+    embeds = [np.asarray(lm.build_prompt_embeds(p, None, None), np.float32)
+              for p in prompts]
+    seeds = [41, 42]
+
+    def run(slots, items):
+        b = RASBatcher(m, lm=lm, v3=True, slots=slots, max_len=256,
+                       tick_frames=4)
+        try:
+            futs = [b.submit(e, min_tokens=2, max_steps=10, seed=s)
+                    for e, s in items]
+            return [list(f.result(timeout=600)) for f in futs]
+        finally:
+            b.close()
+
+    batched = run(2, list(zip(embeds, seeds)))
+    sequential = [run(1, [(e, s)])[0] for e, s in zip(embeds, seeds)]
+    assert batched == sequential
+    V = lm.speech_token_size
+    for out in batched:
+        assert len(out) <= 10
+        assert all(0 <= t < V for t in out)
