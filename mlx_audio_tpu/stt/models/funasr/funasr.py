@@ -362,6 +362,16 @@ class Model(Module):
         if cmvn is not None:
             rt["cmvn"] = cmvn
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent transcriptions share lock-step
+        continuous batching of the qwen3 decoder (the SANM encoder +
+        adaptor run per-request; the embedding prompt prefills via
+        submit_embeds)."""
+        from ....serving import LMContinuousBatcher
+
+        kwargs.setdefault("warm_embeds", True)
+        return LMContinuousBatcher(self, lm=self.llm, **kwargs)
+
     def _resolve_tokenizer(self, tokenizer=None):
         if tokenizer is not None:
             return tokenizer
@@ -443,15 +453,30 @@ class Model(Module):
                                       dtype=jnp.float32)
         eos = self._eos_ids(tokenizer)
         eos = (eos + [-1, -1, -1])[:3]
-        logits, caches = _prefill(self.llm, caches, inputs, _lm_call)
-        out, i, *_ = _decode_chunk(
-            self.llm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
-            jnp.zeros((1,), bool), jax.random.PRNGKey(0),
-            jnp.asarray(eos, jnp.int32), _lm_call,
-            make_sampler(temp=float(temperature), top_p=float(top_p),
-                         top_k=int(top_k)), 1.0, int(max_tokens))
-        toks, n = jax.device_get((out, i))
-        seq = [int(t) for t in toks[0][: int(n)] if int(t) not in eos]
+        # Under a running server a ContinuousBatcher may be installed:
+        # concurrent transcriptions' decodes then run in lock-step (the
+        # audio-conditioned embedding prompt prefills via submit_embeds).
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            out_list = hook.submit_embeds(
+                np.asarray(inputs[0], np.float32),
+                max_tokens=int(max_tokens),
+                eos_ids=tuple(e for e in eos if e >= 0),
+                temp=float(temperature), top_p=float(top_p),
+                top_k=int(top_k)).result()
+            seq = [int(t) for t in out_list if int(t) not in eos]
+        else:
+            logits, caches = _prefill(self.llm, caches, inputs, _lm_call)
+            out, i, *_ = _decode_chunk(
+                self.llm, caches, logits, jnp.full((1, 64), -1, jnp.int32),
+                jnp.zeros((1,), bool), jax.random.PRNGKey(0),
+                jnp.asarray(eos, jnp.int32), _lm_call,
+                make_sampler(temp=float(temperature), top_p=float(top_p),
+                             top_k=int(top_k)), 1.0, int(max_tokens))
+            toks, n = jax.device_get((out, i))
+            seq = [int(t) for t in toks[0][: int(n)] if int(t) not in eos]
         wall = time.perf_counter() - t0
         text = self._clean_output(tokenizer.decode(seq))
         if language == "auto":

@@ -153,3 +153,24 @@ def test_voxtral_routes_through_installed_batcher():
     _stt_batched_equals_solo(
         model, audios, dict(max_tokens=8, tokenizer=Tok()),
         dict(slots=2, max_len=1024))
+
+
+def test_funasr_routes_through_installed_batcher():
+    import sys
+
+    sys.path.insert(0, "tests")
+    try:
+        from test_funasr import FakeTok, tiny_cfg
+    finally:
+        sys.path.pop(0)
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.stt.models.funasr import Model
+
+    seed_rng(14)
+    model = Model(tiny_cfg())
+    model.set_runtime(tokenizer=FakeTok())
+    rng = np.random.default_rng(4)
+    audios = [rng.standard_normal(8000).astype(np.float32) * 0.1
+              for _ in range(2)]
+    _stt_batched_equals_solo(
+        model, audios, dict(max_tokens=6), dict(slots=2, max_len=512))
