@@ -185,6 +185,14 @@ class Model(Module):
     def sample_rate(self):
         return self.config.sample_rate
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent sentence decodes (token sampling +
+        hidden-state collection) run in lock-step; the vocoder decode
+        stays per-request."""
+        from .batcher import SopranoBatcher
+
+        return SopranoBatcher(self, **kwargs)
+
     @property
     def tokenizer(self):
         if Model._tokenizer is None:
@@ -229,9 +237,26 @@ class Model(Module):
             t0 = time.perf_counter()
             pcm = []
             n_toks = 0
+            # Under a running server a SopranoBatcher may be installed:
+            # concurrent requests' hidden-collecting decodes then run in
+            # lock-step.
+            from ....serving import get_infer_hook
+
+            hook = get_infer_hook(self)
             for sentence in self._sentences(segment):
                 prompt = f"[STOP][TEXT]{sentence}[START]"
                 ids = self.tokenizer.encode(prompt, add_special_tokens=False)
+                if hook is not None:
+                    hid = hook.submit(
+                        ids, max_tokens=max_tokens, temperature=temperature,
+                        top_p=top_p, stop_ids=(s1, s2)).result()
+                    if hid.shape[0] < 2:
+                        continue
+                    audio = _decode_audio(self, jnp.asarray(hid)[None])
+                    pcm.append(
+                        np.asarray(jax.device_get(audio)).reshape(-1))
+                    n_toks += hid.shape[0] - 1
+                    continue
                 caches = self.language_model.make_caches(
                     1, max_len=len(ids) + max_tokens + 1, dtype=jnp.float32
                 )

@@ -304,3 +304,73 @@ def test_silence_trim_helpers():
 
     np.testing.assert_allclose(hertz_to_mel(700.0), 2595 * np.log10(2))
     assert hertz_to_mel(0.0) == 0.0
+
+
+def test_soprano_batcher_batched_equals_sequential():
+    """Hidden-collecting continuous batching: batched == one-slot
+    sequential (tokens AND hidden matrices), greedy and sampled."""
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.tts.models.soprano import Model, ModelConfig
+    from mlx_audio_tpu.tts.models.soprano.batcher import SopranoBatcher
+
+    seed_rng(31)
+    cfg = ModelConfig(
+        hidden_size=32, num_hidden_layers=1, intermediate_size=64,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=200,
+        decoder_config=dict(decoder_num_layers=1, decoder_dim=32,
+                            decoder_intermediate_dim=64, hop_length=64,
+                            n_fft=256, upscale=4),
+    )
+    m = Model(cfg, tokenizer=FakeTok())
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(10, 200, n)) for n in (5, 8, 3)]
+    seeds = [51, 52, 53]
+
+    def run(slots, items, temp):
+        b = SopranoBatcher(m, slots=slots, max_len=256, tick_frames=4)
+        try:
+            futs = [b.submit(p, max_tokens=8, temperature=temp,
+                             stop_ids=(7,), seed=s) for p, s in items]
+            outs = [f.result(timeout=600) for f in futs]
+            assert b.dispatch_count > 0
+            return outs
+        finally:
+            b.close()
+
+    for temp in (0.0, 0.7):
+        batched = run(3, list(zip(prompts, seeds)), temp)
+        sequential = [run(1, [(p, s)], temp)[0]
+                      for p, s in zip(prompts, seeds)]
+        for bt, sq in zip(batched, sequential):
+            # equal token streams => equal shapes; hiddens agree to float
+            # tolerance (XLA fuses differently at batch 3 vs batch 1)
+            assert bt.shape == sq.shape
+            np.testing.assert_allclose(bt, sq, atol=5e-6, rtol=1e-4)
+            assert 1 <= bt.shape[0] <= 9 and bt.shape[1] == 32
+
+
+def test_soprano_routes_through_installed_batcher():
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.serving import get_infer_hook
+    from mlx_audio_tpu.tts.models.soprano import Model, ModelConfig
+
+    seed_rng(32)
+    cfg = ModelConfig(
+        hidden_size=32, num_hidden_layers=1, intermediate_size=64,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=200,
+        decoder_config=dict(decoder_num_layers=1, decoder_dim=32,
+                            decoder_intermediate_dim=64, hop_length=64,
+                            n_fft=256, upscale=4),
+    )
+    m = Model(cfg, tokenizer=FakeTok())
+    batcher = m.make_batcher(slots=2, max_len=256, tick_frames=4).install()
+    try:
+        assert get_infer_hook(m) is batcher
+        results = list(m.generate("Hi there. Bye now.", max_tokens=12))
+        assert batcher.dispatch_count > 0
+        assert len(results) == 1
+        assert results[0].samples > 0
+        assert np.isfinite(results[0].audio).all()
+    finally:
+        batcher.close()
+    assert get_infer_hook(m) is None
