@@ -34,14 +34,25 @@ import numpy as np
 RESULTS = []
 
 
+DETAIL_PATH = Path(__file__).parent / "BENCH_DETAIL.json"
+
+
 def emit(obj):
     """Print one metric line AND record it for the final summary line.
 
     The driver captures only the output TAIL, so the LAST line is a
     compact summary of every metric — a partial capture still yields the
-    full metric set (round-3 lesson: the Kokoro line fell off the tail)."""
+    full metric set (round-3 lesson: the Kokoro line fell off the tail).
+    The full per-metric `detail` blocks additionally persist to
+    BENCH_DETAIL.json after every metric (round-4 lesson: the driver's
+    2,000-char stdout tail truncated the int4 breakdown, making the 1B
+    regression undiagnosable from the capture)."""
     RESULTS.append(obj)
     print(json.dumps(obj), flush=True)
+    try:
+        DETAIL_PATH.write_text(json.dumps(RESULTS, indent=1))
+    except OSError:
+        pass
 
 
 def emit_summary():

@@ -182,14 +182,25 @@ def generate_speech(payload: dict, provider: ModelProvider = None):
     }
     import inspect
 
+    streamable = fmt in ("wav", "pcm")
     try:
         params = inspect.signature(model.generate).parameters
+        # models with a real mid-utterance streaming decode (Qwen3-TTS,
+        # Sesame, …) deliver audio chunk-by-chunk for streamable formats —
+        # including under an installed serving batcher, whose `on_frame`
+        # delivery keeps time-to-first-audio at one chunk even when the
+        # request is fused with concurrent co-tenants
+        if streamable and "stream" in params:
+            gen_kwargs["stream"] = True
+            if (payload.get("streaming_interval") is not None
+                    and "streaming_interval" in params):
+                gen_kwargs["streaming_interval"] = float(
+                    payload["streaming_interval"])
         if not any(p.kind is inspect.Parameter.VAR_KEYWORD
                    for p in params.values()):
             gen_kwargs = {k: v for k, v in gen_kwargs.items() if k in params}
     except (TypeError, ValueError):
         pass
-    streamable = fmt in ("wav", "pcm")
     sample_rate = None
     pcm = []
     sent_header = False

@@ -33,7 +33,45 @@ __all__ = [
     "register_infer_hook",
     "unregister_infer_hook",
     "get_infer_hook",
+    "stream_chunks",
 ]
+
+
+def stream_chunks(submit, *args, chunk_size: int = 1, callback_kw: str,
+                  **kwargs):
+    """Generator bridging a batcher's streaming callback to a pull-style
+    chunk iterator: calls ``submit(*args, <callback_kw>=sink, **kwargs)``
+    and yields lists of ``chunk_size`` emitted items as they arrive, then
+    any tail. Re-raises the request's failure (from the Future) at the
+    end, so a failed fused dispatch surfaces on the consuming thread.
+
+    This is how model `generate(stream=True)` paths ride an installed
+    batcher without losing incremental delivery: the batcher emits
+    per-item (`on_token` / `on_frame`) from its worker thread; the model's
+    chunked decode consumes equal-sized groups on the caller's thread,
+    keeping time-to-first-audio at one chunk even when the request is
+    fused with co-tenants."""
+    import queue as _q
+
+    itemq: "_q.Queue" = _q.Queue()
+    kwargs[callback_kw] = itemq.put
+    fut = submit(*args, **kwargs)
+    fut.add_done_callback(lambda _f: itemq.put(_SENTINEL))
+    buf: List[Any] = []
+    while True:
+        item = itemq.get()
+        if item is _SENTINEL:
+            fut.result()  # surface a failed dispatch
+            if buf:
+                yield buf
+            return
+        buf.append(item)
+        if len(buf) >= chunk_size:
+            yield buf
+            buf = []
+
+
+_SENTINEL = object()
 
 
 class BatchScheduler:
@@ -389,6 +427,22 @@ class FrameBatcherBase:
         self._joinq.put(req)
         self._wake.set()
         return req.future
+
+    @staticmethod
+    def _emit(req, item) -> None:
+        """Streaming delivery: requests may carry an `on_frame` callback
+        (mirrors `lm.continuous.ContinuousBatcher._emit`'s `on_token`);
+        subclass `_tick`s call this at every output-append site so a
+        batched request streams frames as they are produced instead of
+        delivering only a completed Future. A broken sink (e.g. a
+        disconnected client socket) must never kill the shared worker —
+        it is dropped after the first failure."""
+        cb = getattr(req, "on_frame", None)
+        if cb is not None:
+            try:
+                cb(item)
+            except Exception:
+                req.on_frame = None
 
     def warmup_requests(self, reqs) -> None:
         """Submit a full concurrent wave of (tiny) requests and wait —

@@ -171,6 +171,7 @@ class _T3Request:
     seed: int
     future: Future = field(default_factory=Future)
     tokens: list = field(default_factory=list)
+    on_frame: object = None  # streaming sink, one speech token per call
 
 
 class T3Batcher(FrameBatcherBase):
@@ -211,7 +212,8 @@ class T3Batcher(FrameBatcherBase):
     def submit(self, embeds, *, max_tokens: int = 1000,
                temperature: float = 0.8, top_p: float = 0.95,
                min_p: float = 0.05, repetition_penalty: float = 1.2,
-               cfg_weight: float = 0.5, seed: int = 0) -> Future:
+               cfg_weight: float = 0.5, seed: int = 0,
+               on_frame=None) -> Future:
         emb = np.asarray(embeds)
         assert emb.ndim == 3 and emb.shape[0] == 2, \
             "submit expects a (2, T0, D) CFG prefill pair"
@@ -220,7 +222,7 @@ class T3Batcher(FrameBatcherBase):
             max_tokens=min(int(max_tokens), self.t3.hp.max_speech_tokens),
             temp=float(temperature), top_p=float(top_p), min_p=float(min_p),
             rep_penalty=float(repetition_penalty),
-            cfg_weight=float(cfg_weight), seed=int(seed),
+            cfg_weight=float(cfg_weight), seed=int(seed), on_frame=on_frame,
         )
         return self.submit_request(req)
 
@@ -264,11 +266,13 @@ class T3Batcher(FrameBatcherBase):
             # so _tick clears any slot whose future is already done
             if first != stop:
                 req.tokens.append(first)
+                self._emit(req, first)
             req.future.set_result(np.asarray(req.tokens, np.int32))
             self.pos[2 * slot:2 * slot + 2] = self.max_len - 1
             self.temps[slot] = 0.0
             return
         req.tokens.append(first)
+        self._emit(req, first)
         self.hist[slot, -1] = first
         self.cur_tok[slot] = first
         self.pos[2 * slot:2 * slot + 2] = T
@@ -304,6 +308,7 @@ class T3Batcher(FrameBatcherBase):
                     self._finish_slot(slot)
                     break
                 req.tokens.append(tok)
+                self._emit(req, tok)
                 self.hist[slot] = np.roll(self.hist[slot], -1)
                 self.hist[slot, -1] = tok
                 self.cur_tok[slot] = tok

@@ -142,6 +142,7 @@ class _RASRequest:
     seed: int
     future: Future = field(default_factory=Future)
     tokens: list = field(default_factory=list)  # emitted speech tokens
+    on_frame: object = None  # streaming sink, one speech token per call
 
 
 class RASBatcher(FrameBatcherBase):
@@ -179,13 +180,13 @@ class RASBatcher(FrameBatcherBase):
         self.logits = jnp.zeros((slots, self._n_vocab), jnp.float32)
 
     def submit(self, embeds, *, min_tokens: int = 0, max_steps: int = 2048,
-               seed: int = 0) -> Future:
+               seed: int = 0, on_frame=None) -> Future:
         emb = np.asarray(embeds)
         if emb.ndim == 2:
             emb = emb[None]
         req = _RASRequest(
             embeds=emb, min_tokens=int(min_tokens),
-            max_steps=int(max_steps), seed=int(seed),
+            max_steps=int(max_steps), seed=int(seed), on_frame=on_frame,
         )
         return self.submit_request(req)
 
@@ -237,6 +238,7 @@ class RASBatcher(FrameBatcherBase):
                     break
                 if tok < self.eos:  # CV2 fill tokens fed, not emitted
                     req.tokens.append(tok)
+                    self._emit(req, tok)
                 self.pos[slot] += 1
                 self.steps_ctr[slot] += 1
                 if (self.steps_ctr[slot] >= req.max_steps

@@ -402,11 +402,33 @@ class Model(CausalLM):
             acc: list = []
             yielded_samples = 0
             yielded_tokens = 0
-            for toks_chunk, _meta in _generate_chunks(
-                    self, jnp.asarray(ids, jnp.int32), max_tokens,
-                    sampler, 0.0, 1.0, 0, rep_p, rep_ctx, eos_ids, None, 0,
-                    _default_model_call, chunk_size=interval_tokens):
-                acc.extend(int(t) for t in toks_chunk[0])
+            from ....serving import get_infer_hook, stream_chunks
+
+            hook = get_infer_hook(self)
+            if hook is not None:
+                # batched + streaming: the continuous batcher delivers each
+                # token through `on_token` as its fused tick completes;
+                # regroup into interval_tokens chunks so the prefix
+                # re-decode below matches the single-stream loop and TTFA
+                # stays one chunk under concurrent load
+                token_src = stream_chunks(
+                    hook.submit, [int(t) for t in ids],
+                    chunk_size=interval_tokens, callback_kw="on_token",
+                    max_tokens=max_tokens, temp=temperature, top_p=top_p,
+                    top_k=kwargs.get("top_k", 40),
+                    min_p=kwargs.get("min_p", 0.05),
+                    repetition_penalty=rep_p,
+                    repetition_context_size=rep_ctx, eos_ids=eos_ids)
+            else:
+                token_src = (
+                    [int(t) for t in toks_chunk[0]]
+                    for toks_chunk, _meta in _generate_chunks(
+                        self, jnp.asarray(ids, jnp.int32), max_tokens,
+                        sampler, 0.0, 1.0, 0, rep_p, rep_ctx, eos_ids,
+                        None, 0, _default_model_call,
+                        chunk_size=interval_tokens))
+            for tok_chunk in token_src:
+                acc.extend(tok_chunk)
                 audio = self._decode_tokens_to_audio(acc)
                 if audio is None or len(audio) <= yielded_samples:
                     continue

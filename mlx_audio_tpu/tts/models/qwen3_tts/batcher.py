@@ -185,6 +185,7 @@ class _FrameRequest:
     seed: int
     future: Future = field(default_factory=Future)
     frames: list = field(default_factory=list)  # emitted (K,) rows
+    on_frame: Optional[callable] = None  # streaming sink, one (K,) row/call
 
 
 class Qwen3TTSBatcher(FrameBatcherBase):
@@ -235,13 +236,15 @@ class Qwen3TTSBatcher(FrameBatcherBase):
     def submit(self, input_embeds, trailing, *, max_tokens: int = 4096,
                min_tokens: int = 0, temperature: float = 0.9,
                top_k: int = 50, top_p: float = 1.0,
-               repetition_penalty: float = 1.05, seed: int = 0) -> Future:
+               repetition_penalty: float = 1.05, seed: int = 0,
+               on_frame=None) -> Future:
         req = _FrameRequest(
             input_embeds=np.asarray(input_embeds),
             trailing=np.asarray(trailing),
             max_tokens=int(max_tokens), min_tokens=int(min_tokens),
             temp=float(temperature), top_k=int(top_k), top_p=float(top_p),
             rep_penalty=float(repetition_penalty), seed=int(seed),
+            on_frame=on_frame,
         )
         return self.submit_request(req)
 
@@ -315,6 +318,7 @@ class Qwen3TTSBatcher(FrameBatcherBase):
                     self._finish_slot(slot)
                     break
                 req.frames.append(codes_np[slot, j])
+                self._emit(req, codes_np[slot, j])
                 self.pos[slot] += 1
                 self.tr_idx[slot] += 1
                 self.frame_steps[slot] += 1

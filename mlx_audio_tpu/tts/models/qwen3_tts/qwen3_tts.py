@@ -472,6 +472,21 @@ class Model(Module):
                 repetition_penalty=repetition_penalty, seed=seed,
             ).result()  # (n, K)
             run = None
+        elif hook is not None:
+            # batched + STREAMING: the batcher emits each frame through
+            # `on_frame` as its fused tick completes; regroup into
+            # chunk_size code chunks on the caller's thread so the chunked
+            # codec decode below (25-token left context) is identical to
+            # the single-stream path — time-to-first-audio stays one chunk
+            # even under concurrent load.
+            from ....serving import stream_chunks
+
+            run = (np.stack(c) for c in stream_chunks(
+                hook.submit, input_embeds, trailing,
+                chunk_size=chunk_size, callback_kw="on_frame",
+                max_tokens=max_tokens, min_tokens=min_tokens,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty, seed=seed))
         else:
             run = self._run_codes(
                 input_embeds, trailing, tts_pad, max_tokens=max_tokens,

@@ -137,6 +137,7 @@ class _FrameRequest:
     seed: int
     future: Future = field(default_factory=Future)
     frames: list = field(default_factory=list)  # emitted (K,) rows
+    on_frame: object = None  # streaming sink, one (K,) row per call
 
 
 class SesameBatcher(FrameBatcherBase):
@@ -170,12 +171,13 @@ class SesameBatcher(FrameBatcherBase):
         self.h_last = jnp.zeros((slots, cfg.hidden_size), dtype)
 
     def submit(self, tokens, tokens_mask, max_frames: int = 1024,
-               temp: float = 0.9, top_k: int = 50, seed: int = 0) -> Future:
+               temp: float = 0.9, top_k: int = 50, seed: int = 0,
+               on_frame=None) -> Future:
         req = _FrameRequest(
             tokens=np.asarray(tokens, np.int32),
             tokens_mask=np.asarray(tokens_mask, bool),
             max_frames=int(max_frames), temp=float(temp), top_k=int(top_k),
-            seed=int(seed),
+            seed=int(seed), on_frame=on_frame,
         )
         return self.submit_request(req)
 
@@ -226,6 +228,7 @@ class SesameBatcher(FrameBatcherBase):
                     self._finish_slot(slot)
                     break
                 req.frames.append(f)
+                self._emit(req, f)
                 self.pos[slot] += 1
                 if (len(req.frames) >= req.max_frames
                         or self.pos[slot] >= self.max_len - 1):

@@ -536,6 +536,19 @@ class Model(Module):
                 if n == 0:
                     continue
                 codes = codes_nk.T[None]  # (1, K, n)
+            elif hook is not None and sampler is None:
+                # batched + STREAMING: frames arrive through `on_frame` as
+                # the batcher's fused ticks complete; regroup into
+                # ~streaming_interval chunks and decode through the Mimi
+                # streaming decoder exactly like the single-stream path —
+                # TTFA stays one chunk even under concurrent load.
+                yield from self._generate_streaming_batched(
+                    hook, tokens, tokens_mask, max_frames,
+                    float(temperature), int(top_k),
+                    kwargs.get("seed", 0), streaming_interval, segment_idx,
+                    tokens.shape[1], t0,
+                    apply_watermark=kwargs.get("apply_watermark", True))
+                continue
             else:
                 caches = self.model.make_backbone_caches(
                     1, tokens.shape[1] + max_frames + 1
@@ -650,3 +663,55 @@ class Model(Module):
                 start = time.perf_counter()
             if bool(done):
                 break
+
+    def _generate_streaming_batched(self, hook, tokens, tokens_mask,
+                                    max_frames, temp, top_k, seed,
+                                    streaming_interval, segment_idx,
+                                    prompt_tokens, t0,
+                                    apply_watermark=True):
+        """Streaming tail under an installed SesameBatcher: the batcher
+        emits each (K,) frame via `on_frame`; regroup into
+        ~streaming_interval chunks and decode through the Mimi streaming
+        decoder (identical chunk semantics to `_generate_streaming`, so
+        concatenated audio equals the batcher's non-streamed decode)."""
+        from ....codec.models.mimi.mimi import MimiStreamingDecoder
+        from ....serving import stream_chunks
+
+        interval = max(1, int(streaming_interval * 12.5))
+        decoder = MimiStreamingDecoder(self.audio_tokenizer)
+        watermarker = None
+        if apply_watermark:
+            from .watermarking import load_watermarker
+
+            watermarker = load_watermarker()
+        start = t0
+        for chunk in stream_chunks(
+                hook.submit, tokens, tokens_mask, chunk_size=interval,
+                callback_kw="on_frame", max_frames=max_frames, temp=temp,
+                top_k=top_k, seed=seed):
+            codes = np.stack(chunk).T[None]  # (1, K, n)
+            n = len(chunk)
+            audio = np.asarray(decoder.decode_frames(codes)).reshape(-1)
+            if watermarker is not None:
+                from .watermarking import CSM_1B_GH_WATERMARK, watermark
+
+                audio = watermark(watermarker, audio, self.sample_rate,
+                                  CSM_1B_GH_WATERMARK)
+            elapsed = time.perf_counter() - start
+            dur = len(audio) / self.sample_rate
+            yield GenerationResult(
+                audio=audio,
+                samples=len(audio),
+                sample_rate=self.sample_rate,
+                segment_idx=segment_idx,
+                token_count=n,
+                audio_duration=format_duration(dur),
+                real_time_factor=round(elapsed / dur, 3) if dur else 0.0,
+                prompt={"tokens": int(prompt_tokens)},
+                audio_samples={"samples": len(audio),
+                               "samples-per-sec":
+                               round(len(audio) / max(elapsed, 1e-9), 2)},
+                processing_time_seconds=elapsed,
+                peak_memory_usage=0.0,
+            )
+            start = time.perf_counter()

@@ -91,6 +91,7 @@ class _SopranoRequest:
     future: Future = field(default_factory=Future)
     hiddens: list = field(default_factory=list)  # (D,) rows, prompt-first
     n_tokens: int = 0
+    on_frame: object = None  # streaming sink, one (D,) hidden row per call
 
 
 class SopranoBatcher(FrameBatcherBase):
@@ -124,12 +125,13 @@ class SopranoBatcher(FrameBatcherBase):
 
     def submit(self, prompt, *, max_tokens: int = 512,
                temperature: float = 0.3, top_p: float = 0.95,
-               stop_ids=(), seed: int = 0) -> Future:
+               stop_ids=(), seed: int = 0, on_frame=None) -> Future:
         req = _SopranoRequest(
             prompt=np.asarray(prompt, np.int32).reshape(-1),
             max_tokens=int(max_tokens), temp=float(temperature),
             top_p=float(top_p),
             stop_ids=tuple(int(s) for s in stop_ids), seed=int(seed),
+            on_frame=on_frame,
         )
         return self.submit_request(req)
 
@@ -152,7 +154,9 @@ class SopranoBatcher(FrameBatcherBase):
         self.caches = _install_slot(
             self.caches, single, slot, jnp.asarray(T, jnp.int32))
         self.logits = self.logits.at[slot].set(l0)
-        req.hiddens.append(np.asarray(jax.device_get(h0), np.float32))
+        h0_np = np.asarray(jax.device_get(h0), np.float32)
+        req.hiddens.append(h0_np)
+        self._emit(req, h0_np)
         self.pos[slot] = T
         self.keys[slot] = np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
         self.temps[slot] = req.temp
@@ -177,6 +181,7 @@ class SopranoBatcher(FrameBatcherBase):
                     self._finish_slot(slot)
                     break
                 req.hiddens.append(hid_np[slot, j])
+                self._emit(req, hid_np[slot, j])
                 req.n_tokens += 1
                 self.pos[slot] += 1
                 if (req.n_tokens >= req.max_tokens

@@ -266,6 +266,138 @@ def test_sesame_generate_routes_through_batcher(sesame_model):
     assert get_infer_hook(model) is None
 
 
+def test_sesame_stream_through_batcher(sesame_model):
+    """stream=True under an installed SesameBatcher: frames flow through
+    `on_frame` into the Mimi streaming decoder chunk-by-chunk; the total
+    frame count equals the batched non-streamed run with the same seed."""
+    from mlx_audio_tpu.serving import get_infer_hook
+    from mlx_audio_tpu.tts.models.sesame.sesame import Model, Segment
+
+    model = Model(sesame_model.args)
+    model.model = sesame_model
+
+    class FakeTok:
+        bos_token = "<b>"
+        eos_token = "<e>"
+        bos_token_id = 0
+        eos_token_id = 1
+
+        class _T:
+            post_processor = None
+
+        _tokenizer = _T()
+
+        def encode(self, text, **kw):
+            return [(ord(c) % 90) + 5 for c in text[:12]]
+
+    class FakeMimi:
+        frame_size = 1920
+
+        def encode(self, audio):
+            n = max(1, audio.shape[-1] // 1920)
+            return np.zeros((1, 4, n), np.int32) + 3
+
+        def decode(self, codes):
+            return np.zeros((1, 1, np.asarray(codes).shape[-1] * 1920),
+                            np.float32)
+
+        # streaming-decoder protocol (MimiStreamingDecoder)
+        def init_decode_state(self, batch):
+            return None
+
+        def decode_step(self, tokens, state):
+            n = np.asarray(tokens).shape[-1]
+            return np.zeros((1, 1, n * 1920), np.float32), state
+
+    model.set_runtime(text_tokenizer=FakeTok(), mimi=FakeMimi())
+    ctx = [Segment(speaker=0, text="ref",
+                   audio=np.zeros(1920 * 3, np.float32))]
+    kw = dict(context=ctx, max_audio_length_ms=800, temperature=0.7,
+              top_k=5, apply_watermark=False, seed=4)
+
+    batcher = model.make_batcher(slots=2, max_len=256, tick_frames=4)
+    batcher.install()
+    try:
+        assert get_infer_hook(model) is batcher
+        plain = list(model.generate("hello world", **kw))
+        streamed = list(model.generate(
+            "hello world", stream=True, streaming_interval=0.2, **kw))
+        assert batcher.steps > 0
+    finally:
+        batcher.close()
+    assert len(streamed) >= 1
+    total_plain = sum(r.token_count for r in plain)
+    total_streamed = sum(r.token_count for r in streamed)
+    assert total_streamed == total_plain
+    for r in streamed:
+        assert r.samples == r.token_count * 1920  # per-chunk Mimi decode
+
+
+def test_qwen3_stream_through_batcher_equals_unbatched(qwen3_model):
+    """stream=True under an installed batcher: frames are delivered
+    incrementally via `on_frame` and regrouped into the same chunked codec
+    decode as the single-stream streaming path — so with temp=0 the
+    streamed chunk audio is bitwise equal with and without the batcher."""
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    kw = dict(text="Stream me through the batcher please.", max_tokens=12,
+              temperature=0.0, top_k=0, stream=True, streaming_interval=0.3)
+    ref = list(qwen3_model.generate(**kw))
+    assert len(ref) > 1  # actually chunked (0.3 s ⇒ ~4-frame chunks)
+
+    batcher = qwen3_model.make_batcher(slots=2, max_len=256, tick_frames=4)
+    batcher.install()
+    try:
+        assert get_infer_hook(qwen3_model) is batcher
+        got = list(qwen3_model.generate(**kw))
+        assert batcher.steps > 0  # rode the lock-step ticks
+    finally:
+        batcher.close()
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        assert a.is_streaming_chunk == b.is_streaming_chunk
+        np.testing.assert_array_equal(np.asarray(a.audio),
+                                      np.asarray(b.audio))
+    assert got[-1].is_final_chunk
+
+
+def test_qwen3_stream_batched_two_concurrent(qwen3_model):
+    """Two concurrent stream=True requests share the slot pool; each
+    stream's chunks equal its own single-stream run (fixed seeds)."""
+    import threading
+
+    texts = ["First concurrent stream.", "Second stream, different text."]
+    seeds = [3, 8]
+    kw = dict(max_tokens=10, temperature=0.8, top_k=12, stream=True,
+              streaming_interval=0.3)
+    batcher = qwen3_model.make_batcher(slots=2, max_len=256, tick_frames=4)
+    batcher.install()
+    outs = [None, None]
+    try:
+        def run(i):
+            outs[i] = [np.asarray(r.audio) for r in qwen3_model.generate(
+                text=texts[i], seed=seeds[i], **kw)]
+
+        th = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        [t.start() for t in th]
+        [t.join(timeout=600) for t in th]
+    finally:
+        batcher.close()
+    # per-request PRNG streams depend only on the seed, so a one-slot pool
+    # must reproduce each concurrent stream exactly
+    solo = qwen3_model.make_batcher(slots=1, max_len=256, tick_frames=4)
+    solo.install()
+    try:
+        for i in range(2):
+            alone = [np.asarray(r.audio) for r in qwen3_model.generate(
+                text=texts[i], seed=seeds[i], **kw)]
+            assert len(outs[i]) == len(alone)
+            for a, b in zip(outs[i], alone):
+                np.testing.assert_array_equal(a, b)
+    finally:
+        solo.close()
+
+
 def test_frame_batcher_warmup_compiles_all_slots(qwen3_model):
     """warmup() runs a full concurrent wave: after it, a live wave of
     max-concurrency requests adds no new admit/tick compiles (every slot's
