@@ -50,9 +50,21 @@ class ModelProvider:
                 model = load_model(model_name)
                 # Per-chip request batching (BASELINE serving north star):
                 # models exposing make_batcher get a scheduler so concurrent
-                # requests fuse into one XLA dispatch.
+                # requests fuse into one XLA dispatch. MLX_AUDIO_TPU_DP=N
+                # additionally replicates the model over N chips with one
+                # batcher per replica, round-robin (parallel/serving.py).
                 if BATCHING and hasattr(model, "make_batcher"):
-                    batcher = model.make_batcher().install()
+                    import jax as _jax
+
+                    dp = int(os.environ.get("MLX_AUDIO_TPU_DP", "0") or 0)
+                    if dp > 1 and len(_jax.devices()) >= dp:
+                        from .parallel.serving import DPReplicaPool
+
+                        batcher = DPReplicaPool(
+                            model, lambda m: m.make_batcher(),
+                            devices=_jax.devices()[:dp]).install()
+                    else:
+                        batcher = model.make_batcher().install()
                     self._maybe_warmup(model, batcher)
                 self._models[model_name] = model
             return self._models[model_name]

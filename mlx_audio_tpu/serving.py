@@ -30,6 +30,7 @@ __all__ = [
     "ParakeetBatcher",
     "LMContinuousBatcher",
     "FrameBatcherBase",
+    "StackBatcher",
     "register_infer_hook",
     "unregister_infer_hook",
     "get_infer_hook",
@@ -360,6 +361,78 @@ class ParakeetBatcher:
         buckets.append(self.sched.max_batch)
         for b in buckets:
             self._run([mel] * b)
+
+    def install(self):
+        register_infer_hook(self.model, self)
+        return self
+
+    def close(self):
+        unregister_infer_hook(self.model)
+        self.sched.close()
+
+    @property
+    def dispatch_count(self) -> int:
+        return self.sched.dispatch_count
+
+
+# ---------------------------------------------------------------------------
+# Generic exact-shape window batching for single-dispatch models
+# ---------------------------------------------------------------------------
+
+
+class StackBatcher:
+    """Window batching for single-dispatch encoder-style models (Wav2Vec2,
+    LASR-CTC, Sortformer offline, MossFormer2-SE chunks): concurrent
+    submissions whose input arrays share exact shapes stack into ONE
+    batched forward. Rows are independent, so batched results equal
+    sequential ones bitwise — exact-shape bucketing (rather than
+    length-bucket padding) keeps that true for conv stacks whose tail
+    frames see padding inside their receptive field.
+
+    `run_batch(items: list) -> list` receives the shape-equal group padded
+    to a power-of-two batch bucket (repeat-last-row, clamped to max_batch,
+    mirroring WhisperBatcher) and returns per-row results in order.
+    """
+
+    def __init__(self, model, run_batch: Callable[[List[Any]], List[Any]],
+                 max_batch: int = 8, window_ms: float = 10.0):
+        self.model = model
+        self._run_batch = run_batch
+        self.sched = BatchScheduler(
+            self._run, self._key, max_batch=max_batch, window_ms=window_ms
+        )
+
+    @staticmethod
+    def _key(item):
+        arrs = item if isinstance(item, tuple) else (item,)
+        return tuple(
+            (getattr(a, "shape", None), str(getattr(a, "dtype", type(a))))
+            for a in arrs
+        )
+
+    def _run(self, items):
+        n = len(items)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        bucket = min(bucket, self.sched.max_batch)
+        padded = list(items) + [items[-1]] * (bucket - n)
+        return self._run_batch(padded)[:n]
+
+    def __call__(self, *arrs):
+        return self.sched(arrs[0] if len(arrs) == 1 else arrs)
+
+    def warmup(self, item) -> None:
+        """Pre-compile every batch bucket (1, 2, 4, …, max_batch) for the
+        given example item so live traffic never stalls behind an XLA
+        compile when the concurrency level shifts."""
+        buckets, b = [], 1
+        while b < self.sched.max_batch:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self.sched.max_batch)
+        for b in buckets:
+            self._run_batch([item] * b)
 
     def install(self):
         register_infer_hook(self.model, self)

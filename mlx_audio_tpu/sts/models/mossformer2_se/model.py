@@ -32,8 +32,7 @@ def _hamming(size: int) -> jnp.ndarray:
     return 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n / (size - 1))
 
 
-@partial(jax.jit, static_argnames=("cfg_static",))
-def _process_chunk_jit(model: TestNet, audio: jnp.ndarray, cfg_static):
+def _process_chunk_core(model: TestNet, audio: jnp.ndarray, cfg_static):
     """audio: (T,) scaled by MAX_WAV_VALUE → enhanced (T,)."""
     (sample_rate, win_len, win_inc, fft_len, num_mels, win_type,
      preemphasis) = cfg_static
@@ -56,6 +55,18 @@ def _process_chunk_jit(model: TestNet, audio: jnp.ndarray, cfg_static):
     return out
 
 
+_process_chunk_jit = partial(jax.jit, static_argnames=("cfg_static",))(
+    _process_chunk_core)
+
+
+@partial(jax.jit, static_argnames=("cfg_static",))
+def _process_batch_jit(model: TestNet, audio_b: jnp.ndarray, cfg_static):
+    """Batched variant for serving: (B, T) → (B, T) via vmap — concurrent
+    equal-length chunks enhance as ONE device dispatch."""
+    return jax.vmap(lambda a: _process_chunk_core(model, a, cfg_static))(
+        audio_b)
+
+
 class MossFormer2SEModel:
     """Enhancement front end (reference model.py:33-427)."""
 
@@ -70,9 +81,30 @@ class MossFormer2SEModel:
                 c.win_type, c.preemphasis)
 
     def _process_chunk(self, audio: np.ndarray) -> np.ndarray:
+        # under a running server a StackBatcher may be installed:
+        # concurrent equal-length chunks enhance as one vmapped dispatch
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            return np.asarray(hook(np.asarray(audio, np.float32)))
         out = _process_chunk_jit(self.model, jnp.asarray(audio, jnp.float32),
                                  self._cfg_static)
         return np.asarray(out)
+
+    def _process_many(self, segments) -> list:
+        """Enhance several equal-or-mixed-length segments. Under an
+        installed batcher the segments are submitted CONCURRENTLY, so one
+        long request's own windows fuse into vmapped dispatches (as well
+        as fusing with co-tenant requests)."""
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            futs = [hook.sched.submit(np.asarray(s, np.float32))
+                    for s in segments]
+            return [np.asarray(f.result()) for f in futs]
+        return [self._process_chunk(s) for s in segments]
 
     def enhance(self, audio: Union[np.ndarray, jnp.ndarray],
                 chunked: Optional[bool] = None) -> np.ndarray:
@@ -107,15 +139,15 @@ class MossFormer2SEModel:
         t = x.shape[0]
         give_up = (window_size - stride) // 2
         out = np.zeros(t)
-        idx = 0
-        while idx + window_size <= t:
-            seg = self._process_chunk(x[idx: idx + window_size])
+        starts = list(range(0, t - window_size + 1, stride))
+        segs = self._process_many(
+            [x[i: i + window_size] for i in starts])
+        for idx, seg in zip(starts, segs):
             if idx == 0:
                 out[idx: idx + window_size - give_up] = seg[:-give_up]
             else:
                 out[idx + give_up: idx + window_size - give_up] = \
                     seg[give_up:-give_up]
-            idx += stride
         return out[:original_len] / MAX_WAV_VALUE
 
     def _decode_chunked(self, audio: np.ndarray) -> np.ndarray:
@@ -130,15 +162,13 @@ class MossFormer2SEModel:
         if original_len <= chunk_samples:
             return self._process_chunk(x) / MAX_WAV_VALUE
 
-        chunks, starts = [], []
-        idx = 0
-        while idx + chunk_samples <= original_len:
-            chunks.append(self._process_chunk(x[idx: idx + chunk_samples]))
-            starts.append(idx)
-            idx += stride
+        starts = list(range(0, original_len - chunk_samples + 1, stride))
+        idx = starts[-1] + stride if starts else 0
+        segs = [x[i: i + chunk_samples] for i in starts]
         if idx < original_len:
-            chunks.append(self._process_chunk(x[idx:]))
+            segs.append(x[idx:])
             starts.append(idx)
+        chunks = self._process_many(segs)
 
         out = np.zeros(original_len)
         for i, (chunk, start) in enumerate(zip(chunks, starts)):
@@ -175,6 +205,39 @@ class Model(Module):
         # rebind in case weights were loaded (functional update)
         self.processor.model = self.net.model
         return self.processor.enhance(audio, chunked=chunked)
+
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent equal-length enhancement chunks run
+        as ONE vmapped device dispatch (`_process_batch_jit`). The hook is
+        keyed on the processor (whose `_process_chunk` is the device
+        call); it is ALSO registered under this wrapper so server-side
+        `unload` (which looks up the wrapper) can tear it down."""
+        from ....serving import (StackBatcher, register_infer_hook,
+                                 unregister_infer_hook)
+
+        self.processor.model = self.net.model
+        proc = self.processor
+
+        def run_batch(items):
+            x = jnp.stack([jnp.asarray(a, jnp.float32) for a in items])
+            out = _process_batch_jit(proc.model, x, proc._cfg_static)
+            return list(np.asarray(jax.device_get(out)))
+
+        batcher = StackBatcher(proc, run_batch, **kwargs)
+        outer = self
+        orig_install, orig_close = batcher.install, batcher.close
+
+        def install():
+            orig_install()
+            register_infer_hook(outer, batcher)
+            return batcher
+
+        def close():
+            unregister_infer_hook(outer)
+            orig_close()
+
+        batcher.install, batcher.close = install, close
+        return batcher
 
     def sanitize(self, weights: dict) -> dict:
         out = {}

@@ -206,6 +206,19 @@ class LasrForCTC(Module):
     def __call__(self, input_features):
         return _logits(self, jnp.asarray(input_features))
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent equal-shape mel windows run as ONE
+        batched CTC forward (rows independent ⇒ batched == sequential)."""
+        from ....serving import StackBatcher
+
+        def run_batch(items):
+            x = jnp.concatenate([jnp.asarray(m) for m in items])  # (B,T,M)
+            logits = _logits(self, x)
+            return list(np.asarray(jax.device_get(
+                jnp.argmax(logits, axis=-1))))
+
+        return StackBatcher(self, run_batch, **kwargs)
+
     def generate(self, audio, *, tokenizer=None, **kwargs) -> STTOutput:
         from ..parakeet.audio import PreprocessArgs, log_mel_spectrogram
 
@@ -215,8 +228,17 @@ class LasrForCTC(Module):
             audio,
             PreprocessArgs(features=self.config.encoder_config.num_mel_bins),
         )
-        logits = self(mel)
-        pred = np.asarray(jax.device_get(jnp.argmax(logits, axis=-1)))[0]
+        # under a running server a StackBatcher may be installed:
+        # concurrent equal-shape mel windows fuse into one forward
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            pred = np.asarray(hook(np.asarray(mel)))
+        else:
+            logits = self(mel)
+            pred = np.asarray(jax.device_get(jnp.argmax(logits,
+                                                        axis=-1)))[0]
         blank = self.config.pad_token_id
         collapsed = []
         prev = -1

@@ -135,6 +135,19 @@ class Model(Module):
         mask = ids == pad_id
         return ids, mask
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent transcriptions share lock-step
+        continuous batching of the qwen2 decoder (the acoustic/semantic
+        tokenizers run per-request; the speech-spliced embedding prompt
+        prefills via submit_embeds — same pool design as Qwen3-ASR/
+        Voxtral/GLM-ASR/FunASR). Combines with MLX_AUDIO_TPU_TP for the
+        9B config (utils.maybe_shard_for_serving shards the LM; the
+        batcher's fused ticks then run tensor-parallel)."""
+        from ....serving import LMContinuousBatcher
+
+        kwargs.setdefault("warm_embeds", True)
+        return LMContinuousBatcher(self, lm=self.language_model, **kwargs)
+
     # ------------------------------------------------------------------
     EOS_IDS = (151645, 151643)  # <|im_end|>, <|endoftext|>
 
@@ -256,24 +269,44 @@ class Model(Module):
                                                      tokenizer)
 
         lm = self.language_model
-        caches = lm.make_caches(1, max_len=inputs.shape[1] + max_tokens + 1,
-                                dtype=jnp.float32)
-        from ....lm.generate import _decode_chunk, _prefill
-
         eos = list(self.EOS_IDS)
         eos = (eos + [-1])[:3]
-        logits, caches = _prefill(lm, caches, inputs, _lm_call)
-        out, i, *_ = _decode_chunk(
-            lm, caches, logits,
-            jnp.full((1, max(repetition_context_size, 1)), -1, jnp.int32),
-            jnp.zeros((1,), bool), jax.random.PRNGKey(0),
-            jnp.asarray(eos, jnp.int32), _lm_call,
-            make_sampler(temp=float(temperature), top_p=float(top_p),
-                         top_k=int(top_k), min_p=float(min_p),
-                         min_tokens_to_keep=int(min_tokens_to_keep)),
-            float(repetition_penalty or 1.0), int(max_tokens))
-        toks, nt = jax.device_get((out, i))
-        seq = [int(t) for t in toks[0][: int(nt)] if int(t) not in eos]
+        # under a running server an LMContinuousBatcher may be installed:
+        # concurrent transcriptions' decodes then run in lock-step (the
+        # speech-spliced embedding prompt prefills via submit_embeds)
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            out_list = hook.submit_embeds(
+                np.asarray(inputs[0], np.float32),
+                max_tokens=int(max_tokens),
+                eos_ids=tuple(e for e in eos if e >= 0),
+                temp=float(temperature), top_p=float(top_p),
+                top_k=int(top_k), min_p=float(min_p),
+                repetition_penalty=float(repetition_penalty or 1.0),
+                repetition_context_size=max(repetition_context_size, 1),
+            ).result()
+            seq = [int(t) for t in out_list if int(t) not in eos]
+        else:
+            caches = lm.make_caches(
+                1, max_len=inputs.shape[1] + max_tokens + 1,
+                dtype=jnp.float32)
+            from ....lm.generate import _decode_chunk, _prefill
+
+            logits, caches = _prefill(lm, caches, inputs, _lm_call)
+            out, i, *_ = _decode_chunk(
+                lm, caches, logits,
+                jnp.full((1, max(repetition_context_size, 1)), -1,
+                         jnp.int32),
+                jnp.zeros((1,), bool), jax.random.PRNGKey(0),
+                jnp.asarray(eos, jnp.int32), _lm_call,
+                make_sampler(temp=float(temperature), top_p=float(top_p),
+                             top_k=int(top_k), min_p=float(min_p),
+                             min_tokens_to_keep=int(min_tokens_to_keep)),
+                float(repetition_penalty or 1.0), int(max_tokens))
+            toks, nt = jax.device_get((out, i))
+            seq = [int(t) for t in toks[0][: int(nt)] if int(t) not in eos]
         text = tokenizer.decode(seq)
         if verbose:
             print(text)

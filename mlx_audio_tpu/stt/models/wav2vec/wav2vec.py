@@ -235,15 +235,37 @@ class Model(Module):
         h, _ = self(np.asarray(audio, np.float32).reshape(1, -1))
         return np.asarray(jax.device_get(h))[0]
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent equal-length windows run as ONE
+        batched CTC forward (rows independent ⇒ batched == sequential)."""
+        from ....serving import StackBatcher
+
+        def run_batch(items):
+            x = jnp.stack([jnp.asarray(a) for a in items])
+            _, logits = _forward(self, x)
+            return list(np.asarray(jax.device_get(
+                jnp.argmax(logits, axis=-1))))
+
+        return StackBatcher(self, run_batch, **kwargs)
+
     def generate(self, audio, *, tokenizer=None, **kwargs) -> STTOutput:
         t0 = time.perf_counter()
         audio = ensure_waveform(audio, 16000).reshape(1, -1)
         # zero-mean unit-var normalization (HF processor default)
         audio = (audio - audio.mean()) / (audio.std() + 1e-7)
-        _, logits = self(audio)
-        if logits is None:
-            return STTOutput(text="")
-        pred = np.asarray(jax.device_get(jnp.argmax(logits, axis=-1)))[0]
+        # under a running server a StackBatcher may be installed:
+        # concurrent equal-length windows fuse into one CTC forward
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None and hasattr(self, "lm_head"):
+            pred = np.asarray(hook(audio[0].astype(np.float32)))
+        else:
+            _, logits = self(audio)
+            if logits is None:
+                return STTOutput(text="")
+            pred = np.asarray(jax.device_get(jnp.argmax(logits,
+                                                        axis=-1)))[0]
         blank = self.config.pad_token_id
         collapsed = []
         prev = -1

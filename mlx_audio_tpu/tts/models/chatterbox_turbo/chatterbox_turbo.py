@@ -428,6 +428,21 @@ class Model(Module):
         if s3_tokenizer is not None:
             rt["s3_tokenizer"] = s3_tokenizer
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher (server entry point): concurrent requests' T3
+        decodes run in lock-step; S3Gen vocoding stays per-request."""
+        from .batcher import TurboBatcher
+
+        return TurboBatcher(self, **kwargs)
+
+    def _prefill_embeds(self, ids) -> np.ndarray:
+        """Host-side prep for the batcher: the (1, T0, D) [cond|text|bos]
+        prefill embeddings `inference_turbo` builds (:270-271)."""
+        bos = np.full((1, 1), self.t3.hp.start_speech_token, np.int32)
+        return np.asarray(
+            self.t3.prepare_input_embeds(self._conds.t3, np.asarray(ids),
+                                         bos))
+
     def norm_loudness(self, wav: np.ndarray, sr: int,
                       target_lufs: float = -27.0) -> np.ndarray:
         """BS.1770 loudness normalization of the reference clip
@@ -619,10 +634,24 @@ class Model(Module):
                 self._split_text(text, split_pattern, max_tokens)):
             ids = self._tokenize_text(chunk)
             key, k1, k2 = jax.random.split(key, 3)
-            tokens = self.t3.inference_turbo(
-                self._conds.t3, ids, temperature=temperature, top_k=top_k,
-                top_p=top_p, repetition_penalty=repetition_penalty,
-                max_gen_len=max_tokens, key=k1)
+            # under a running server a TurboBatcher may be installed:
+            # concurrent requests' T3 decodes then run in lock-step
+            from ....serving import get_infer_hook
+
+            hook = get_infer_hook(self)
+            if hook is not None:
+                tokens = hook.submit(
+                    self._prefill_embeds(ids), max_tokens=max_tokens,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    repetition_penalty=repetition_penalty,
+                    seed=int(np.asarray(k1).reshape(-1)[-1]),
+                ).result()[None]
+            else:
+                tokens = self.t3.inference_turbo(
+                    self._conds.t3, ids, temperature=temperature,
+                    top_k=top_k, top_p=top_p,
+                    repetition_penalty=repetition_penalty,
+                    max_gen_len=max_tokens, key=k1)
             tokens = self._filter_speech_tokens(tokens)
             if tokens.size <= 3:
                 raise RuntimeError("T3 turbo produced no valid speech tokens")
@@ -661,16 +690,30 @@ class Model(Module):
                else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)))
         segment_idx = 0
         global_samples = 0
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
         for chunk in self._split_text(text, split_pattern, max_tokens):
             ids = self._tokenize_text(chunk)
             key, k1, k2 = jax.random.split(key, 3)
             acc = np.zeros(0, np.int32)
             prev_samples = 0
-            for new_tokens, is_final in self.t3.inference_turbo_stream(
+            if hook is not None:
+                # batched + streaming: tokens arrive through `on_frame` as
+                # the batcher's fused ticks complete; regroup into
+                # chunk_size chunks so the prefix re-synthesis below
+                # matches the single-stream streaming loop
+                token_src = self._hook_stream_chunks(
+                    hook, ids, chunk_size, max_tokens, temperature, top_k,
+                    top_p, repetition_penalty,
+                    int(np.asarray(k1).reshape(-1)[-1]))
+            else:
+                token_src = self.t3.inference_turbo_stream(
                     self._conds.t3, ids, temperature=temperature,
                     top_k=top_k, top_p=top_p,
                     repetition_penalty=repetition_penalty,
-                    chunk_size=chunk_size, max_gen_len=max_tokens, key=k1):
+                    chunk_size=chunk_size, max_gen_len=max_tokens, key=k1)
+            for new_tokens, is_final in token_src:
                 acc = np.concatenate([acc, np.asarray(new_tokens, np.int32)])
                 tokens = self._filter_speech_tokens(
                     acc, n_silence=5 if is_final else 0)
@@ -684,6 +727,26 @@ class Model(Module):
                     yield self._result(new_wav, start, segment_idx,
                                        int(ids.shape[1]), global_samples)
                 segment_idx += 1
+
+    def _hook_stream_chunks(self, hook, ids, chunk_size, max_tokens,
+                            temperature, top_k, top_p, repetition_penalty,
+                            seed):
+        """(new_tokens, is_final) chunks from an installed TurboBatcher —
+        same contract as `T3Turbo.inference_turbo_stream`."""
+        from ....serving import stream_chunks
+
+        it = stream_chunks(
+            hook.submit, self._prefill_embeds(ids), chunk_size=chunk_size,
+            callback_kw="on_frame", max_tokens=max_tokens,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty, seed=seed)
+        prev = None
+        for c in it:
+            if prev is not None:
+                yield np.asarray(prev, np.int32), False
+            prev = c
+        yield (np.asarray(prev, np.int32) if prev is not None
+               else np.zeros(0, np.int32)), True
 
     def sanitize(self, weights: dict) -> dict:
         """Turbo checkpoints keep flow parts at the s3gen top level

@@ -63,8 +63,15 @@ def _generate_loop(model: DiaModel, self_caches, cross_kvs, cross_mask,
         step, buf, self_caches, key, eos_step, _ = s
         tok = jnp.broadcast_to(buf[step][None, None], (2, 1, C))
         pos = jnp.full((2, 1), start_step + step, jnp.int32)
+        # causal mask over written cache slots only: the static-capacity
+        # cache preallocates zero K/V, and unmasked attention would give
+        # every unwritten slot softmax weight e^0 (round-5 fix)
+        S = self_caches[0].max_len
+        ok = jnp.arange(S)[None, :] <= (start_step + step)
+        self_mask = jnp.where(ok, 0.0, -jnp.inf).astype(
+            jnp.float32)[None, None]
         logits, self_caches = model.decoder(
-            tok, pos, self_caches, cross_kvs, self_mask=None,
+            tok, pos, self_caches, cross_kvs, self_mask=self_mask,
             cross_mask=cross_mask,
         )
         last = logits[:, -1]  # (2, C, V)
@@ -130,6 +137,13 @@ class Model(Module):
         if dac is not None:
             Model._dac = dac
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher (server entry point): concurrent requests' CFG
+        decodes run in lock-step; DAC decode stays per-request."""
+        from .batcher import DiaBatcher
+
+        return DiaBatcher(self, **kwargs)
+
     def _prepare_text(self, text: str):
         S = self.config.data.text_length
         pad_val = self.config.data.text_pad_value
@@ -164,6 +178,23 @@ class Model(Module):
             text = ref_text.strip() + " " + text
 
         src, src_mask = self._prepare_text(text)
+
+        # under a running server a DiaBatcher may be installed: concurrent
+        # requests' CFG decodes then run in lock-step. Voice-clone prompts
+        # (ref_audio) and non-default cfg_filter_top_k fall back to the
+        # single-request loop.
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if (hook is not None and ref_audio is None
+                and int(cfg_filter_top_k) == hook.top_k):
+            codes = hook.submit(
+                src, src_mask, max_tokens=max_tokens, cfg_scale=cfg_scale,
+                temperature=temperature, seed=seed).result()  # (n, C)
+            audio = codebook_to_audio(
+                codes, self.dac_model, list(data.delay_pattern),
+                C=data.channels)
+            return audio, int(codes.shape[0])
         src2 = jnp.asarray(np.stack([np.zeros_like(src), src]))  # [uncond, cond]
         pos = jnp.broadcast_to(jnp.arange(data.text_length)[None], (2, data.text_length))
         pmask = jnp.asarray(np.stack([np.zeros_like(src_mask), src_mask]))

@@ -402,6 +402,23 @@ class Model(Module):
         preds, _ = _forward(self, audio_signal, audio_signal_length)
         return preds
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent offline diarizations whose mel
+        features share a length bucket run as ONE batched `_forward`
+        (per-row true lengths ride the lengths vector, so batched ==
+        sequential)."""
+        from ....serving import StackBatcher
+
+        def run_batch(items):
+            feats = jnp.stack([jnp.asarray(f) for f, _t in items])
+            lens = jnp.asarray([t for _f, t in items], jnp.int32)
+            preds, emb_len = _forward(self, feats, lens)
+            preds, emb_len = jax.device_get((preds, emb_len))
+            return [np.asarray(p)[: int(n)]
+                    for p, n in zip(preds, emb_len)]
+
+        return StackBatcher(self, run_batch, **kwargs)
+
     # ---- offline ----
 
     def generate(self, audio, *, sample_rate: int = 16000, threshold: float = 0.5,
@@ -419,9 +436,18 @@ class Model(Module):
         T = features.shape[2]
         Tpad = _bucket(T)
         features = jnp.pad(features, [(0, 0), (0, 0), (0, Tpad - T)])
-        preds, emb_len = _forward(self, features, jnp.asarray([T], jnp.int32))
-        preds, emb_len = jax.device_get((preds, emb_len))
-        preds = np.asarray(preds)[0][: int(emb_len[0])]
+        # under a running server a StackBatcher may be installed:
+        # concurrent same-bucket diarizations fuse into one forward
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            preds = np.asarray(hook(np.asarray(features[0]), T))
+        else:
+            preds, emb_len = _forward(self, features,
+                                      jnp.asarray([T], jnp.int32))
+            preds, emb_len = jax.device_get((preds, emb_len))
+            preds = np.asarray(preds)[0][: int(emb_len[0])]
 
         sub = self.config.fc_encoder_config.subsampling_factor
         frame_duration = proc.hop_length * sub / proc.sampling_rate

@@ -28,27 +28,19 @@ from mlx_audio_tpu.ops.pallas.quant_matmul import quantized_matmul
 # (talker 28x1024: config.py:42-56; code predictor 5x1024: :26-37; codec
 # decoder 8x512: :85-121) that the N>=512 routing sends to Pallas at M=1.
 SHAPES = [
-    ("talker.q_proj", 2048, 1024),
     ("talker.kv_proj", 1024, 1024),
     ("talker.o_proj", 1024, 2048),
     ("talker.gate_up", 3072, 1024),
     ("talker.down", 1024, 3072),
-    ("talker.lm_head", 3072, 1024),
-    ("codepred.q_proj", 2048, 1024),
-    ("codepred.down", 1024, 3072),
     ("codec.attn", 512, 512),
-    ("codec.mlp_in", 2048, 512),
     ("codec.mlp_out", 512, 2048),
-    # 3B-class contrast rows (where KERNEL_BENCH measured the kernel
-    # winning): Orpheus llama-3B decode shapes
-    ("3b.qkv", 3072, 3072), ("3b.up", 8192, 3072), ("3b.down", 3072, 8192),
 ]
 
 
 def main():
     rng = np.random.default_rng(1)
     rows = []
-    for M in (1, 2):
+    for M in (1,):
         for label, N, K in SHAPES:
             w = rng.standard_normal((N, K)).astype(np.float32)
             wq, scales, biases = quantize_arrays(

@@ -165,3 +165,119 @@ def test_model_generate_chunks_and_stream_plumbing(monkeypatch):
     assert len(streamed) == 8
     assert streamed[0].samples == 400
     assert streamed[1].samples == (8 + 5) * 100 - 400
+
+
+# ---------------------------------------------------------------------------
+# TurboBatcher: slot-based continuous batching over the GPT-2 T3
+# ---------------------------------------------------------------------------
+
+
+def _turbo_prompt_embeds(t3, ids):
+    cond = T3Cond(speaker_emb=jnp.zeros((1, 16)),
+                  cond_prompt_speech_emb=jnp.zeros((1, 4, 32)),
+                  emotion_adv=None)
+    bos = np.full((1, 1), t3.hp.start_speech_token, np.int32)
+    return np.asarray(t3.prepare_input_embeds(cond, np.asarray(ids), bos)), cond
+
+
+def _turbo_batch_decode(t3, ids_list, seeds, slots, max_tokens=12,
+                        tick_frames=4, **samp):
+    from mlx_audio_tpu.tts.models.chatterbox_turbo.batcher import TurboBatcher
+    import types
+
+    owner = types.SimpleNamespace(t3=t3)
+    b = TurboBatcher(owner, slots=slots, max_len=128,
+                     tick_frames=tick_frames)
+    try:
+        futs = [b.submit(_turbo_prompt_embeds(t3, ids)[0],
+                         max_tokens=max_tokens, seed=s, **samp)
+                for ids, s in zip(ids_list, seeds)]
+        outs = [f.result(timeout=600) for f in futs]
+        return outs, b.steps
+    finally:
+        b.close()
+
+
+def test_turbo_batcher_greedy_matches_direct_loop():
+    """temp=0 (+rep penalty) through the batcher equals the single-request
+    on-device while_loop (`_turbo_decode_loop` via inference_turbo: at
+    temp→0 its top-p filter keeps only the argmax)."""
+    t3 = T3Turbo(tiny_cfg())
+    ids = np.array([[3, 4, 5, 6]])
+    emb, cond = _turbo_prompt_embeds(t3, ids)
+    ref = t3.inference_turbo(cond, ids, max_gen_len=12, temperature=0.0,
+                             top_k=1000, top_p=0.95,
+                             repetition_penalty=1.2,
+                             key=jax.random.PRNGKey(0)).reshape(-1)
+    outs, _ = _turbo_batch_decode(
+        t3, [ids], [0], slots=2, temperature=0.0, top_k=0, top_p=1.0,
+        repetition_penalty=1.2)
+    np.testing.assert_array_equal(outs[0], ref)
+
+
+def test_turbo_batcher_batched_equals_sequential():
+    """Fixed per-request seeds ⇒ sampled batched tokens == one-slot pool."""
+    t3 = T3Turbo(tiny_cfg())
+    ids_list = [np.array([[3, 4, 5]]), np.array([[7, 8, 9, 10, 11]])]
+    seeds = [5, 9]
+    samp = dict(temperature=0.9, top_k=20, top_p=0.95,
+                repetition_penalty=1.2)
+    batched, steps = _turbo_batch_decode(
+        t3, ids_list, seeds, slots=2, **samp)
+    for ids, seed, ref in zip(ids_list, seeds, batched):
+        alone, _ = _turbo_batch_decode(t3, [ids], [seed], slots=1, **samp)
+        np.testing.assert_array_equal(alone[0], ref)
+    assert steps <= 8
+
+
+def test_turbo_generate_routes_through_batcher(monkeypatch):
+    """Model.generate with an installed TurboBatcher: non-streamed +
+    streamed requests both ride the lock-step ticks; with temp=0 the
+    streamed token stream equals the non-streamed one."""
+    import types
+
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    model = Model.__new__(Model)
+    model.config = ModelConfig()
+    model.sample_rate = 24000
+    model.t3 = T3Turbo(tiny_cfg())
+    cond = T3Cond(speaker_emb=jnp.zeros((1, 16)),
+                  cond_prompt_speech_emb=jnp.zeros((1, 4, 32)),
+                  emotion_adv=None)
+    model._conds = types.SimpleNamespace(t3=cond, gen=None)
+    monkeypatch.setattr(
+        Model, "_tokenize_text",
+        lambda self, text: np.array([[3, 4, 5, 6]], np.int64))
+    synth_calls = []
+
+    def fake_synth(self, tokens, key):
+        synth_calls.append(np.asarray(tokens).copy())
+        return np.zeros(int(tokens.size) * 100, np.float32)
+
+    monkeypatch.setattr(Model, "_synthesize", fake_synth)
+
+    batcher = model.make_batcher(slots=2, max_len=128, tick_frames=4)
+    batcher.install()
+    try:
+        assert get_infer_hook(model) is batcher
+        plain = list(model.generate("Hello there.", split_pattern=None,
+                                    max_tokens=10, temperature=0.0,
+                                    seed=3))
+        n_plain_calls = len(synth_calls)
+        streamed = list(model.generate("Hello there.", split_pattern=None,
+                                       max_tokens=10, temperature=0.0,
+                                       stream=True, streaming_interval=0.2,
+                                       seed=3))
+        assert batcher.steps > 0
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None
+    assert len(plain) == 1
+    assert len(streamed) >= 1
+    # final streamed prefix synthesis saw the same tokens as the plain
+    # request (temp=0, same seed): plain appends 3 silence tokens, the
+    # final stream chunk appends 5 — drop the extra 2
+    plain_tokens = synth_calls[n_plain_calls - 1]
+    final_stream_tokens = synth_calls[-1]
+    np.testing.assert_array_equal(final_stream_tokens[:-2], plain_tokens)

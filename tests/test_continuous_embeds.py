@@ -174,3 +174,23 @@ def test_funasr_routes_through_installed_batcher():
               for _ in range(2)]
     _stt_batched_equals_solo(
         model, audios, dict(max_tokens=6), dict(slots=2, max_len=512))
+
+def test_vibevoice_asr_routes_through_installed_batcher():
+    import sys
+
+    sys.path.insert(0, "tests")
+    try:
+        from test_vibevoice_asr import FakeTokenizer, tiny_config
+    finally:
+        sys.path.pop(0)
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.stt.models.vibevoice_asr import Model
+
+    seed_rng(15)
+    model = Model(tiny_config())
+    model.set_runtime(tokenizer=FakeTokenizer())
+    rng = np.random.default_rng(5)
+    audios = [rng.standard_normal(128).astype(np.float32) * 0.1
+              for _ in range(2)]
+    _stt_batched_equals_solo(
+        model, audios, dict(max_tokens=8), dict(slots=2, max_len=512))

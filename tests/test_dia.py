@@ -73,3 +73,97 @@ def test_dia_voice_clone_prefill(tiny_dia):
     results = list(tiny_dia.generate("[S1] Test. [S2] Ok.", max_tokens=8,
                                      ref_audio=ref, ref_text="[S1] Ref."))
     assert len(results) == 1
+
+
+# ---------------------------------------------------------------------------
+# DiaBatcher: CFG-paired slot batching
+# ---------------------------------------------------------------------------
+
+
+def _dia_batch_decode(model, texts, seeds, slots, max_tokens=12,
+                      tick_frames=4, temperature=1.3, cfg_scale=3.0):
+    b = model.make_batcher(slots=slots, tick_frames=tick_frames,
+                           max_tokens_cap=64)
+    try:
+        futs = []
+        for text, seed in zip(texts, seeds):
+            src, mask = model._prepare_text(text)
+            futs.append(b.submit(src, mask, max_tokens=max_tokens,
+                                 temperature=temperature,
+                                 cfg_scale=cfg_scale, seed=seed))
+        outs = [f.result(timeout=600) for f in futs]
+        return outs, b.steps
+    finally:
+        b.close()
+
+
+def test_dia_batcher_greedy_matches_direct_loop(tiny_dia):
+    """temp=0 through the batcher equals the single-request
+    `_generate_loop` (same CFG combine, delay forcing, EOS cascade)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.lm.cache import KVCache
+    from mlx_audio_tpu.tts.models.dia.dia import (_encode_text,
+                                                  _generate_loop)
+
+    model = tiny_dia
+    data = model.config.data
+    dec = model.config.model.decoder
+    text = "[S1] Greedy check. [S2] Ok."
+    src, src_mask = model._prepare_text(text)
+    src2 = jnp.asarray(np.stack([np.zeros_like(src), src]))
+    pos = jnp.broadcast_to(jnp.arange(data.text_length)[None],
+                           (2, data.text_length))
+    pmask = jnp.asarray(np.stack([np.zeros_like(src_mask), src_mask]))
+    enc_mask = (pmask[:, :, None] == pmask[:, None, :])[:, None]
+    enc_mask = jnp.where(enc_mask, 0.0, -jnp.inf).astype(jnp.float32)
+    _, cross_kvs = _encode_text(model.model, src2, pos, enc_mask)
+    max_tokens = 12
+    kv_len = 64 + max(data.delay_pattern) + 64  # batcher cap formula
+    caches = [KVCache(2, dec.kv_heads, kv_len, dec.gqa_head_dim,
+                      dtype=jnp.float32) for _ in range(dec.n_layer)]
+    cross_mask = jnp.where(pmask[:, None, None, :], 0.0,
+                           -jnp.inf).astype(jnp.float32)
+    start = jnp.full((data.channels,), data.audio_bos_value, jnp.int32)
+    buf, n = _generate_loop(
+        model.model, caches, cross_kvs, cross_mask, start,
+        jnp.asarray(0), jax.random.PRNGKey(3), max_tokens, 3.0, 0.0,
+        35, int(data.audio_eos_value), int(data.audio_pad_value),
+        int(data.audio_bos_value), tuple(data.delay_pattern))
+    ref = np.asarray(buf)[1: int(n) + 1]
+
+    outs, _ = _dia_batch_decode(model, [text], [3], slots=2,
+                                max_tokens=max_tokens, temperature=0.0)
+    np.testing.assert_array_equal(outs[0], ref)
+
+
+def test_dia_batcher_batched_equals_sequential(tiny_dia):
+    """Fixed per-request seeds ⇒ sampled batched frames == one-slot pool."""
+    texts = ["[S1] First one. [S2] Yes.", "[S1] Second, longer text. [S2] No."]
+    seeds = [5, 9]
+    batched, steps = _dia_batch_decode(tiny_dia, texts, seeds, slots=2)
+    for text, seed, ref in zip(texts, seeds, batched):
+        alone, _ = _dia_batch_decode(tiny_dia, [text], [seed], slots=1)
+        np.testing.assert_array_equal(alone[0], ref)
+    assert steps <= 8
+
+
+def test_dia_generate_routes_through_batcher(tiny_dia):
+    """End-to-end: Model.generate with an installed batcher produces audio
+    via lock-step batched CFG ticks."""
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    batcher = tiny_dia.make_batcher(slots=2, tick_frames=4,
+                                    max_tokens_cap=64)
+    batcher.install()
+    try:
+        assert get_infer_hook(tiny_dia) is batcher
+        results = list(tiny_dia.generate("[S1] Hello. [S2] Hi.",
+                                         max_tokens=12, temperature=1.0))
+        assert batcher.steps > 0
+        for r in results:
+            assert r.samples > 0
+    finally:
+        batcher.close()
+    assert get_infer_hook(tiny_dia) is None
