@@ -465,6 +465,23 @@ class Model(Module):
         if tokenizer is not None:
             Model._RUNTIME.setdefault(id(self), {})["tokenizer"] = tokenizer
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent realtime sessions' position-locked
+        decodes run in lock-step slots (audio encode stays per-request)."""
+        from .batcher import VoxtralRTBatcher
+
+        return VoxtralRTBatcher(self, **kwargs)
+
+    def _submit_to_hook(self, hook, prepared, temperature, seed=0,
+                        on_frame=None):
+        (duration, adapter_out, n_audio, ada_scales, prompt_len, prefix,
+         T0, _Tp, max_steps, _caches) = prepared
+        ada = np.stack([np.asarray(a).reshape(-1) for a in ada_scales])
+        return hook.submit(
+            np.asarray(adapter_out), np.asarray(prefix[:, :T0]), ada,
+            prompt_len=T0, max_steps=max_steps, temperature=temperature,
+            seed=seed, on_frame=on_frame)
+
     def _resolve_tokenizer(self, tokenizer=None):
         """Explicit arg → runtime slot → lazy tekken.json next to the
         weights (reference voxtral_realtime.py:517-522)."""
@@ -552,16 +569,26 @@ class Model(Module):
                 transcription_delay_ms, tokenizer)
         t0 = time.perf_counter()
         tokenizer = self._resolve_tokenizer(tokenizer)
+        prepared = self._prepare_decode(audio, transcription_delay_ms,
+                                        max_tokens)
         (duration, adapter_out, n_audio, ada_scales, prompt_len, prefix, T0,
-         _Tp, max_steps, caches) = self._prepare_decode(
-            audio, transcription_delay_ms, max_tokens)
-        out, n = _realtime_decode(
-            self, caches, prefix, jnp.array(T0, jnp.int32), adapter_out,
-            jnp.array(n_audio, jnp.int32), jax.random.PRNGKey(0),
-            ada_scales, max_steps, float(temperature))
-        toks, n = jax.device_get((out, n))
-        seq = [int(t) for t in toks[: int(n)]
-               if t != self.config.eos_token_id]
+         _Tp, max_steps, caches) = prepared
+        # under a running server a VoxtralRTBatcher may be installed:
+        # concurrent sessions' position-locked decodes run in lock-step
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            seq = [int(t) for t in self._submit_to_hook(
+                hook, prepared, float(temperature)).result()]
+        else:
+            out, n = _realtime_decode(
+                self, caches, prefix, jnp.array(T0, jnp.int32), adapter_out,
+                jnp.array(n_audio, jnp.int32), jax.random.PRNGKey(0),
+                ada_scales, max_steps, float(temperature))
+            toks, n = jax.device_get((out, n))
+            seq = [int(t) for t in toks[: int(n)]
+                   if t != self.config.eos_token_id]
         text = tokenizer.decode(seq) if tokenizer is not None else \
             " ".join(map(str, seq))
         wall = time.perf_counter() - t0
@@ -580,9 +607,37 @@ class Model(Module):
         device in `chunk_tokens` blocks; deltas are diffed against the
         running detokenization so multi-token characters emit cleanly."""
         tokenizer = self._resolve_tokenizer(tokenizer)
+        prepared = self._prepare_decode(audio, transcription_delay_ms,
+                                        max_tokens)
         (duration, adapter_out, n_audio, ada_scales, prompt_len, prefix, T0,
-         Tp, max_steps, caches) = self._prepare_decode(
-            audio, transcription_delay_ms, max_tokens)
+         Tp, max_steps, caches) = prepared
+        # batched + streaming: the slot batcher delivers tokens through
+        # `on_frame` as its fused ticks complete; regroup into
+        # chunk_tokens blocks and diff-detokenize exactly like the
+        # single-stream loop below
+        from ....serving import get_infer_hook, stream_chunks
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            generated: list = []
+            prev_text = ""
+            for chunk in stream_chunks(
+                    lambda **kw: self._submit_to_hook(
+                        hook, prepared, float(temperature),
+                        on_frame=kw["on_frame"]),
+                    chunk_size=chunk_tokens, callback_kw="on_frame"):
+                generated.extend(int(t) for t in chunk)
+                text = (tokenizer.decode(generated) if tokenizer is not None
+                        else " ".join(map(str, generated)))
+                if text != prev_text:
+                    delta = text[len(prev_text):]
+                    if verbose:
+                        print(delta, end="", flush=True)
+                    yield delta
+                    prev_text = text
+            if verbose:
+                print()
+            return
         logits, caches = _realtime_prefill(
             self, caches, prefix, jnp.array(T0, jnp.int32), ada_scales)
         key = jax.random.PRNGKey(0)

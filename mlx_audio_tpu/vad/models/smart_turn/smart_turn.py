@@ -185,10 +185,30 @@ class Model(Module):
             mel = np.pad(mel, [(target - mel.shape[0], 0), (0, 0)])
         return mel.T  # (n_mels, frames) HF layout
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent endpoint checks (mel features are
+        a fixed shape) run as ONE batched classifier forward."""
+        from ....serving import StackBatcher
+
+        def run_batch(items):
+            x = jnp.stack([jnp.asarray(f) for f in items])
+            probs = _forward(self, x)  # (B, 1)
+            return [float(p) for p in np.asarray(jax.device_get(probs))[:, 0]]
+
+        return StackBatcher(self, run_batch, **kwargs)
+
     def predict_endpoint(self, audio, sample_rate: Optional[int] = None,
                          threshold: Optional[float] = None) -> EndpointOutput:
         feats = self.prepare_input_features(audio, sample_rate)
-        prob = float(np.asarray(jax.device_get(self(feats)))[0, 0])
+        # under a running server a StackBatcher may be installed:
+        # concurrent endpoint checks fuse into one forward
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            prob = float(hook(np.asarray(feats)))
+        else:
+            prob = float(np.asarray(jax.device_get(self(feats)))[0, 0])
         thr = threshold if threshold is not None else self.config.processor_config.threshold
         return EndpointOutput(prediction=int(prob > thr), probability=prob)
 

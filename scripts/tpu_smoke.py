@@ -129,6 +129,36 @@ ALL_FAMILY_TESTS = [
     "tests/test_s3gen.py::test_encoder_upsamples_2x_and_masks_padding",
     "tests/test_s3gen.py::test_hift_streaming_source_cache",
     "tests/test_s3tokenizer.py::test_v2_quantize_shapes_and_range",
+    # SERVING: N-stream batched==sequential smoke per batcher family
+    # (round-5 — proves the fused batch/tick programs compile + run on
+    # the real chip, not just the CPU mesh). Excluded: test_dp_serving
+    # (needs the multi-device CPU mesh).
+    "tests/test_serving.py::test_batch_synthesize_matches_sequential",
+    "tests/test_serving.py::test_whisper_batcher_matches_sequential",
+    "tests/test_serving.py::test_parakeet_batcher_noarg_warmup",
+    "tests/test_frame_batcher.py::test_qwen3_batched_equals_sequential",
+    "tests/test_frame_batcher.py::test_qwen3_stream_through_batcher_equals_unbatched",
+    "tests/test_frame_batcher.py::test_sesame_batched_equals_sequential",
+    "tests/test_chatterbox.py::test_t3_batcher_batched_equals_sequential",
+    "tests/test_chatterbox_turbo.py::test_turbo_batcher_batched_equals_sequential",
+    "tests/test_cosyvoice2.py::test_ras_batcher_batched_equals_sequential",
+    "tests/test_cosyvoice3.py::test_ras_batcher_v3_stop_rule",
+    "tests/test_dia.py::test_dia_batcher_batched_equals_sequential",
+    "tests/test_tts_small_models.py::test_soprano_batcher_batched_equals_sequential",
+    "tests/test_continuous.py::test_snac_lm_routes_through_installed_batcher",
+    "tests/test_continuous.py::test_spark_routes_through_installed_batcher",
+    "tests/test_continuous.py::test_outetts_routes_through_installed_batcher",
+    "tests/test_continuous_embeds.py::test_qwen3_asr_routes_through_installed_batcher",
+    "tests/test_continuous_embeds.py::test_glmasr_routes_through_installed_batcher",
+    "tests/test_continuous_embeds.py::test_voxtral_routes_through_installed_batcher",
+    "tests/test_continuous_embeds.py::test_funasr_routes_through_installed_batcher",
+    "tests/test_continuous_embeds.py::test_vibevoice_asr_routes_through_installed_batcher",
+    "tests/test_voxtral_realtime.py::test_rt_batcher_batched_equals_solo",
+    "tests/test_window_batchers.py::test_wav2vec2_window_batcher",
+    "tests/test_window_batchers.py::test_lasr_ctc_window_batcher",
+    "tests/test_window_batchers.py::test_sortformer_window_batcher",
+    "tests/test_window_batchers.py::test_mossformer2_se_window_batcher",
+    "tests/test_window_batchers.py::test_smart_turn_window_batcher",
 ]
 
 

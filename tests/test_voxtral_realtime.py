@@ -58,3 +58,46 @@ def test_stream_deltas_match_nonstream():
     deltas = list(model.generate(audio, max_tokens=16, temperature=0.0,
                                  stream=True))
     assert "".join(deltas).strip() == full.text
+
+
+def test_rt_batcher_batched_equals_solo():
+    """Concurrent realtime sessions through the slot batcher: greedy
+    output equals the plain (no-hook) position-locked decode, and the
+    streamed deltas under the batcher concatenate identically."""
+    import threading
+
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    seed_rng(41)
+    model = Model(tiny_cfg())
+    model.set_runtime(tokenizer=FakeTok())
+    rng = np.random.default_rng(7)
+    audios = [rng.standard_normal(16000).astype(np.float32) * 0.1
+              for _ in range(2)]
+    solo = [model.generate(a, max_tokens=12, temperature=0.0).text
+            for a in audios]
+
+    batcher = model.make_batcher(slots=2, max_len=256, adapter_max=256,
+                                 tick_frames=4)
+    batcher.install()
+    try:
+        assert get_infer_hook(model) is batcher
+        outs = [None, None]
+
+        def run(i):
+            outs[i] = model.generate(audios[i], max_tokens=12,
+                                     temperature=0.0).text
+
+        ths = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        [t.start() for t in ths]
+        [t.join(timeout=600) for t in ths]
+        assert batcher.steps > 0
+        assert outs == solo
+
+        deltas = list(model.generate(audios[0], max_tokens=12,
+                                     temperature=0.0, stream=True))
+        assert "".join(deltas).strip() == solo[0]
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None

@@ -178,3 +178,32 @@ def test_mossformer2_se_chunked_self_fusion():
     finally:
         batcher.close()
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_smart_turn_window_batcher():
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.serving import get_infer_hook
+    from mlx_audio_tpu.vad.models.smart_turn import Model, ModelConfig
+
+    seed_rng(26)
+    cfg = ModelConfig.from_dict(dict(
+        encoder_config=dict(d_model=32, encoder_layers=1,
+                            encoder_attention_heads=4, encoder_ffn_dim=64,
+                            num_mel_bins=32, max_source_positions=512),
+        processor_config=dict(n_mels=32, max_audio_seconds=2),
+    ))
+    m = Model(cfg)
+    rng = np.random.default_rng(6)
+    audios = [rng.standard_normal(16000).astype(np.float32) * 0.1
+              for _ in range(3)]
+    solo = [m.predict_endpoint(a) for a in audios]
+    batcher = m.make_batcher(max_batch=4, window_ms=40.0).install()
+    try:
+        batched = _concurrent(lambda a: m.predict_endpoint(a),
+                              [(a,) for a in audios])
+        assert 1 <= batcher.dispatch_count < len(audios)
+    finally:
+        batcher.close()
+    for got, ref in zip(batched, solo):
+        assert got.prediction == ref.prediction
+        assert got.probability == pytest.approx(ref.probability, abs=1e-6)
