@@ -153,10 +153,12 @@ class QuantizedLinear(Module):
             # pallas_call is not SPMD-partitionable without shard_map
             # (flag set by parallel.mesh.shard_module)
             return False
-        if self.bits not in (4, 8):
+        if self.bits not in (4, 6, 8):
             return False
         N, K = self.weight.shape[0], x.shape[-1]
-        per = 32 // self.bits
+        # 6-bit packs 16 elements per 3-word column triple (quant_matmul
+        # `_qmm6_kernel`); 4/8-bit pack 32/bits per uint32 word
+        per = 16 if self.bits == 6 else 32 // self.bits
         if K % per or self.group_size % per:
             return False
         # N >= 512: fixed 512-row blocks, ragged tail masked by Mosaic.
@@ -182,10 +184,13 @@ class QuantizedLinear(Module):
         # anyway (KERNEL_BENCH.md measures wins at M ≤ 128).
         Kp = K // per
         bn = min(512, N)
-        vmem_est = 4 * (per * M * Kp + 2 * M * bn + 2 * M * Kp + 4 * bn * Kp)
+        # 6-bit streams three word planes (3x Kp columns of uint32)
+        w_cols = 3 * Kp if self.bits == 6 else Kp
+        vmem_est = 4 * (per * M * Kp + 2 * M * bn + 2 * M * Kp
+                        + 4 * bn * w_cols)
         if vmem_est > 12 * 1024 * 1024:
             return False
-        return self.bits == 4 or M >= 2
+        return self.bits in (4, 6) or M >= 2
 
     def __call__(self, x: jax.Array) -> jax.Array:
         if self._pallas_routable(x):

@@ -139,3 +139,38 @@ def test_quantized_matmul_ragged_n_matches_dequant():
     assert out.shape == (3, N)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_quantized_matmul_int6():
+    """6-bit variant: the uint8 bitstream rides three uint32 word planes
+    (16 elements / 96 bits per column triple, two straddled sub-lattices)
+    — must equal the XLA dequant reference at group 64."""
+    rng = np.random.default_rng(3)
+    N, K = 512, 256
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed, scales, biases = quantize_arrays(w, 64, 6)
+    assert packed.dtype == np.uint8  # MLX 6-bit bitstream layout
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = quantized_matmul(x, jnp.asarray(packed), jnp.asarray(scales),
+                               jnp.asarray(biases), bits=6, group_size=64,
+                               block_n=256)
+    ref = x @ dequantize_arrays(jnp.asarray(packed), jnp.asarray(scales),
+                                jnp.asarray(biases), 64, 6).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_quantized_matmul_int6_ragged_n():
+    """Ragged N through the 6-bit kernel's masked edge block."""
+    rng = np.random.default_rng(4)
+    N, K = 600, 128
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed, scales, biases = quantize_arrays(w, 64, 6)
+    x = jnp.asarray(rng.standard_normal((2, K)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = quantized_matmul(x, jnp.asarray(packed), jnp.asarray(scales),
+                               jnp.asarray(biases), bits=6, group_size=64,
+                               block_n=512)
+    ref = x @ dequantize_arrays(jnp.asarray(packed), jnp.asarray(scales),
+                                jnp.asarray(biases), 64, 6).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
