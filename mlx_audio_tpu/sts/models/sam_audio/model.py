@@ -274,9 +274,26 @@ class SAMAudio(Module):
                  ode_opt: Optional[Dict[str, Any]] = None,
                  ode_decode_chunk_size: Optional[int] = None,
                  key: Optional[jax.Array] = None,
-                 _text_features=None, _text_mask=None
+                 _text_features=None, _text_mask=None,
+                 noise_keys: Optional[List] = None, _direct: bool = False
                  ) -> SeparationResult:
-        """Text-prompted separation (reference model.py:436-589)."""
+        """Text-prompted separation (reference model.py:436-589).
+
+        ``noise_keys``: optional per-row PRNG keys — each row's noise is
+        drawn as its own (1, F, 2C) sample, so a row's result is identical
+        whether it runs alone or stacked with co-tenants (the serving
+        batcher's equality contract)."""
+        # under a running server a SAMBatcher may be installed: concurrent
+        # single-item separations of equal length fuse into one ODE batch
+        if not _direct and noise is None and anchors is None:
+            from ....serving import get_infer_hook
+
+            hook = get_infer_hook(self)
+            if (hook is not None and isinstance(audios, (list, tuple))
+                    and len(audios) == 1
+                    and np.asarray(audios[0]).ndim <= 1):
+                return hook(np.asarray(audios[0], np.float32),
+                            descriptions[0])
         if isinstance(audios, (list, tuple)) and audios and \
                 not np.isscalar(audios[0]) and np.asarray(audios[0]).ndim <= 1:
             batch = self.processor(descriptions, list(audios),
@@ -325,6 +342,14 @@ class SAMAudio(Module):
             text_features, text_mask = self.text_encoder(descriptions)
 
         channels = audio_features.shape[2] // 2
+        if noise is None and noise_keys is not None:
+            # per-row noise streams: row b depends only on its own key,
+            # so batched rows equal solo runs with the same key
+            noise = jnp.concatenate([
+                jax.random.normal(
+                    k, (1, seq_len, audio_features.shape[2]),
+                    audio_features.dtype)
+                for k in noise_keys])
         if noise is None:
             key = key if key is not None else jax.random.PRNGKey(0)
             # noise in the model dtype (reference model.py:518: self.dtype)
@@ -500,6 +525,12 @@ class SAMAudio(Module):
                 return
 
     # ------------------------------------------------------------------
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent single-item `separate` calls of
+        equal audio length fuse into ONE batched ODE + codec decode
+        (rows are independent; per-row noise keys keep batched == solo)."""
+        return SAMBatcher(self, **kwargs)
+
     def sanitize(self, weights: dict) -> dict:
         """Drop ranker/span heads, combine LSTM biases, orient convs
         (reference model.py:206-260)."""
@@ -537,3 +568,52 @@ def save_audio(audio, path: str, sample_rate: int = 48000) -> None:
     if audio.ndim > 1:
         audio = audio.squeeze()
     audio_write(path, audio.astype(np.float32), sample_rate)
+
+
+class SAMBatcher:
+    """Cross-request batching for text-prompted separation: concurrent
+    `separate([audio], [description])` calls whose audio lengths match
+    stack into one multi-row `separate` (one ODE fori_loop + one codec
+    decode for the whole group). Each row gets its own PRNG noise key
+    (PRNGKey(0), matching the single-request default), so batched results
+    are bitwise-equal to running each request alone."""
+
+    def __init__(self, model, max_batch: int = 4, window_ms: float = 10.0):
+        from ....serving import BatchScheduler
+
+        self.model = model
+        self.sched = BatchScheduler(
+            self._run, lambda item: (len(item[0]),), max_batch=max_batch,
+            window_ms=window_ms)
+
+    def _run(self, items):
+        audios = [it[0] for it in items]
+        descs = [it[1] for it in items]
+        res = self.model.separate(
+            audios, descs,
+            noise_keys=[jax.random.PRNGKey(0)] * len(items), _direct=True)
+        return [
+            SeparationResult(target=[res.target[i]],
+                             residual=[res.residual[i]],
+                             noise=np.asarray(res.noise)[i:i + 1])
+            for i in range(len(items))
+        ]
+
+    def __call__(self, audio, description):
+        return self.sched((audio, description))
+
+    def install(self):
+        from ....serving import register_infer_hook
+
+        register_infer_hook(self.model, self)
+        return self
+
+    def close(self):
+        from ....serving import unregister_infer_hook
+
+        unregister_infer_hook(self.model)
+        self.sched.close()
+
+    @property
+    def dispatch_count(self) -> int:
+        return self.sched.dispatch_count

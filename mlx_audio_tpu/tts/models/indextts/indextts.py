@@ -592,6 +592,13 @@ class Model(Module):
         if bigvgan is not None:
             rt["bigvgan"] = bigvgan
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent requests' latent decodes run in
+        lock-step; BigVGAN vocoding stays per-request."""
+        from .batcher import IndexTTSBatcher
+
+        return IndexTTSBatcher(self, **kwargs)
+
     def get_conditioning(self, mel):
         return self.perceiver_encoder(self.conditioning_encoder(mel))
 
@@ -654,22 +661,38 @@ class Model(Module):
 
         embedding = self.prepare_input_embedding(tokens, ref_mel)
         T0 = embedding.shape[1]
-        Tp = max(16, ((T0 + 15) // 16) * 16)
-        embedding = jnp.pad(embedding, ((0, 0), (0, Tp - T0), (0, 0)))
         g = self.args.gpt
         max_steps = min(max_tokens, g.max_mel_tokens)
-        caches = [KVCache(1, g.heads, Tp + max_steps + 1,
-                          g.model_dim // g.heads, jnp.float32)
-                  for _ in range(g.layers)]
-        key = (jax.random.PRNGKey(seed) if seed is not None
-               else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)))
-        latents, n = _indextts_decode(
-            self, caches, embedding, jnp.array(T0, jnp.int32), key,
-            max_steps, float(temperature), int(top_k), sampler)
-        n = int(n)
+        # under a running server an IndexTTSBatcher may be installed:
+        # concurrent requests' latent decodes then run in lock-step
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None and sampler is None:
+            latents = hook.submit(
+                np.asarray(embedding[:, :T0]), max_tokens=max_steps,
+                temperature=temperature, top_k=top_k,
+                seed=(seed if seed is not None
+                      else int(np.random.randint(0, 2**31 - 1))),
+            ).result()  # (n, D)
+            n = int(latents.shape[0])
+            latents = jnp.asarray(latents)[None]
+        else:
+            Tp = max(16, ((T0 + 15) // 16) * 16)
+            embedding = jnp.pad(embedding,
+                                ((0, 0), (0, Tp - T0), (0, 0)))
+            caches = [KVCache(1, g.heads, Tp + max_steps + 1,
+                              g.model_dim // g.heads, jnp.float32)
+                      for _ in range(g.layers)]
+            key = (jax.random.PRNGKey(seed) if seed is not None
+                   else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)))
+            latents, n = _indextts_decode(
+                self, caches, embedding, jnp.array(T0, jnp.int32), key,
+                max_steps, float(temperature), int(top_k), sampler)
+            n = int(n)
+            latents = latents[:n][None]  # (1, n, D)
         if verbose:
             print(f"[indextts] {n} mel tokens")
-        latents = latents[:n][None]  # (1, n, D)
 
         vocoder = rt.get("bigvgan", getattr(self, "bigvgan", None))
         if vocoder is None:

@@ -229,12 +229,15 @@ def lsd_decode(v_t, x_0, num_steps: int = 1):
 # ---------------------------------------------------------------------------
 def _pocket_rope(q, k, pos):
     """Interleaved-pair rope with per-position angles
-    (reference rope.py:7-40). q/k: (B, T, H, D); pos: (T,)."""
+    (reference rope.py:7-40). q/k: (B, T, H, D); pos: (T,) shared or
+    (B, T) per-row (slot batcher: each row decodes at its own absolute
+    position)."""
     B, T, H, D = q.shape
     half = D // 2
     freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32)
                     * (-math.log(10000.0) * 2 / D))
-    ts = pos.astype(jnp.float32)[None, :, None, None]
+    ts = (pos.astype(jnp.float32)[None, :, None, None] if pos.ndim == 1
+          else pos.astype(jnp.float32)[:, :, None, None])
     ang = freqs[None, None, None, :] * ts
     cos, sin = jnp.cos(ang), jnp.sin(ang)
 
@@ -500,6 +503,13 @@ class Model(Module):
         if tokenizer is not None:
             Model._RUNTIME.setdefault(id(self), {})["tokenizer"] = tokenizer
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent requests' flow-latent decodes run
+        in lock-step; codec decode stays per-request."""
+        from .batcher import PocketTTSBatcher
+
+        return PocketTTSBatcher(self, **kwargs)
+
     def _tokenize(self, text: str) -> np.ndarray:
         rt = Model._RUNTIME.setdefault(id(self), {})
         if "tokenizer" not in rt:
@@ -592,6 +602,24 @@ class Model(Module):
         max_gen_len = max(4, max_gen_len)
 
         T0 = prefix.shape[1]
+        # under a running server a PocketTTSBatcher may be installed:
+        # concurrent requests' flow-latent decodes run in lock-step
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            seed = (int(np.asarray(key).reshape(-1)[-1])
+                    if key is not None else
+                    int(np.random.randint(0, 2**31 - 1)))
+            raw = hook.submit(
+                np.asarray(prefix[:, :T0]), max_gen_len=max_gen_len,
+                frames_after_eos=frames_after_eos, seed=seed,
+            ).result()  # (n, ldim) raw latents
+            n = int(raw.shape[0])
+            if n == 0:
+                return None, 0
+            return (jnp.asarray(raw) * self.flow_lm.emb_std
+                    + self.flow_lm.emb_mean), n
         Tp = max(16, ((T0 + 15) // 16) * 16)
         prefix = jnp.pad(prefix, ((0, 0), (0, Tp - T0), (0, 0)))
         caches = self.flow_lm.transformer.make_cache(

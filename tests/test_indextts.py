@@ -88,3 +88,99 @@ def test_generate_default_max_tokens_matches_reference():
 
     sig = inspect.signature(Model.generate)
     assert sig.parameters["max_tokens"].default == 5000
+
+
+def _idx_embed(model, text="hello"):
+    import numpy as np
+
+    tokens = FakeTok().encode(text)
+    ref_mel = np.random.default_rng(0).standard_normal(
+        (1, 40, 16)).astype(np.float32) * 0.1
+    return model.prepare_input_embedding(tokens, ref_mel), ref_mel
+
+
+def test_indextts_batcher_greedy_matches_direct_loop():
+    """temp=0 through the batcher equals the single-request
+    `_indextts_decode` while_loop (latents incl. the EOS step)."""
+    import jax
+    import numpy as np
+
+    from mlx_audio_tpu.lm.cache import KVCache
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.tts.models.indextts.indextts import _indextts_decode
+
+    seed_rng(61)
+    model = Model(tiny_args())
+    emb, _mel = _idx_embed(model)
+    T0 = emb.shape[1]
+    g = model.args.gpt
+    Tp = max(16, ((T0 + 15) // 16) * 16)
+    import jax.numpy as jnp
+
+    emb_pad = jnp.pad(jnp.asarray(emb), ((0, 0), (0, Tp - T0), (0, 0)))
+    caches = [KVCache(1, g.heads, Tp + 12 + 1, g.model_dim // g.heads,
+                      jnp.float32) for _ in range(g.layers)]
+    lat_ref, n = _indextts_decode(
+        model, caches, emb_pad, jnp.asarray(T0), jax.random.PRNGKey(0),
+        12, 0.0, 0, None)
+    n = int(n)
+    ref = np.asarray(lat_ref)[:min(n, 12)]
+
+    b = model.make_batcher(slots=2, max_len=128, tick_frames=4)
+    try:
+        out = b.submit(np.asarray(emb), max_tokens=12, temperature=0.0,
+                       top_k=0, seed=0).result(timeout=600)
+    finally:
+        b.close()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_indextts_batcher_batched_equals_sequential():
+    import numpy as np
+
+    from mlx_audio_tpu.nn import seed_rng
+
+    seed_rng(62)
+    model = Model(tiny_args())
+    embs = [np.asarray(_idx_embed(model, t)[0])
+            for t in ("hello there", "different text")]
+    seeds = [5, 9]
+
+    def run(slots, items):
+        b = model.make_batcher(slots=slots, max_len=128, tick_frames=4)
+        try:
+            futs = [b.submit(e, max_tokens=10, temperature=0.8, top_k=12,
+                             seed=s) for e, s in items]
+            return [f.result(timeout=600) for f in futs], b.steps
+        finally:
+            b.close()
+
+    batched, steps = run(2, list(zip(embs, seeds)))
+    for (e, s), ref in zip(zip(embs, seeds), batched):
+        alone, _ = run(1, [(e, s)])
+        np.testing.assert_allclose(alone[0], ref, atol=1e-6)
+    assert steps <= 8
+
+
+def test_indextts_generate_routes_through_batcher():
+    import numpy as np
+
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    seed_rng(63)
+    model = Model(tiny_args())
+    model.set_runtime(tokenizer=FakeTok())
+    ref_audio = np.random.default_rng(1).standard_normal(4096).astype(
+        np.float32) * 0.1
+    batcher = model.make_batcher(slots=2, max_len=128, tick_frames=4)
+    batcher.install()
+    try:
+        assert get_infer_hook(model) is batcher
+        results = list(model.generate("Hello.", ref_audio=ref_audio,
+                                      max_tokens=10, seed=0))
+        assert batcher.steps > 0
+        assert results[0].samples > 0
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None

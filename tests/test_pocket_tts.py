@@ -123,3 +123,89 @@ def test_split_into_best_sentences():
     # generate yields one segment per chunk on long input
     out = list(model.generate(text, seed=0))
     assert all(r.sample_rate == model.sample_rate for r in out)
+
+
+def test_pocket_batcher_deterministic_matches_direct_loop():
+    """temp=0 (noise zeroed) through the batcher equals the
+    single-request `_pocket_generate` while_loop exactly."""
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.tts.models.pocket_tts.pocket_tts import \
+        _pocket_generate
+
+    seed_rng(71)
+    model = tiny_model()
+    model.set_runtime(tokenizer=FakeTok())
+    model.temp = 0.0
+    tokens = model._tokenize("hello world")
+    prefix = model.flow_lm.conditioner(jnp.asarray(tokens))
+    T0 = prefix.shape[1]
+    Tp = max(16, ((T0 + 15) // 16) * 16)
+    pre_pad = jnp.pad(prefix, ((0, 0), (0, Tp - T0), (0, 0)))
+    caches = model.flow_lm.transformer.make_cache(1, Tp + 8 + 1)
+    lat_ref, n = _pocket_generate(
+        model.flow_lm, caches, pre_pad, jnp.asarray(T0), jnp.asarray(2),
+        jax.random.PRNGKey(0), 8, model.lsd_decode_steps, 0.0,
+        model.noise_clamp, float(model.eos_threshold))
+    n = int(n)
+    ref = np.asarray(lat_ref)[:n]
+
+    b = model.make_batcher(slots=2, max_len=128, tick_frames=3)
+    try:
+        out = b.submit(np.asarray(prefix), max_gen_len=8,
+                       frames_after_eos=2, temperature=0.0,
+                       seed=0).result(timeout=600)
+    finally:
+        b.close()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pocket_batcher_batched_equals_sequential():
+    """Per-slot PRNG noise streams: fixed seeds ⇒ sampled batched latents
+    == a one-slot pool."""
+    from mlx_audio_tpu.nn import seed_rng
+
+    seed_rng(72)
+    model = tiny_model()
+    model.set_runtime(tokenizer=FakeTok())
+    prefixes = []
+    for text in ("hello there", "something else"):
+        toks = model._tokenize(text)
+        prefixes.append(np.asarray(model.flow_lm.conditioner(
+            jnp.asarray(toks))))
+    seeds = [5, 9]
+
+    def run(slots, items):
+        b = model.make_batcher(slots=slots, max_len=128, tick_frames=3)
+        try:
+            futs = [b.submit(p, max_gen_len=6, frames_after_eos=2,
+                             temperature=0.8, seed=s) for p, s in items]
+            return [f.result(timeout=600) for f in futs], b.steps
+        finally:
+            b.close()
+
+    batched, steps = run(2, list(zip(prefixes, seeds)))
+    for (p, s), ref in zip(zip(prefixes, seeds), batched):
+        alone, _ = run(1, [(p, s)])
+        np.testing.assert_allclose(alone[0], ref, atol=1e-6)
+    assert steps <= 8
+
+
+def test_pocket_generate_routes_through_batcher():
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    seed_rng(73)
+    model = tiny_model()
+    model.set_runtime(tokenizer=FakeTok())
+    batcher = model.make_batcher(slots=2, max_len=128, tick_frames=3)
+    batcher.install()
+    try:
+        assert get_infer_hook(model) is batcher
+        wav = model.generate_audio("hello world", max_gen_len=6,
+                                   frames_after_eos=2,
+                                   key=jax.random.PRNGKey(0))
+        assert batcher.steps > 0
+        assert wav.shape[0] > 0 and np.isfinite(wav).all()
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None

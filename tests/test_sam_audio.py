@@ -223,3 +223,43 @@ def test_separate_streaming_anchor_passthrough():
         ode_opt={"method": "euler", "step_size": 0.5}))
     assert chunks[-1].is_last
     assert all(np.isfinite(c.target).all() for c in chunks)
+
+
+def test_sam_batcher_batched_equals_solo():
+    """Concurrent single-item separations through SAMBatcher: one fused
+    ODE batch; per-row noise keys make batched == solo bitwise."""
+    import threading
+
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    model = SAMAudio(tiny_config())
+    model.text_encoder.set_tokenizer(FakeT5Tokenizer())
+    rng = np.random.default_rng(8)
+    audios = [rng.standard_normal(60).astype(np.float32) * 0.1
+              for _ in range(2)]
+    descs = ["a dog barking", "rain on a window"]
+    solo = [model.separate([a], [d],
+                           noise_keys=[jax.random.PRNGKey(0)], _direct=True)
+            for a, d in zip(audios, descs)]
+
+    batcher = model.make_batcher(max_batch=2, window_ms=40.0).install()
+    try:
+        assert get_infer_hook(model) is batcher
+        outs = [None, None]
+
+        def run(i):
+            outs[i] = model.separate([audios[i]], [descs[i]])
+
+        ths = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        [t.start() for t in ths]
+        [t.join(timeout=600) for t in ths]
+        assert batcher.dispatch_count >= 1
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None
+    for got, ref in zip(outs, solo):
+        # rows share per-request noise, but XLA tiles B=2 matmuls
+        # differently than B=1 — equality is to float accumulation order
+        np.testing.assert_allclose(got.target[0], ref.target[0], atol=5e-4)
+        np.testing.assert_allclose(got.residual[0], ref.residual[0],
+                                   atol=5e-4)
