@@ -40,11 +40,21 @@ def _percentiles(xs):
     }
 
 
-def _run_wave(n, make_request, trials=3):
+def _run_wave(n, make_request, trials=3, drop_first=True):
     """Launch `n` concurrent requests `trials` times; collect per-request
     (ttfa, latency) samples. `make_request(i)` returns a callable that
-    blocks until its request completes and returns (ttfa_s, latency_s)."""
+    blocks until its request completes and returns (ttfa_s, latency_s).
+
+    drop_first: run one extra wave and discard it — the FIRST wave at a
+    new concurrency level can pay a level-specific XLA compile (e.g. the
+    Whisper batcher's power-of-two batch buckets), which is a warmup
+    artifact, not steady-state latency."""
     ttfas, lats, walls = [], [], []
+    if drop_first:
+        reqs = [make_request(10_000 + i) for i in range(n)]
+        threads = [threading.Thread(target=r) for r in reqs]
+        [t.start() for t in threads]
+        [t.join(timeout=3600) for t in threads]
     for t in range(trials):
         results = [None] * n
         reqs = [make_request(t * n + i) for i in range(n)]
