@@ -447,7 +447,7 @@ def _sample_euler_cfg(model: EchoDiT, text_ids, text_mask, speaker_latent,
                       speaker_mask, key, num_steps: int,
                       sequence_length: int, cfg_scale_text: float,
                       cfg_scale_speaker: float, cfg_min_t: float,
-                      cfg_max_t: float, trunc: float):
+                      cfg_max_t: float, trunc: float, x_init=None):
     B = text_ids.shape[0]
     L = model.cfg.latent_size
     kv_text = model.get_kv_cache_text(text_ids, text_mask)
@@ -461,7 +461,10 @@ def _sample_euler_cfg(model: EchoDiT, text_ids, text_mask, speaker_latent,
                            jnp.zeros_like(speaker_mask)])
 
     t_sched = jnp.linspace(0.999, 0.0, num_steps + 1)
-    x_t = jax.random.normal(key, (B, sequence_length, L)) * trunc
+    # x_init: per-row noise prepared by the serving batcher (each row
+    # drawn from its own request key, so batched rows == solo runs)
+    x_t = (x_init if x_init is not None
+           else jax.random.normal(key, (B, sequence_length, L)) * trunc)
 
     def step(i, x_t):
         t = t_sched[i]
@@ -549,6 +552,12 @@ class Model(Module):
         return (jnp.asarray(ids[None]),
                 jnp.ones((1, ids.shape[0]), bool))
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent same-length requests' DiT samplers
+        stack into ONE fused euler-CFG integration (per-row noise keys
+        keep batched == solo); codec decode stays per-request."""
+        return EchoBatcher(self, **kwargs)
+
     def generate_latents(self, text: str, speaker_latent=None,
                          speaker_mask=None, rng_seed: int = 0,
                          **kwargs) -> jnp.ndarray:
@@ -561,6 +570,17 @@ class Model(Module):
         sc = self.config.sampler
         num_steps = int(kwargs.get("num_steps", sc.num_steps))
         seq_len = int(kwargs.get("sequence_length", sc.sequence_length))
+        # under a running server an EchoBatcher may be installed:
+        # concurrent same-shape requests fuse into one DiT integration
+        if not kwargs.get("_direct"):
+            from ....serving import get_infer_hook
+
+            hook = get_infer_hook(self)
+            if hook is not None:
+                return hook(np.asarray(ids), np.asarray(mask),
+                            np.asarray(speaker_latent),
+                            np.asarray(speaker_mask), int(rng_seed),
+                            num_steps, seq_len)
         return _sample_euler_cfg(
             self.model, ids, mask, jnp.asarray(speaker_latent),
             jnp.asarray(speaker_mask), jax.random.PRNGKey(rng_seed),
@@ -658,3 +678,63 @@ class Model(Module):
             real_time_factor=round(elapsed / max(dur, 1e-9), 2),
             prompt={}, audio_samples={},
             processing_time_seconds=elapsed, peak_memory_usage=0.0)
+
+
+class EchoBatcher:
+    """Cross-request batching for Echo-TTS: concurrent `generate_latents`
+    calls whose (text length, speaker shape, sampler schedule) match stack
+    into one fused euler-CFG integration (the DiT triplicates rows for
+    text/speaker CFG, so a group of B requests is one 3B-row program).
+    Each row's initial noise is drawn from its own request key with the
+    solo shape, so batched latents are bitwise-equal to running alone."""
+
+    def __init__(self, model, max_batch: int = 4, window_ms: float = 10.0):
+        from ....serving import BatchScheduler
+
+        self.model = model
+        self.sched = BatchScheduler(
+            self._run, self._key, max_batch=max_batch, window_ms=window_ms)
+
+    @staticmethod
+    def _key(item):
+        ids, mask, spk, spk_mask, _seed, num_steps, seq_len = item
+        return (ids.shape, spk.shape, num_steps, seq_len)
+
+    def _run(self, items):
+        sc = self.model.config.sampler
+        L = self.model.latent_size
+        ids = jnp.concatenate([jnp.asarray(it[0]) for it in items])
+        mask = jnp.concatenate([jnp.asarray(it[1]) for it in items])
+        spk = jnp.concatenate([jnp.asarray(it[2]) for it in items])
+        spk_mask = jnp.concatenate([jnp.asarray(it[3]) for it in items])
+        num_steps, seq_len = items[0][5], items[0][6]
+        trunc = 0.96
+        x0 = jnp.concatenate([
+            jax.random.normal(jax.random.PRNGKey(it[4]),
+                              (1, seq_len, L)) * trunc
+            for it in items])
+        out = _sample_euler_cfg(
+            self.model.model, ids, mask, spk, spk_mask,
+            jax.random.PRNGKey(0), num_steps, seq_len,
+            float(sc.cfg_scale_text), float(sc.cfg_scale_speaker),
+            float(sc.cfg_min_t), float(sc.cfg_max_t), trunc, x_init=x0)
+        return [out[i: i + 1] for i in range(len(items))]
+
+    def __call__(self, *item):
+        return self.sched(tuple(item))
+
+    def install(self):
+        from ....serving import register_infer_hook
+
+        register_infer_hook(self.model, self)
+        return self
+
+    def close(self):
+        from ....serving import unregister_infer_hook
+
+        unregister_infer_hook(self.model)
+        self.sched.close()
+
+    @property
+    def dispatch_count(self) -> int:
+        return self.sched.dispatch_count

@@ -93,3 +93,39 @@ def test_find_flattening_point_and_crop():
     m = object.__new__(Model)
     out = m.crop_audio_to_flattening_point(audio, lat)
     assert out.shape == (30 * 2048,)
+
+
+def test_echo_batcher_batched_equals_solo():
+    """Concurrent same-length generate_latents through EchoBatcher: one
+    fused 3B-row CFG integration; per-row noise keys keep batched ==
+    solo."""
+    import threading
+
+    from mlx_audio_tpu.nn import seed_rng
+    from mlx_audio_tpu.serving import get_infer_hook
+
+    seed_rng(81)
+    model = Model(tiny_cfg())
+    texts = ["[S1] Hello.", "[S1] World."]  # equal byte length → one group
+    seeds = [3, 8]
+    solo = [np.asarray(model.generate_latents(t, rng_seed=s, _direct=True))
+            for t, s in zip(texts, seeds)]
+
+    batcher = model.make_batcher(max_batch=2, window_ms=40.0).install()
+    try:
+        assert get_infer_hook(model) is batcher
+        outs = [None, None]
+
+        def run(i):
+            outs[i] = np.asarray(model.generate_latents(
+                texts[i], rng_seed=seeds[i]))
+
+        ths = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        [t.start() for t in ths]
+        [t.join(timeout=600) for t in ths]
+        assert batcher.dispatch_count >= 1
+    finally:
+        batcher.close()
+    assert get_infer_hook(model) is None
+    for got, ref in zip(outs, solo):
+        np.testing.assert_allclose(got, ref, atol=5e-4)
