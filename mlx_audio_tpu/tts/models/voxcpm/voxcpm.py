@@ -137,7 +137,9 @@ def _longrope_tables(cfg: LMConfig, positions: jnp.ndarray):
     scale = cfg.max_position_embeddings / cfg.original_max_position_embeddings
     scaling = math.sqrt(1 + math.log(max(scale, 1.0))
                         / math.log(cfg.original_max_position_embeddings))
-    freqs = positions[:, None].astype(jnp.float32) * (inv / factors)[None]
+    # positions: (T,) shared, or (B, T) per-row (slot batcher: each row
+    # decodes at its own absolute position)
+    freqs = positions[..., None].astype(jnp.float32) * (inv / factors)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb) * scaling, jnp.sin(emb) * scaling
 
@@ -171,8 +173,10 @@ class MiniCPMLayer(Module):
         q = self.q_proj(h).reshape(B, T, self.n_heads, self.head_dim)
         k = self.k_proj(h).reshape(B, T, self.n_kv, self.head_dim)
         v = self.v_proj(h).reshape(B, T, self.n_kv, self.head_dim)
-        c = cos[None, :, None, :]
-        s = sin[None, :, None, :]
+        c = (cos[None, :, None, :] if cos.ndim == 2
+             else cos[:, :, None, :])
+        s = (sin[None, :, None, :] if sin.ndim == 2
+             else sin[:, :, None, :])
         q = q * c + _rotate_half(q) * s
         k = k * c + _rotate_half(k) * s
         q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
@@ -607,6 +611,13 @@ class Model(Module):
         if tokenizer is not None:
             Model._RUNTIME.setdefault(id(self), {})["tokenizer"] = tokenizer
 
+    def make_batcher(self, **kwargs):
+        """Serving batcher: concurrent requests' dual-LM patch decodes run
+        in lock-step; audio-VAE decode stays per-request."""
+        from .batcher import VoxCPMBatcher
+
+        return VoxCPMBatcher(self, **kwargs)
+
     def _encode_prompt_audio(self, audio: np.ndarray) -> jnp.ndarray:
         patch_len = self.patch_size * self.audio_vae.hop_length
         if audio.shape[0] % patch_len:
@@ -663,19 +674,36 @@ class Model(Module):
             prefix_feat = jnp.zeros((1, self.patch_size, self.feat_dim))
 
         T0 = combined.shape[1]
-        Tp = max(16, ((T0 + 15) // 16) * 16)
-        combined = jnp.pad(combined, ((0, 0), (0, Tp - T0), (0, 0)))
         max_steps = min(max_tokens, self.args.max_length)
-        lm_caches = self.base_lm.make_caches(1, Tp + max_steps + 1)
-        res_caches = self.residual_lm.make_caches(1, Tp + max_steps + 1)
-        key = (jax.random.PRNGKey(seed) if seed is not None
-               else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)))
-        out, n = _voxcpm_generate(
-            self, lm_caches, res_caches, combined,
-            jnp.array(T0, jnp.int32), prefix_feat, fsq_all, key, max_steps,
-            int(inference_timesteps), float(cfg_value))
-        n = int(n)
-        feats = out[:n].reshape(1, -1, self.feat_dim)
+        # under a running server a VoxCPMBatcher may be installed:
+        # concurrent requests' dual-LM patch decodes run in lock-step
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if (hook is not None
+                and int(inference_timesteps) == hook.n_timesteps
+                and float(cfg_value) == hook.cfg_value):
+            patches = hook.submit(
+                np.asarray(combined), np.asarray(prefix_feat),
+                max_tokens=max_steps,
+                seed=(seed if seed is not None
+                      else int(np.random.randint(0, 2**31 - 1))),
+            ).result()  # (n, P, D)
+            n = int(patches.shape[0])
+            feats = jnp.asarray(patches).reshape(1, -1, self.feat_dim)
+        else:
+            Tp = max(16, ((T0 + 15) // 16) * 16)
+            combined = jnp.pad(combined, ((0, 0), (0, Tp - T0), (0, 0)))
+            lm_caches = self.base_lm.make_caches(1, Tp + max_steps + 1)
+            res_caches = self.residual_lm.make_caches(1, Tp + max_steps + 1)
+            key = (jax.random.PRNGKey(seed) if seed is not None
+                   else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)))
+            out, n = _voxcpm_generate(
+                self, lm_caches, res_caches, combined,
+                jnp.array(T0, jnp.int32), prefix_feat, fsq_all, key,
+                max_steps, int(inference_timesteps), float(cfg_value))
+            n = int(n)
+            feats = out[:n].reshape(1, -1, self.feat_dim)
         audio = np.asarray(self.audio_vae.decode(feats)).reshape(-1)
         elapsed = time.perf_counter() - start
         dur = len(audio) / self.sample_rate

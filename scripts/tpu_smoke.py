@@ -159,6 +159,11 @@ ALL_FAMILY_TESTS = [
     "tests/test_window_batchers.py::test_sortformer_window_batcher",
     "tests/test_window_batchers.py::test_mossformer2_se_window_batcher",
     "tests/test_window_batchers.py::test_smart_turn_window_batcher",
+    "tests/test_indextts.py::test_indextts_batcher_batched_equals_sequential",
+    "tests/test_pocket_tts.py::test_pocket_batcher_batched_equals_sequential",
+    "tests/test_echo_tts.py::test_echo_batcher_batched_equals_solo",
+    "tests/test_sam_audio.py::test_sam_batcher_batched_equals_solo",
+    "tests/test_voxcpm.py::test_voxcpm_batcher_batched_equals_sequential",
 ]
 
 
