@@ -168,12 +168,12 @@ class QuantizedLinear(Module):
         if not (N >= 512 or (N >= 128 and N % 128 == 0)):
             return False
         # Size floor (round-5, measured on v5e — bench_quant_1b.json):
-        # at 512x512 the int4 weight is only 128 KB, so there is no
-        # bandwidth to win back and the kernel's fixed per-call cost
-        # loses to XLA dequant (0.72x) and even to bf16 (0.78x); every
-        # >=1 M-element layer measured wins (512x2048: 3.05x,
-        # 1024x1024: 4.24x, 1B-talker shapes 2.8-5.2x vs XLA dequant)
-        if N * K < (1 << 20):
+        # at 512x512 (256K elements, 128 KB int4) there is no bandwidth
+        # to win back and the kernel's fixed per-call cost loses to XLA
+        # dequant (0.72x) and even to bf16 (0.78x); every measured shape
+        # at >=512K elements wins (512x2048: 3.05x, 1024x1024: 4.24x,
+        # 1B-talker shapes 2.8-5.2x vs XLA dequant)
+        if N * K < (1 << 19):
             return False
         M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
         # The kernel keeps x (per, M, Kp), the out block (M, bn) and f32
