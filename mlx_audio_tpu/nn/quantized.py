@@ -140,10 +140,11 @@ class QuantizedLinear(Module):
     def _pallas_routable(self, x: jax.Array) -> bool:
         """Measured on v5e (KERNEL_BENCH.md): the fused dequant-matmul
         kernel wins at 4-bit for all M (1.2-4.6x) and at 8-bit for M >= 2
-        (1.7-4.4x; GEMV is a tie). 2/3/6-bit stays on XLA. Ragged N rides
-        the kernel's masked edge block (vocab-sized lm_heads are the
-        single biggest weight read of an AR decode step — on the XLA
-        dequant path they measured 2.1x SLOWER than bf16)."""
+        (1.7-4.4x; GEMV is a tie); 6-bit routes through the three-plane
+        variant (round 5). 2/3-bit stays on XLA. Ragged N rides the
+        kernel's masked edge block (vocab-sized lm_heads are the single
+        biggest weight read of an AR decode step — on the XLA dequant
+        path they measured 2.1x SLOWER than bf16)."""
         from ..ops.pallas import pallas_enabled
 
         if not pallas_enabled():
@@ -167,15 +168,17 @@ class QuantizedLinear(Module):
         # — a crash, not a fallback)
         if not (N >= 512 or (N >= 128 and N % 128 == 0)):
             return False
-        # Size floor (round-5, measured on v5e — bench_quant_1b.json):
-        # at 512x512 (256K elements, 128 KB int4) there is no bandwidth
-        # to win back and the kernel's fixed per-call cost loses to XLA
-        # dequant (0.72x) and even to bf16 (0.78x); every measured shape
-        # at >=512K elements wins (512x2048: 3.05x, 1024x1024: 4.24x,
-        # 1B-talker shapes 2.8-5.2x vs XLA dequant)
-        if N * K < (1 << 19):
-            return False
         M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        # GEMV size floor (round-5, measured on v5e at int4 M=1 —
+        # bench_quant_1b.json): at 512x512 (256K elements, 128 KB int4)
+        # there is no bandwidth to win back and the kernel's fixed
+        # per-call cost loses to XLA dequant (0.72x) and even to bf16
+        # (0.78x); every measured M=1 shape at >=512K elements wins
+        # (512x2048: 3.05x, 1024x1024: 4.24x, 1B-talker shapes 2.8-5.2x
+        # vs XLA dequant). Scoped to M == 1: batched small shapes were
+        # not measured to lose and previously routed.
+        if M == 1 and N * K < (1 << 19):
+            return False
         # The kernel keeps x (per, M, Kp), the out block (M, bn) and f32
         # accumulators resident in VMEM; large-M (prefill / batched codec
         # decode) blows the ~16 MB budget (seen on-chip: M=8192, K=512 →

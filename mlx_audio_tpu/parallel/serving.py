@@ -53,6 +53,7 @@ class DPReplicaPool:
         self._rr = itertools.count()
         self._lock = threading.Lock()
         runtime = getattr(type(model), "_RUNTIME", None)
+        self._runtime_aliases = []  # (dict, key) pairs removed at close()
         for d in devices:
             replica = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, d) if hasattr(x, "dtype") else x,
@@ -62,6 +63,7 @@ class DPReplicaPool:
             # model's entry so replica-side prep finds them
             if isinstance(runtime, dict) and id(model) in runtime:
                 runtime[id(replica)] = runtime[id(model)]
+                self._runtime_aliases.append((runtime, id(replica)))
             self.replicas.append(replica)
             self.batchers.append(make_batcher(replica))
 
@@ -84,10 +86,23 @@ class DPReplicaPool:
         """Blocking round-robin call (StackBatcher-style batchers)."""
         return self.batchers[self._next()](*args, **kwargs)
 
-    def warmup(self):
+    def warmup(self, *args, **kwargs):
+        """Warm every replica's batcher (args pass through — e.g. the
+        Whisper batcher's per-options warmup signature)."""
         for b in self.batchers:
             if hasattr(b, "warmup"):
-                b.warmup()
+                b.warmup(*args, **kwargs)
+
+    def __getattr__(self, name):
+        """Delegate unknown attribute reads to the first replica's
+        batcher — model hook paths consult batcher config attributes
+        (e.g. Dia's `hook.top_k`, VoxCPM's `hook.n_timesteps` /
+        `hook.cfg_value`) before submitting, and every replica's batcher
+        was built identically."""
+        batchers = self.__dict__.get("batchers")
+        if name.startswith("_") or not batchers:
+            raise AttributeError(name)
+        return getattr(batchers[0], name)
 
     def install(self):
         from ..serving import register_infer_hook
@@ -101,6 +116,9 @@ class DPReplicaPool:
         unregister_infer_hook(self.model)
         for b in self.batchers:
             b.close()
+        for d, k in self._runtime_aliases:
+            d.pop(k, None)
+        self._runtime_aliases = []
 
     @property
     def dispatch_count(self) -> int:

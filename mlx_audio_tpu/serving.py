@@ -422,10 +422,20 @@ class StackBatcher:
     def __call__(self, *arrs):
         return self.sched(arrs[0] if len(arrs) == 1 else arrs)
 
-    def warmup(self, item) -> None:
+    def submit(self, *arrs):
+        """Non-blocking submit → Future (lets a single request fan its
+        own windows into the shared scheduler, e.g. MossFormer2-SE's
+        chunked enhance)."""
+        return self.sched.submit(arrs[0] if len(arrs) == 1 else arrs)
+
+    def warmup(self, item=None) -> None:
         """Pre-compile every batch bucket (1, 2, 4, …, max_batch) for the
         given example item so live traffic never stalls behind an XLA
-        compile when the concurrency level shifts."""
+        compile when the concurrency level shifts. Called with no item
+        (the server's generic no-arg warmup) this is a no-op — exact-shape
+        bucketing means there is no single canonical example to compile."""
+        if item is None:
+            return
         buckets, b = [], 1
         while b < self.sched.max_batch:
             buckets.append(b)

@@ -80,12 +80,24 @@ class MossFormer2SEModel:
         return (c.sample_rate, c.win_len, c.win_inc, c.fft_len, c.num_mels,
                 c.win_type, c.preemphasis)
 
-    def _process_chunk(self, audio: np.ndarray) -> np.ndarray:
-        # under a running server a StackBatcher may be installed:
-        # concurrent equal-length chunks enhance as one vmapped dispatch
+    def _hook(self):
+        """Serving hook lookup: the StackBatcher registers on this
+        processor; a DPReplicaPool (MLX_AUDIO_TPU_DP) registers on the
+        loader-facing wrapper Model, which `Model.enhance` records as
+        `_hook_owner` here."""
         from ....serving import get_infer_hook
 
         hook = get_infer_hook(self)
+        if hook is None:
+            owner = getattr(self, "_hook_owner", None)
+            if owner is not None:
+                hook = get_infer_hook(owner)
+        return hook
+
+    def _process_chunk(self, audio: np.ndarray) -> np.ndarray:
+        # under a running server a StackBatcher may be installed:
+        # concurrent equal-length chunks enhance as one vmapped dispatch
+        hook = self._hook()
         if hook is not None:
             return np.asarray(hook(np.asarray(audio, np.float32)))
         out = _process_chunk_jit(self.model, jnp.asarray(audio, jnp.float32),
@@ -97,11 +109,9 @@ class MossFormer2SEModel:
         installed batcher the segments are submitted CONCURRENTLY, so one
         long request's own windows fuse into vmapped dispatches (as well
         as fusing with co-tenant requests)."""
-        from ....serving import get_infer_hook
-
-        hook = get_infer_hook(self)
+        hook = self._hook()
         if hook is not None:
-            futs = [hook.sched.submit(np.asarray(s, np.float32))
+            futs = [hook.submit(np.asarray(s, np.float32))
                     for s in segments]
             return [np.asarray(f.result()) for f in futs]
         return [self._process_chunk(s) for s in segments]
@@ -202,8 +212,11 @@ class Model(Module):
         if audio is None:
             audio = audio_input
         # the processor holds a reference to self.net.model at construction;
-        # rebind in case weights were loaded (functional update)
+        # rebind in case weights were loaded (functional update). Record
+        # the wrapper as hook owner so a DPReplicaPool registered on the
+        # wrapper is visible from the processor's device-call sites.
         self.processor.model = self.net.model
+        self.processor._hook_owner = self
         return self.processor.enhance(audio, chunked=chunked)
 
     def make_batcher(self, **kwargs):

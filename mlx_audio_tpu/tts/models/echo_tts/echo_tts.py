@@ -571,8 +571,22 @@ class Model(Module):
         num_steps = int(kwargs.get("num_steps", sc.num_steps))
         seq_len = int(kwargs.get("sequence_length", sc.sequence_length))
         # under a running server an EchoBatcher may be installed:
-        # concurrent same-shape requests fuse into one DiT integration
-        if not kwargs.get("_direct"):
+        # concurrent same-shape requests fuse into one DiT integration.
+        # Per-request sampler OVERRIDES (cfg scales / t-window /
+        # truncation) fall back to the single-request path — the batcher
+        # compiles one executable at the config defaults.
+        defaults = (
+            float(kwargs.get("cfg_scale_text",
+                             sc.cfg_scale_text)) == float(sc.cfg_scale_text)
+            and float(kwargs.get("cfg_scale_speaker", sc.cfg_scale_speaker)
+                      ) == float(sc.cfg_scale_speaker)
+            and float(kwargs.get("cfg_min_t",
+                                 sc.cfg_min_t)) == float(sc.cfg_min_t)
+            and float(kwargs.get("cfg_max_t",
+                                 sc.cfg_max_t)) == float(sc.cfg_max_t)
+            and float(kwargs.get("truncation_factor") or 0.96) == 0.96
+        )
+        if not kwargs.get("_direct") and defaults:
             from ....serving import get_infer_hook
 
             hook = get_infer_hook(self)
