@@ -216,13 +216,13 @@ def test_t3_batcher_batched_equals_sequential():
     samp = dict(temperature=0.8, top_p=0.9, min_p=0.05,
                 repetition_penalty=1.2, cfg_weight=0.5)
     batched = run(3, list(zip(embeds, seeds)), **samp)
-    sequential = [run(1, [(e, s)], **samp)[0]
+    sequential = [run(2, [(e, s)], **samp)[0]
                   for e, s in zip(embeds, seeds)]
     assert batched == sequential
 
     greedy_b = run(3, list(zip(embeds, seeds)), temperature=0.0,
                    cfg_weight=0.5)
-    greedy_s = [run(1, [(e, s)], temperature=0.0, cfg_weight=0.5)[0]
+    greedy_s = [run(2, [(e, s)], temperature=0.0, cfg_weight=0.5)[0]
                 for e, s in zip(embeds, seeds)]
     assert greedy_b == greedy_s
     for out in batched + greedy_b:

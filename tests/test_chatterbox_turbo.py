@@ -225,7 +225,7 @@ def test_turbo_batcher_batched_equals_sequential():
     batched, steps = _turbo_batch_decode(
         t3, ids_list, seeds, slots=2, **samp)
     for ids, seed, ref in zip(ids_list, seeds, batched):
-        alone, _ = _turbo_batch_decode(t3, [ids], [seed], slots=1, **samp)
+        alone, _ = _turbo_batch_decode(t3, [ids], [seed], slots=2, **samp)
         np.testing.assert_array_equal(alone[0], ref)
     assert steps <= 8
 

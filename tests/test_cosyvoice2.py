@@ -228,7 +228,7 @@ def test_ras_batcher_batched_equals_sequential():
             b.close()
 
     batched = run(3, list(zip(embeds, seeds)))
-    sequential = [run(1, [(e, s)])[0] for e, s in zip(embeds, seeds)]
+    sequential = [run(2, [(e, s)])[0] for e, s in zip(embeds, seeds)]
     assert batched == sequential
     for out in batched:
         # min-length 4 emitted tokens unless fills padded the window; the

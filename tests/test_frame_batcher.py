@@ -66,7 +66,7 @@ def test_sesame_batched_equals_sequential(sesame_model):
     batched, steps = _sesame_batch_decode(
         sesame_model, prompts, seeds, slots=3)
     for (t, m), s, ref in zip(prompts, seeds, batched):
-        alone, _ = _sesame_batch_decode(sesame_model, [(t, m)], [s], slots=1)
+        alone, _ = _sesame_batch_decode(sesame_model, [(t, m)], [s], slots=3)
         np.testing.assert_array_equal(alone[0], ref)
     # 8 frames at 3/tick → ~3 fused dispatches for the whole pool
     assert steps <= 5
@@ -189,7 +189,7 @@ def test_qwen3_batched_equals_sequential(qwen3_model):
         qwen3_model, texts, seeds, slots=2, **samp)
     for text, seed, ref in zip(texts, seeds, batched):
         alone, _ = _qwen3_batch_decode(
-            qwen3_model, [text], [seed], slots=1, **samp)
+            qwen3_model, [text], [seed], slots=2, **samp)
         np.testing.assert_array_equal(alone[0], ref)
     assert steps <= 8  # 10 frames at 4/tick, both slots lock-step
 
@@ -385,7 +385,7 @@ def test_qwen3_stream_batched_two_concurrent(qwen3_model):
         batcher.close()
     # per-request PRNG streams depend only on the seed, so a one-slot pool
     # must reproduce each concurrent stream exactly
-    solo = qwen3_model.make_batcher(slots=1, max_len=256, tick_frames=4)
+    solo = qwen3_model.make_batcher(slots=2, max_len=256, tick_frames=4)
     solo.install()
     try:
         for i in range(2):

