@@ -52,8 +52,8 @@ class Lfm2ShortConv(Module):
         self.out_proj = nn.Linear(dim, dim, bias=cfg.conv_bias)
 
     def __call__(self, x: jnp.ndarray,
-                 cache: Optional[ConvCache] = None
-                 ) -> Tuple[jnp.ndarray, Optional[ConvCache]]:
+                 cache: Optional[ConvCache] = None,
+                 true_len=None) -> Tuple[jnp.ndarray, Optional[ConvCache]]:
         T = x.shape[1]
         B_g, C_g, xp = jnp.split(self.in_proj(x), 3, axis=-1)
         Bx = B_g * xp
@@ -63,8 +63,17 @@ class Lfm2ShortConv(Module):
             new_cache = None
         else:
             padded = jnp.concatenate([cache.buf, Bx], axis=1)
-            new_buf = jax.lax.dynamic_slice_in_dim(
-                padded, padded.shape[1] - W, W, axis=1)
+            if true_len is None:
+                new_buf = jax.lax.dynamic_slice_in_dim(
+                    padded, padded.shape[1] - W, W, axis=1)
+            else:
+                # bucketed (right-padded) prefill: the cache must hold the
+                # last W REAL gated inputs, which end at `true_len`, not at
+                # the padded tail. padded index = W + input index, so the
+                # window [true_len - W, true_len) lives at padded
+                # [true_len, true_len + W).
+                new_buf = jax.lax.dynamic_slice_in_dim(
+                    padded, true_len, W, axis=1)
             new_cache = cache.replace(buf=new_buf, pos=cache.pos + T)
         conv_out = self.conv(padded)[:, -T:]
         return self.out_proj(C_g * conv_out), new_cache
@@ -97,15 +106,18 @@ class Lfm2Attention(Module):
         v = self.v_proj(x).reshape(B, T, self.n_kv, self.head_dim)
         cos_h, sin_h = rope_cos_sin(positions, self.head_dim,
                                     base=self.rope_theta, dtype=jnp.float32)
-        cos = jnp.concatenate([cos_h, cos_h], axis=-1)  # (T, head_dim)
+        cos = jnp.concatenate([cos_h, cos_h], axis=-1)  # (..., head_dim)
         sin = jnp.concatenate([sin_h, sin_h], axis=-1)
+        if positions.ndim == 2:  # (B, T) per-row decode positions
+            cos_b, sin_b = cos[:, :, None, :], sin[:, :, None, :]
+        else:  # (T,) shared positions
+            cos_b, sin_b = cos[None, :, None, :], sin[None, :, None, :]
 
         # rotate-half (HF llama convention)
         def rot(t):
             t1, t2 = jnp.split(t, 2, axis=-1)
             rotated = jnp.concatenate([-t2, t1], axis=-1)
-            return (t * cos[None, :, None, :]
-                    + rotated * sin[None, :, None, :]).astype(t.dtype)
+            return (t * cos_b + rotated * sin_b).astype(t.dtype)
 
         q, k = rot(q), rot(k)
         q = q.transpose(0, 2, 1, 3)
@@ -140,12 +152,13 @@ class Lfm2DecoderLayer(Module):
         self.operator_norm = nn.RMSNorm(cfg.hidden_size, eps=cfg.norm_eps)
         self.ffn_norm = nn.RMSNorm(cfg.hidden_size, eps=cfg.norm_eps)
 
-    def __call__(self, x, positions, mask, cache):
+    def __call__(self, x, positions, mask, cache, true_len=None):
         if self.is_attention_layer:
             h, cache = self.self_attn(self.operator_norm(x), positions,
                                       mask, cache)
         else:
-            h, cache = self.conv(self.operator_norm(x), cache)
+            h, cache = self.conv(self.operator_norm(x), cache,
+                                 true_len=true_len)
         x = x + h
         return x + self.feed_forward(self.ffn_norm(x)), cache
 
@@ -171,24 +184,31 @@ class Lfm2Model(Module):
         ]
 
     def __call__(self, inputs_embeds: jnp.ndarray,
-                 caches: Optional[List[Module]] = None
+                 caches: Optional[List[Module]] = None,
+                 positions=None, mask=None, true_len=None
                  ) -> Tuple[jnp.ndarray, Optional[List[Module]]]:
+        """`positions`/`mask` may be supplied externally for slot-batched
+        decode (per-row (B, T) positions and a (B, 1, T, S) mask) or
+        bucketed prefill (`true_len` keeps the conv caches aligned to the
+        real prompt tail; see Lfm2ShortConv)."""
         h = inputs_embeds
         T = h.shape[1]
-        attn_cache = next((c for c, l in zip(caches or [], self.layers)
-                           if l.is_attention_layer), None)
-        if caches is not None:
-            positions = attn_cache.pos + jnp.arange(T)
-            mask = attn_cache.attention_mask(T)
-        else:
-            positions = jnp.arange(T)
-            mask = "causal" if T > 1 else None
+        if positions is None:
+            attn_cache = next((c for c, l in zip(caches or [], self.layers)
+                               if l.is_attention_layer), None)
+            if caches is not None:
+                positions = attn_cache.pos + jnp.arange(T)
+                mask = attn_cache.attention_mask(T)
+            else:
+                positions = jnp.arange(T)
+                mask = "causal" if T > 1 else None
 
         new_caches = [] if caches is not None else None
         for i, layer in enumerate(self.layers):
             h, nc = layer(h, positions, mask if layer.is_attention_layer
                           else None,
-                          caches[i] if caches is not None else None)
+                          caches[i] if caches is not None else None,
+                          true_len=true_len)
             if new_caches is not None:
                 new_caches.append(nc)
         return self.embedding_norm(h), new_caches

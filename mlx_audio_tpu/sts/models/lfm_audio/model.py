@@ -239,6 +239,37 @@ class LFM2AudioModel(Module):
         """Fixed text/audio alternation (reference model.py:769-896)."""
         n_text = interleaved_n_text or self.config.interleaved_n_text
         n_audio = interleaved_n_audio or self.config.interleaved_n_audio
+
+        # under a running server an LFM2AudioBatcher may be installed:
+        # concurrent requests' interleaved loops then decode in lock-step,
+        # streaming items through the batcher's on_frame sink
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None and key is None:
+            import queue as _queue
+
+            q: "_queue.Queue" = _queue.Queue()
+            sentinel = object()
+            fut = hook.submit(
+                text_tokens=text_tokens, audio_features=audio_features,
+                audio_codes=audio_codes, modalities=modalities,
+                max_new_tokens=max_new_tokens, temperature=temperature,
+                top_k=top_k, audio_temperature=audio_temperature,
+                audio_top_k=audio_top_k,
+                interleaved_n_text=interleaved_n_text,
+                interleaved_n_audio=interleaved_n_audio,
+                on_frame=q.put)
+            fut.add_done_callback(lambda f: q.put(sentinel))
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            if fut.exception() is not None:
+                raise fut.exception()
+            return
+
         if key is None:
             key = jax.random.PRNGKey(0)
         prompt_len = (np.asarray(modalities).shape[-1] if modalities
@@ -348,6 +379,16 @@ class LFM2AudioModel(Module):
                 yield np.asarray(frame[0]), LFMModality.AUDIO_OUT
                 emb = self.audio_embedding(frame)[:, None]
                 last_hidden, caches = _lfm_forward(self, emb, caches)
+
+    # ------------------------------------------------------------------
+    def make_batcher(self, slots: int = 4, max_len: int = 4096,
+                     tick_frames: int = 8, **kwargs):
+        """Slot-based continuous batching over the hybrid backbone's
+        interleaved generation (see batcher.py)."""
+        from .batcher import LFM2AudioBatcher
+
+        return LFM2AudioBatcher(self, slots=slots, max_len=max_len,
+                                tick_frames=tick_frames, **kwargs)
 
     # ------------------------------------------------------------------
     def generate_from_chat_state(self, chat_state,

@@ -31,19 +31,20 @@ MXU_ROOF_TFLOPS = 197.0  # bf16; f32 paths reach ~1/2 in practice
 
 
 def _measure(fn, *args, runs=5):
-    lowered = jax.jit(fn).lower(*args)
-    compiled = lowered.compile()
-    ca = compiled.cost_analysis()
+    jf = jax.jit(fn)
+    # cost model only — calling the AOT executable directly trips over
+    # _Static module-leaf metadata, so time through the normal jit path
+    ca = jf.lower(*args).compile().cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
     flops = float(ca.get("flops", 0.0))
     in_bytes = float(ca.get("bytes accessed", 0.0))
-    out = compiled(*args)
+    out = jf(*args)
     jax.block_until_ready(out)
     walls = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        out = compiled(*args)
+        out = jf(*args)
         jax.block_until_ready(out)
         walls.append(time.perf_counter() - t0)
     wall = min(walls)

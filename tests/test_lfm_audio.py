@@ -178,3 +178,83 @@ def test_processor_chat_formatting():
 
     p2 = LFM2AudioProcessor(tokenizer=TemplTok())
     assert p2.format_chat(msgs) == "TEMPLATED"
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching (LFM2AudioBatcher)
+# ---------------------------------------------------------------------------
+
+
+def _items_equal(a, b):
+    assert len(a) == len(b), (len(a), len(b))
+    for (pa, ma), (pb, mb) in zip(a, b):
+        assert ma == mb
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_lfm2_batcher_greedy_equals_direct():
+    """A greedy request through the slot pool must reproduce the direct
+    interleaved loop's (payload, modality) stream exactly."""
+    model = Model(tiny_config())
+    text = np.random.default_rng(0).integers(3, 100, (1, 5)).astype(np.int32)
+    direct = list(model.generate_interleaved(
+        text_tokens=text, max_new_tokens=10, temperature=0.0,
+        audio_temperature=0.0, key=jax.random.PRNGKey(0)))
+
+    batcher = model.make_batcher(slots=2, max_len=64, tick_frames=4)
+    try:
+        got = batcher.submit(
+            text_tokens=text, max_new_tokens=10, temperature=0.0,
+            audio_temperature=0.0, seed=0).result(timeout=600)
+        assert batcher.dispatch_count >= 1
+    finally:
+        batcher.close()
+    _items_equal(got, direct)
+
+
+def test_lfm2_batcher_batched_equals_solo():
+    """N concurrent sampled requests fused in one pool produce exactly the
+    items each request produces alone in an equally-sized pool (per-row
+    PRNG streams make rows independent of co-tenants)."""
+    model = Model(tiny_config())
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(3, 100, (1, n)).astype(np.int32)
+               for n in (4, 6, 5)]
+    seeds = [11, 22, 33]
+
+    def run_pool(reqs):
+        b = model.make_batcher(slots=3, max_len=64, tick_frames=4)
+        try:
+            futs = [b.submit(text_tokens=p, max_new_tokens=9,
+                             temperature=0.8, top_k=8,
+                             audio_temperature=0.9, audio_top_k=3,
+                             seed=s) for p, s in reqs]
+            return [f.result(timeout=600) for f in futs]
+        finally:
+            b.close()
+
+    batched = run_pool(list(zip(prompts, seeds)))
+    for i, (p, s) in enumerate(zip(prompts, seeds)):
+        solo = run_pool([(p, s)])[0]
+        _items_equal(batched[i], solo)
+
+
+def test_lfm2_generate_routes_through_hook():
+    """generate_interleaved with an installed batcher streams items through
+    the slot pool (and matches the direct greedy loop)."""
+    model = Model(tiny_config())
+    text = np.random.default_rng(2).integers(3, 100, (1, 6)).astype(np.int32)
+    direct = list(model.generate_interleaved(
+        text_tokens=text, max_new_tokens=8, temperature=0.0,
+        audio_temperature=0.0, key=jax.random.PRNGKey(0)))
+
+    batcher = model.make_batcher(slots=2, max_len=64, tick_frames=4)
+    batcher.install()
+    try:
+        routed = list(model.generate_interleaved(
+            text_tokens=text, max_new_tokens=8, temperature=0.0,
+            audio_temperature=0.0))
+        assert batcher.dispatch_count >= 1
+    finally:
+        batcher.close()
+    _items_equal(routed, direct)
