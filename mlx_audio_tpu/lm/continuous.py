@@ -76,12 +76,25 @@ class SlotKVCache(Module):
         return self.k.shape[2]
 
     def update(self, k: jax.Array, v: jax.Array):
-        assert k.shape[2] == 1, "SlotKVCache.update is the decode (t=1) path"
-        b = jnp.arange(self.k.shape[0])
-        nk = self.k.at[b, :, self.pos].set(k[:, :, 0].astype(self.k.dtype))
-        nv = self.v.at[b, :, self.pos].set(v[:, :, 0].astype(self.v.dtype))
-        new = self.replace(k=nk, v=nv, pos=self.pos + 1)
-        return nk, nv, new
+        t = k.shape[2]
+        if t == 1:  # decode fast path
+            b = jnp.arange(self.k.shape[0])
+            nk = self.k.at[b, :, self.pos].set(
+                k[:, :, 0].astype(self.k.dtype))
+            nv = self.v.at[b, :, self.pos].set(
+                v[:, :, 0].astype(self.v.dtype))
+            return nk, nv, self.replace(k=nk, v=nv, pos=self.pos + 1)
+        # windowed append (t>1) at per-row offsets — token i of row b lands
+        # at pos[b]+i (VibeVoice text windows). Scatter with advanced
+        # indices puts the (B, t) index dims first, so values transpose to
+        # (B, t, H, D).
+        b = jnp.arange(self.k.shape[0])[:, None]
+        idx = self.pos[:, None] + jnp.arange(t)[None, :]
+        nk = self.k.at[b, :, idx].set(
+            jnp.swapaxes(k, 1, 2).astype(self.k.dtype))
+        nv = self.v.at[b, :, idx].set(
+            jnp.swapaxes(v, 1, 2).astype(self.v.dtype))
+        return nk, nv, self.replace(k=nk, v=nv, pos=self.pos + t)
 
 
 # ---------------------------------------------------------------------------

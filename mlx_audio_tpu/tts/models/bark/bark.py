@@ -343,6 +343,14 @@ class Model(Module):
         else:
             hist = np.full(256, SEMANTIC_PAD_TOKEN)
 
+        # under a running server a BarkBatcher may be installed: concurrent
+        # requests' semantic loops then decode as one batched while_loop
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None:
+            return hook.semantic(ids, hist, temperature, seed)
+
         # merge-context: first 256 (text) + second 256 (history) embeddings
         # are summed; then the infer token (reference GPT.__call__ :299)
         emb_layer = self.semantic.input_embeds_layer
@@ -405,17 +413,26 @@ class Model(Module):
             Tp = 256 + 1 + max_coarse_history
             prefill = np.full(Tp, COARSE_SEMANTIC_PAD_TOKEN, np.int32)
             prefill[: len(ctx)] = ctx
-            caches = self.coarse_acoustics.make_caches(
-                1, Tp + sliding_window_len + 1
-            )
             key, sub = jax.random.split(key)
-            out = _coarse_window_loop(
-                self.coarse_acoustics, caches, jnp.asarray(prefill[None]),
-                jnp.asarray(len(ctx)), sub, jnp.asarray(n_step),
-                jnp.asarray(n_steps), int(sliding_window_len),
-                float(temperature),
-            )
-            out = np.asarray(jax.device_get(out))
+            from ....serving import get_infer_hook
+
+            hook = get_infer_hook(self)
+            if hook is not None and sliding_window_len == hook.WINDOW_LEN:
+                # concurrent requests' windows fuse into one batched decode
+                out = hook.coarse_window(
+                    prefill, len(ctx), n_step, n_steps,
+                    np.asarray(sub, np.uint32), temperature)
+            else:
+                caches = self.coarse_acoustics.make_caches(
+                    1, Tp + sliding_window_len + 1
+                )
+                out = _coarse_window_loop(
+                    self.coarse_acoustics, caches, jnp.asarray(prefill[None]),
+                    jnp.asarray(len(ctx)), sub, jnp.asarray(n_step),
+                    jnp.asarray(n_steps), int(sliding_window_len),
+                    float(temperature),
+                )
+                out = np.asarray(jax.device_get(out))
             take = min(sliding_window_len, n_steps - n_step)
             x_coarse.extend(out[:take].tolist())
             n_step += take
@@ -434,11 +451,24 @@ class Model(Module):
         full[:N_COARSE_CODEBOOKS] = coarse
         key = jax.random.PRNGKey(seed)
         chunk = 512
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
         for start in range(0, T, chunk - 256 if T > chunk else chunk):
             end = min(start + chunk, T)
             seg = full[:, start:end]
             pad = chunk - (end - start)
             seg = np.pad(seg, ((0, 0), (0, pad)), constant_values=CODEBOOK_SIZE)
+            if hook is not None:
+                # concurrent requests' chunks infill as one batched program
+                key, sub = jax.random.split(key)
+                seg_out = hook.fine_chunk(
+                    seg.T.astype(np.int32), temperature,
+                    np.asarray(sub, np.uint32)).T
+                full[:, start:end] = seg_out[:, : end - start]
+                if end >= T:
+                    break
+                continue
             idx = jnp.asarray(seg.T[None])  # (1, 512, 8)
             for cb in range(N_COARSE_CODEBOOKS, N_FINE_CODEBOOKS):
                 logits = self.fine_acoustics(cb, idx)
@@ -457,6 +487,15 @@ class Model(Module):
         return np.clip(full, 0, CODEBOOK_SIZE - 1)
 
     # ---- top level ----
+
+    def make_batcher(self, max_batch: int = 4, window_ms: float = 10.0,
+                     **kwargs):
+        """Stage-stacked batching over the 3-stage pipeline (see
+        batcher.py)."""
+        from .batcher import BarkBatcher
+
+        return BarkBatcher(self, max_batch=max_batch, window_ms=window_ms,
+                           **kwargs)
 
     def generate(self, text: str, voice: Optional[str] = None,
                  temperature: float = 0.7, fine_temperature: float = 0.5,

@@ -70,6 +70,8 @@ class Qwen2Stack(Module):
         cos, sin = rope_cos_sin(positions, self.config.head_dim,
                                 base=self.config.rope_theta,
                                 dtype=jnp.float32)
+        if cos.ndim == 3:  # per-row positions (B, T) → broadcast over heads
+            cos, sin = cos[:, None], sin[:, None]
         if mask is None:
             if caches is not None:
                 mask = caches[0].attention_mask(T)

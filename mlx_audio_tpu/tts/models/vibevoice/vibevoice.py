@@ -296,6 +296,19 @@ class Model(Module):
         """Run the interleaved text/speech loop → (latents (N, D), N)
         (reference vibevoice.py:553-700)."""
         ddpm_steps = ddpm_steps or self.ddpm_inference_steps
+
+        # under a running server a VibeVoiceBatcher may be installed:
+        # concurrent requests' text/speech rounds then advance in lock-step
+        from ....serving import get_infer_hook
+
+        hook = get_infer_hook(self)
+        if hook is not None and key is None \
+                and ddpm_steps == hook.ddpm_steps:
+            lat = hook.submit(text_ids, max_tokens=max_tokens,
+                              cfg_scale=cfg_scale, voice=voice,
+                              seed=0).result()
+            return lat, lat.shape[0]
+
         if key is None:
             key = jax.random.PRNGKey(0)
         text_ids = np.asarray(text_ids, np.int32).reshape(1, -1)
@@ -350,6 +363,15 @@ class Model(Module):
         lat = np.concatenate(latents, axis=0)
         return lat, lat.shape[0]
 
+    def make_batcher(self, slots: int = 2, max_len: int = 2048,
+                     lm_max_len: int = 1024, **kwargs):
+        """Slot-based continuous batching over the text/speech round loop
+        (see batcher.py)."""
+        from .batcher import VibeVoiceBatcher
+
+        return VibeVoiceBatcher(self, slots=slots, max_len=max_len,
+                                lm_max_len=lm_max_len, **kwargs)
+
     def decode_latents(self, latents: np.ndarray) -> np.ndarray:
         """Scale + VAE-decode latents → audio (reference
         vibevoice.py:698-706)."""
@@ -376,17 +398,29 @@ class Model(Module):
         voices = [self.load_voice(v) if isinstance(v, str) else v
                   for v in voices]
 
+        from ....serving import get_infer_hook
+
         start = time.time()
         segments = []
         total_tokens = 0
         key = jax.random.PRNGKey(seed)
-        for seg_text, seg_voice in zip(texts, voices):
+        for seg_idx, (seg_text, seg_voice) in enumerate(zip(texts, voices)):
             ids = np.asarray(tokenizer.encode(seg_text.strip() + "\n"),
                              np.int32)
             key, sub = jax.random.split(key)
-            lat, n = self.generate_latents(
-                ids, max_tokens=max_tokens, cfg_scale=cfg_scale,
-                ddpm_steps=ddpm_steps, voice=seg_voice, key=sub)
+            hook = get_infer_hook(self)
+            if hook is not None and (ddpm_steps or
+                                     self.ddpm_inference_steps) \
+                    == hook.ddpm_steps:
+                # concurrent segments fuse in the slot pool
+                lat = hook.submit(
+                    ids, max_tokens=max_tokens, cfg_scale=cfg_scale,
+                    voice=seg_voice, seed=seed * 1000 + seg_idx).result()
+                n = lat.shape[0]
+            else:
+                lat, n = self.generate_latents(
+                    ids, max_tokens=max_tokens, cfg_scale=cfg_scale,
+                    ddpm_steps=ddpm_steps, voice=seg_voice, key=sub)
             total_tokens += n
             if n:
                 segments.append(self.decode_latents(lat))

@@ -30,7 +30,16 @@ HBM_ROOF_GBS = 819.0
 MXU_ROOF_TFLOPS = 197.0  # bf16; f32 paths reach ~1/2 in practice
 
 
-def _measure(fn, *args, runs=5):
+def _sync(out):
+    """Force completion of everything queued on the device: reduce one
+    output leaf to a scalar ON DEVICE and fetch it. (On the axon tunnel
+    backend `block_until_ready` returns before remote execution finishes —
+    only a device→host transfer is a true barrier.)"""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jnp.sum(jnp.abs(leaf.astype(jnp.float32))))
+
+
+def _measure(fn, *args, runs=50):
     jf = jax.jit(fn)
     # cost model only — calling the AOT executable directly trips over
     # _Static module-leaf metadata, so time through the normal jit path
@@ -40,14 +49,15 @@ def _measure(fn, *args, runs=5):
     flops = float(ca.get("flops", 0.0))
     in_bytes = float(ca.get("bytes accessed", 0.0))
     out = jf(*args)
-    jax.block_until_ready(out)
-    walls = []
+    _sync(out)
+    # time `runs` chained dispatches closed by one true barrier — device
+    # execution is serial per core, so wall/runs is the per-call time with
+    # the tunnel round trip amortized across the whole chain
+    t0 = time.perf_counter()
     for _ in range(runs):
-        t0 = time.perf_counter()
         out = jf(*args)
-        jax.block_until_ready(out)
-        walls.append(time.perf_counter() - t0)
-    wall = min(walls)
+    _sync(out)
+    wall = (time.perf_counter() - t0) / runs
     return wall, flops, in_bytes
 
 

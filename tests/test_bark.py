@@ -72,3 +72,42 @@ def test_sanitize_gpt_keys(bark):
     assert "semantic.layers.0.attn.att_proj.weight" in out
     assert "semantic.input_embeds_layer.weight" in out
     assert "fine_acoustics.layernorm_final.weight" in out
+
+
+# ---------------------------------------------------------------------------
+# Stage-stacked batching (BarkBatcher)
+# ---------------------------------------------------------------------------
+
+
+def test_bark_batcher_batched_equals_solo(bark):
+    """Concurrent generate() calls fuse at every stage; a request's audio
+    equals running it alone through an equally-sized pool (per-row PRNG
+    streams)."""
+    import threading
+
+    texts = ["hello there", "bark batching"]
+    seeds = [5, 9]
+
+    def run_pool(jobs):
+        b = bark.make_batcher(max_batch=2, window_ms=40.0).install()
+        outs = [None] * len(jobs)
+        try:
+            def run(i, t, s):
+                outs[i] = [r.audio for r in bark.generate(
+                    t, temperature=0.7, seed=s)]
+
+            ths = [threading.Thread(target=run, args=(i, t, s))
+                   for i, (t, s) in enumerate(jobs)]
+            [th.start() for th in ths]
+            [th.join(timeout=600) for th in ths]
+            assert b.dispatch_count >= 3  # all three stages dispatched
+        finally:
+            b.close()
+        return outs
+
+    batched = run_pool(list(zip(texts, seeds)))
+    for i, job in enumerate(zip(texts, seeds)):
+        solo = run_pool([job])[0]
+        assert len(batched[i]) == len(solo)
+        for a, b_ in zip(batched[i], solo):
+            np.testing.assert_array_equal(a, b_)

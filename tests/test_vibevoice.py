@@ -121,3 +121,78 @@ def test_sanitize_key_remap():
     assert ("prediction_head.layers.0.adaLN_modulation.layers.1.weight"
             in out)
     assert not any("inv_freq" in k for k in out)
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching (VibeVoiceBatcher)
+# ---------------------------------------------------------------------------
+
+
+def _run_pool(model, reqs, slots):
+    b = model.make_batcher(slots=slots, max_len=128, lm_max_len=64,
+                           ddpm_steps=2)
+    try:
+        futs = [b.submit(ids, max_tokens=8, cfg_scale=c, voice=v, seed=s)
+                for ids, c, v, s in reqs]
+        outs = [f.result(timeout=600) for f in futs]
+        assert b.dispatch_count >= 1
+        return outs
+    finally:
+        b.close()
+
+
+def test_vibevoice_batcher_batched_equals_solo():
+    """N concurrent requests fused in one pool produce exactly the latents
+    each request produces alone in an equally-sized pool (per-row noise
+    keys + per-row cfg scales make rows independent of co-tenants)."""
+    model = Model(tiny_config())
+    rng = np.random.default_rng(0)
+    reqs = [
+        (rng.integers(1, 100, (n,)).astype(np.int32), c, None, s)
+        for n, c, s in ((7, 1.5, 11), (4, 1.3, 22), (9, 2.0, 33))
+    ]
+    batched = _run_pool(model, reqs, slots=3)
+    for i, r in enumerate(reqs):
+        solo = _run_pool(model, [r], slots=3)[0]
+        np.testing.assert_array_equal(batched[i], solo)
+
+
+def test_vibevoice_batcher_voice_cache_and_generate_routing():
+    """Voice-cache prefixes install per slot; Model.generate routes
+    through an installed batcher and still decodes audio."""
+    model = Model(tiny_config())
+    kvh, hd = 2, 8
+    voice = {
+        "tts_hidden": np.random.randn(1, 3, 32).astype(np.float32) * 0.1,
+        "neg_hidden": np.random.randn(1, 3, 32).astype(np.float32) * 0.1,
+        "lm_hidden": np.zeros((1, 3, 32), np.float32),
+        "lm_kv": [(np.random.randn(1, kvh, 3, hd).astype(np.float32) * .1,
+                   np.random.randn(1, kvh, 3, hd).astype(np.float32) * .1)
+                  for _ in range(2)],
+        "tts_kv": [(np.random.randn(1, kvh, 3, hd).astype(np.float32) * .1,
+                    np.random.randn(1, kvh, 3, hd).astype(np.float32) * .1)
+                   for _ in range(2)],
+        "neg_kv": [(np.random.randn(1, kvh, 3, hd).astype(np.float32) * .1,
+                    np.random.randn(1, kvh, 3, hd).astype(np.float32) * .1)
+                   for _ in range(2)],
+    }
+    ids = np.array([1, 2, 3], np.int32)
+    reqs = [(ids, 1.5, voice, 7), (ids, 1.5, None, 7)]
+    batched = _run_pool(model, reqs, slots=2)
+    solo_v = _run_pool(model, [reqs[0]], slots=2)[0]
+    np.testing.assert_array_equal(batched[0], solo_v)
+
+    class Tok:
+        def encode(self, s):
+            return [(ord(c) % 97) + 1 for c in s]
+
+    model.set_runtime(tokenizer=Tok())
+    model.ddpm_inference_steps = 2
+    batcher = model.make_batcher(slots=2, max_len=128, lm_max_len=64,
+                                 ddpm_steps=2).install()
+    try:
+        res = list(model.generate("Hello there.", max_tokens=8))
+        assert batcher.dispatch_count >= 1
+    finally:
+        batcher.close()
+    assert len(res) == 1 and res[0].sample_rate == 24000
