@@ -164,6 +164,9 @@ ALL_FAMILY_TESTS = [
     "tests/test_echo_tts.py::test_echo_batcher_batched_equals_solo",
     "tests/test_sam_audio.py::test_sam_batcher_batched_equals_solo",
     "tests/test_voxcpm.py::test_voxcpm_batcher_batched_equals_sequential",
+    "tests/test_lfm_audio.py::test_lfm2_batcher_batched_equals_solo",
+    "tests/test_vibevoice.py::test_vibevoice_batcher_batched_equals_solo",
+    "tests/test_bark.py::test_bark_batcher_batched_equals_solo",
 ]
 
 
