@@ -173,13 +173,17 @@ class BarkBatcher:
                  window_ms: float = 10.0):
         self.model = model
         self.max_batch = max_batch
-        self.sem_sched = BatchScheduler(self._run_semantic,
+        # only same-shape work stacks (e.g. coarse prefills from requests
+        # with non-default max_coarse_history must not share a batch)
+        shape_key = lambda item: tuple(  # noqa: E731
+            getattr(a, "shape", None) for a in item)
+        self.sem_sched = BatchScheduler(self._run_semantic, shape_key,
                                         max_batch=max_batch,
                                         window_ms=window_ms)
-        self.coarse_sched = BatchScheduler(self._run_coarse,
+        self.coarse_sched = BatchScheduler(self._run_coarse, shape_key,
                                            max_batch=max_batch,
                                            window_ms=window_ms)
-        self.fine_sched = BatchScheduler(self._run_fine,
+        self.fine_sched = BatchScheduler(self._run_fine, shape_key,
                                          max_batch=max_batch,
                                          window_ms=window_ms)
 

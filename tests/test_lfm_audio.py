@@ -258,3 +258,26 @@ def test_lfm2_generate_routes_through_hook():
     finally:
         batcher.close()
     _items_equal(routed, direct)
+
+
+def test_lfm2_batcher_mid_flight_join_and_warmup():
+    """Slots recycle under load (5 requests, 2 slots — joins happen while
+    co-tenants are mid-utterance) and warmup() pre-compiles every slot's
+    install + the fused tick."""
+    model = Model(tiny_config())
+    b = model.make_batcher(slots=2, max_len=64, tick_frames=4)
+    try:
+        b.warmup()
+        rng = np.random.default_rng(3)
+        futs = [b.submit(
+            text_tokens=rng.integers(3, 100, (1, 3 + i)).astype(np.int32),
+            max_new_tokens=7, temperature=0.7, audio_temperature=0.8,
+            seed=i) for i in range(5)]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        b.close()
+    assert len(outs) == 5
+    for out in outs:
+        assert 0 < len(out) <= 7
+        for payload, mod in out:
+            assert mod in (LFMModality.TEXT, LFMModality.AUDIO_OUT)

@@ -196,3 +196,23 @@ def test_vibevoice_batcher_voice_cache_and_generate_routing():
     finally:
         batcher.close()
     assert len(res) == 1 and res[0].sample_rate == 24000
+
+
+def test_vibevoice_batcher_mid_flight_join_and_warmup():
+    """Slots recycle under load (4 requests, 2 slots) and warmup()
+    pre-compiles install + the fused round."""
+    model = Model(tiny_config())
+    b = model.make_batcher(slots=2, max_len=128, lm_max_len=64,
+                           ddpm_steps=2)
+    try:
+        b.warmup()
+        rng = np.random.default_rng(1)
+        futs = [b.submit(rng.integers(1, 100, (4 + i,)).astype(np.int32),
+                         max_tokens=7, cfg_scale=1.5, seed=i)
+                for i in range(4)]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        b.close()
+    assert len(outs) == 4
+    for out in outs:
+        assert out.shape[0] <= 7 and out.shape[1] == 8
