@@ -150,12 +150,14 @@ def _fine_chunk_rows(fine, idx, keys, temps):
     return idx
 
 
-def _pad_pow2(items: List, max_batch: int) -> List:
-    n = len(items)
-    bucket = 1
-    while bucket < n:
-        bucket *= 2
-    return list(items) + [items[-1]] * (min(bucket, max_batch) - n)
+def _pad_full(items: List, max_batch: int) -> List:
+    """Pad every group to max_batch (repeat-last-row) rather than to a
+    power-of-two bucket: one executable per stage serves every load
+    factor, so a request's tokens are BITWISE identical whether it ran
+    alone or fused (on TPU, different batch tilings perturb sampling
+    logits at float precision — the SMOKE_r05 lesson). Decode is
+    bandwidth-bound; the padded rows ride the same weight stream."""
+    return list(items) + [items[-1]] * (max_batch - len(items))
 
 
 class BarkBatcher:
@@ -208,7 +210,7 @@ class BarkBatcher:
 
     def _run_semantic(self, items):
         n = len(items)
-        items = _pad_pow2(items, self.max_batch)
+        items = _pad_full(items, self.max_batch)
         B = len(items)
         gpt = self.model.semantic
         emb_layer = gpt.input_embeds_layer
@@ -229,7 +231,7 @@ class BarkBatcher:
 
     def _run_coarse(self, items):
         n = len(items)
-        items = _pad_pow2(items, self.max_batch)
+        items = _pad_full(items, self.max_batch)
         B = len(items)
         gpt = self.model.coarse_acoustics
         prefill = jnp.asarray(np.stack([it[0] for it in items]))
@@ -248,7 +250,7 @@ class BarkBatcher:
 
     def _run_fine(self, items):
         n = len(items)
-        items = _pad_pow2(items, self.max_batch)
+        items = _pad_full(items, self.max_batch)
         idx = jnp.asarray(np.stack([it[0] for it in items]))  # (B, 512, 8)
         temps = jnp.asarray([it[1] for it in items], jnp.float32)
         keys = jnp.asarray(np.stack([it[2] for it in items]))
