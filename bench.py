@@ -405,7 +405,10 @@ def bench_qwen3_tts(bits=None, n_frames: int = 256, runs: int = 2):
     "Qwen3-TTS int4"; KERNEL_BENCH predicts 4.6x on GEMV)."""
     from mlx_audio_tpu.nn.layers import Embedding, Linear
     from mlx_audio_tpu.nn.module import build_on_host
-    from mlx_audio_tpu.nn.quantized import quantize_module
+    from mlx_audio_tpu.nn.quantized import (
+        fuse_quantized_projections,
+        quantize_module,
+    )
     from mlx_audio_tpu.tts.models.qwen3_tts import Model, ModelConfig
 
     # host build: ~1.1B random init on-device would cost thousands of
@@ -421,6 +424,9 @@ def bench_qwen3_tts(bits=None, n_frames: int = 256, runs: int = 2):
             return True
 
         model = quantize_module(model, bits=bits, predicate=predicate)
+        # production load-path parity: row-stack q/k/v + gate/up into
+        # fused GEMVs (utils.load_model does the same post-load)
+        fuse_quantized_projections(model)
 
     n_params = sum(
         int(np.prod(v.shape)) for v in jax.tree_util.tree_leaves(model)

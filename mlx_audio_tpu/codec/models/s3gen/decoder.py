@@ -38,8 +38,11 @@ class SinusoidalPosEmb(Module):
         half = self.dim // 2
         emb = jnp.exp(jnp.arange(half, dtype=jnp.float32)
                       * -(math.log(10000.0) / (half - 1)))
-        emb = scale * t[:, None] * emb[None, :]
-        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+        # phase t*1000 aliases in bf16 (resolution 4 at 1000) — sinusoid
+        # math stays f32; the caller's dtype is restored on the way out
+        emb = scale * t.astype(jnp.float32)[:, None] * emb[None, :]
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)],
+                               axis=-1).astype(t.dtype)
 
 
 class TimestepEmbedding(Module):

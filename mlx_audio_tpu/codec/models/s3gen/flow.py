@@ -73,9 +73,18 @@ class CausalMaskedDiffWithXvec(Module):
 
         reference flow.py:69-162 (channels-last output here).
         """
-        emb = embedding / (jnp.linalg.norm(embedding, axis=1,
-                                           keepdims=True) + 1e-8)
-        emb = self.spk_embed_affine_layer(emb)
+        # Stage-boundary dtype (same convention as kokoro._synthesize): the
+        # flow stage computes in its parameters' dtype. Callers hand in f32
+        # speaker vectors / prompt mels; without this cast Linear's
+        # activation-dtype-wins rule silently upcasts the whole conformer +
+        # UNet to f32 — measured at 35% of HBM roof on v5e (ROOFLINE.json)
+        # precisely because every weight was being streamed as f32.
+        wdt = self.input_embedding.weight.dtype
+        emb = embedding / (jnp.linalg.norm(embedding.astype(jnp.float32),
+                                           axis=1, keepdims=True) + 1e-8
+                           ).astype(embedding.dtype)
+        emb = self.spk_embed_affine_layer(emb.astype(wdt))
+        prompt_feat = prompt_feat.astype(wdt)
 
         token = jnp.concatenate([prompt_token, token], axis=1)
         token_len = prompt_token_len + token_len

@@ -62,8 +62,11 @@ class ConditionalCFM(Module):
         (reference chatterbox_turbo/models/s3gen/flow_matching.py:86-117).
         """
         B, T = mu.shape[0], mu.shape[1]
+        # ODE state stays f32 end-to-end (the Euler accumulation over
+        # n_timesteps loses low bits in bf16); the estimator itself runs in
+        # mu's (the model's) dtype — the solvers cast at its boundary.
         z = jax.random.normal(key, (B, T, self.MEL_CHANNELS),
-                              mu.dtype) * temperature
+                              jnp.float32) * temperature
         t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
         if not meanflow and self.t_scheduler == "cosine":
             t_span = 1.0 - jnp.cos(t_span * 0.5 * math.pi)
@@ -79,15 +82,19 @@ class ConditionalCFM(Module):
         B = x.shape[0]
         n_steps = t_span.shape[0] - 1
 
+        cdt = mu.dtype
+
         def step(i, x):
             t = t_span[i]
             r = t_span[i + 1]
-            dxdt = self.estimator(x, mask, mu, jnp.full((B,), t, x.dtype),
+            dxdt = self.estimator(x.astype(cdt), mask, mu,
+                                  jnp.full((B,), t, cdt),
                                   spks, cond, streaming=streaming,
-                                  r=jnp.full((B,), r, x.dtype))
-            return x + (r - t) * dxdt
+                                  r=jnp.full((B,), r, cdt))
+            return x + (r - t) * dxdt.astype(x.dtype)
 
-        return jax.lax.fori_loop(0, n_steps, step, x)
+        return jax.lax.fori_loop(0, n_steps, step,
+                                 x.astype(jnp.float32)).astype(cdt)
 
     def solve_euler(self, x, t_span, mu, mask, spks, cond,
                     streaming: bool = False) -> jnp.ndarray:
@@ -103,14 +110,18 @@ class ConditionalCFM(Module):
                    if cond is not None else None)
         cfg = self.inference_cfg_rate
 
+        cdt = mu.dtype
+
         def step(i, x):
             t = t_span[i]
             dt = t_span[i + 1] - t
-            x_in = jnp.concatenate([x, x], axis=0)
-            t_in = jnp.full((2 * B,), t, x.dtype)
+            x_in = jnp.concatenate([x, x], axis=0).astype(cdt)
+            t_in = jnp.full((2 * B,), t, cdt)
             dphi = self.estimator(x_in, mask_in, mu_in, t_in, spks_in,
-                                  cond_in, streaming=streaming)
+                                  cond_in, streaming=streaming
+                                  ).astype(x.dtype)
             dphi = (1.0 + cfg) * dphi[:B] - cfg * dphi[B:]
             return x + dt * dphi
 
-        return jax.lax.fori_loop(0, n_steps, step, x)
+        return jax.lax.fori_loop(0, n_steps, step,
+                                 x.astype(jnp.float32)).astype(cdt)

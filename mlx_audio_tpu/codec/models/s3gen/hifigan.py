@@ -308,7 +308,9 @@ class HiFTGenerator(Module):
 
     def decode(self, mel: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
         """mel: (B, T, C); s: (B, T_wav) source → (B, T_wav')."""
-        s_stft = self._stft(s)  # (B, frames, n_fft+2)
+        # source STFT runs f32 (phase fidelity); the conv stack consumes it
+        # in the mel/model dtype so mixed-precision doesn't upcast the stack
+        s_stft = self._stft(s).astype(mel.dtype)  # (B, frames, n_fft+2)
         x = self.conv_pre(mel)
         for i in range(self.num_upsamples):
             x = jax.nn.leaky_relu(x, self.lrelu_slope)
@@ -321,7 +323,8 @@ class HiFTGenerator(Module):
                   for j in range(self.num_kernels)]
             x = sum(xs) / self.num_kernels
         x = jax.nn.leaky_relu(x, self.lrelu_slope)
-        x = self.conv_post(x)  # (B, frames, n_fft+2)
+        # ISTFT head math stays f32 (exp/sin + overlap-add reconstruction)
+        x = self.conv_post(x).astype(jnp.float32)  # (B, frames, n_fft+2)
         half = self.istft_params["n_fft"] // 2 + 1
         magnitude = jnp.exp(x[..., :half])
         phase = jnp.sin(x[..., half:])
@@ -335,9 +338,16 @@ class HiFTGenerator(Module):
         """speech_feat: (B, T, n_mels) → (wav (B, T_wav), source)."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        # stage-boundary dtype: the vocoder computes in its own parameter
+        # dtype even when handed f32 mel from the host
+        speech_feat = speech_feat.astype(self.conv_pre.weight.dtype)
         f0 = self.f0_predictor(speech_feat)  # (B, T)
-        f0_up = jnp.repeat(f0[:, :, None], self.f0_upsample_scale, axis=1)
-        s = self.m_source(f0_up, key)[..., 0]  # (B, T_wav)
+        # NSF source is phase-critical (cumsum over the full waveform
+        # length), so it always runs f32 regardless of the conv stack's
+        # compute dtype — same rule as kokoro's Generator.
+        f0_up = jnp.repeat(f0[:, :, None], self.f0_upsample_scale,
+                           axis=1).astype(jnp.float32)
+        s = self.m_source(f0_up, key)[..., 0]  # (B, T_wav) f32
         if cache_source is not None and cache_source.shape[-1] > 0:
             n = cache_source.shape[-1]
             s = jnp.concatenate([cache_source, s[:, n:]], axis=-1)

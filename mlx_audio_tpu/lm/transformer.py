@@ -59,6 +59,11 @@ class LMConfig(BaseModelArgs):
 
 
 class CausalSelfAttention(Module):
+    # post-load quantized q/k/v row-stack (nn.quantized
+    # .fuse_quantized_projections): halves Pallas custom-call boundaries
+    # in the latency-bound decode loop
+    _FUSE_GROUPS = (("qkv_fused", ("q_proj", "k_proj", "v_proj")),)
+
     def __init__(self, cfg: LMConfig):
         dim = cfg.hidden_size
         self.n_heads = cfg.num_attention_heads
@@ -84,9 +89,13 @@ class CausalSelfAttention(Module):
         cache: Optional[KVCache] = None,
     ):
         B, T, _ = x.shape
-        q = self.q_proj(x).reshape(B, T, self.n_heads, self.head_dim)
-        k = self.k_proj(x).reshape(B, T, self.n_kv_heads, self.head_dim)
-        v = self.v_proj(x).reshape(B, T, self.n_kv_heads, self.head_dim)
+        if hasattr(self, "qkv_fused"):
+            q, k, v = self.qkv_fused(x)
+        else:
+            q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
+        q = q.reshape(B, T, self.n_heads, self.head_dim)
+        k = k.reshape(B, T, self.n_kv_heads, self.head_dim)
+        v = v.reshape(B, T, self.n_kv_heads, self.head_dim)
         if hasattr(self, "q_norm"):
             q = self.q_norm(q)
             k = self.k_norm(k)
@@ -105,13 +114,19 @@ class CausalSelfAttention(Module):
 
 
 class MLP(Module):
+    _FUSE_GROUPS = (("gate_up_fused", ("gate_proj", "up_proj")),)
+
     def __init__(self, cfg: LMConfig):
         self.gate_proj = Linear(cfg.hidden_size, cfg.intermediate_size, bias=cfg.mlp_bias)
         self.up_proj = Linear(cfg.hidden_size, cfg.intermediate_size, bias=cfg.mlp_bias)
         self.down_proj = Linear(cfg.intermediate_size, cfg.hidden_size, bias=cfg.mlp_bias)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        return self.down_proj(jax.nn.silu(self.gate_proj(x)) * self.up_proj(x))
+        if hasattr(self, "gate_up_fused"):
+            g, u = self.gate_up_fused(x)
+        else:
+            g, u = self.gate_proj(x), self.up_proj(x)
+        return self.down_proj(jax.nn.silu(g) * u)
 
 
 class TransformerBlock(Module):

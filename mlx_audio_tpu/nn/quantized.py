@@ -23,9 +23,11 @@ from .layers import Linear, Embedding
 __all__ = [
     "QuantizedLinear",
     "QuantizedEmbedding",
+    "QuantizedFusedLinear",
     "quantize_arrays",
     "dequantize_arrays",
     "quantize_module",
+    "fuse_quantized_projections",
 ]
 
 
@@ -208,6 +210,128 @@ class QuantizedLinear(Module):
         if hasattr(self, "bias"):
             y = y + self.bias.astype(y.dtype)
         return y
+
+
+class QuantizedFusedLinear(QuantizedLinear):
+    """Output-axis row-stack of sibling ``QuantizedLinear``s that share one
+    activation (q/k/v, gate/up): ONE fused dequant-matmul dispatch replaces
+    ``len(siblings)`` calls, and ``__call__`` returns the per-sibling splits.
+
+    Why this exists (KERNEL_BENCH.md, round 5 int4@1B isolation): at ≤1B
+    scale the AR decode step is latency-bound and every Pallas custom-call
+    boundary breaks XLA's fusion of the rope/norm/residual elementwise work
+    around it — each talker shape *wins per-layer* yet int4 lost ~18% RTF
+    *in-loop*. Concatenating packed rows along the output axis is exactly a
+    row-stack (each output row's dot product over K is unchanged, so the
+    Pallas path is bitwise-identical per row) while cutting custom calls per
+    decode layer from 7 to 4. It also lifts tiny sibling shapes over the
+    GEMV size floor: three 512×512 codec projections each lose to XLA
+    dequant (0.72×), but their 1536×512 row-stack routes and wins.
+    The reference keeps separate MLX QuantizedLinear modules per projection
+    (mlx_audio/utils.py:207-251 checkpoint contract) — an MLX-idiomatic
+    choice; on TPU the fused GEMV is the idiomatic one. The on-disk contract
+    is untouched: fusion runs post-load (`fuse_quantized_projections`).
+    """
+
+    @classmethod
+    def from_siblings(cls, lins: "list[QuantizedLinear]") -> "QuantizedFusedLinear":
+        first = lins[0]
+        in_d = first.scales.shape[1] * first.group_size
+        any_bias = any(hasattr(l, "bias") for l in lins)
+        obj = cls(
+            in_d,
+            sum(l.weight.shape[0] for l in lins),
+            bias=any_bias,
+            group_size=first.group_size,
+            bits=first.bits,
+        )
+        obj.weight = jnp.concatenate([l.weight for l in lins], axis=0)
+        obj.scales = jnp.concatenate([l.scales for l in lins], axis=0)
+        obj.biases = jnp.concatenate([l.biases for l in lins], axis=0)
+        if any_bias:
+            # mixed bias-ness (e.g. whisper's bias-less key between biased
+            # query/value): a zero bias is the identity, so zero-fill
+            obj.bias = jnp.concatenate([
+                l.bias if hasattr(l, "bias")
+                else jnp.zeros((l.weight.shape[0],), lins[0].scales.dtype)
+                for l in lins
+            ], axis=0)
+        obj.split_sizes = tuple(int(l.weight.shape[0]) for l in lins)
+        return obj
+
+    @staticmethod
+    def fusable(lins: "list") -> bool:
+        """Siblings fuse iff they are plain QuantizedLinears with identical
+        quantization geometry, and none is a TP shard (a tensor-parallel
+        row split must keep its own collective)."""
+        if not all(type(l) is QuantizedLinear for l in lins):
+            return False
+        first = lins[0]
+        return all(
+            l.bits == first.bits
+            and l.group_size == first.group_size
+            and l.scales.shape[1] == first.scales.shape[1]
+            and not getattr(l, "tp_sharded", False)
+            for l in lins
+        )
+
+    def __call__(self, x: jax.Array):  # type: ignore[override]
+        y = super().__call__(x)
+        out, off = [], 0
+        for n in self.split_sizes:
+            out.append(jax.lax.slice_in_dim(y, off, off + n, axis=-1))
+            off += n
+        return tuple(out)
+
+
+def fuse_quantized_projections(model: Module) -> int:
+    """Install fused q/k/v and gate/up projections on supporting modules.
+
+    A module opts in by declaring ``_FUSE_GROUPS = ((fused_attr, (names…)),
+    …)`` as a class attribute and consuming ``fused_attr`` in its
+    ``__call__``; the pass row-stacks each group's QuantizedLinears into a
+    single :class:`QuantizedFusedLinear`, installs it under ``fused_attr``,
+    and deletes the originals (no duplicate HBM residency). Run AFTER
+    weights are loaded/quantized; never run before a checkpoint save (the
+    dotted-key layout changes). Returns the number of groups fused.
+    Disable with ``MLX_AUDIO_TPU_FUSE_PROJ=0``.
+    """
+    import os
+
+    if os.environ.get("MLX_AUDIO_TPU_FUSE_PROJ", "1") == "0":
+        return 0
+    fused = 0
+    seen: set[int] = set()
+
+    def visit(obj):
+        nonlocal fused
+        if id(obj) in seen:
+            return
+        seen.add(id(obj))
+        if isinstance(obj, Module):
+            groups = (() if getattr(obj, "_fuse_veto", False)
+                      else getattr(type(obj), "_FUSE_GROUPS", ()))
+            for fused_attr, names in groups:
+                lins = [getattr(obj, n, None) for n in names]
+                if any(l is None for l in lins):
+                    continue
+                if not QuantizedFusedLinear.fusable(lins):
+                    continue
+                setattr(obj, fused_attr, QuantizedFusedLinear.from_siblings(lins))
+                for n in names:
+                    delattr(obj, n)
+                fused += 1
+            for v in list(obj.__dict__.values()):
+                visit(v)
+        elif isinstance(obj, (list, tuple)):
+            for v in obj:
+                visit(v)
+        elif isinstance(obj, dict):
+            for v in obj.values():
+                visit(v)
+
+    visit(model)
+    return fused
 
 
 class QuantizedEmbedding(Module):

@@ -75,6 +75,11 @@ def sinusoids(length: int, channels: int, max_timescale: int = 10000) -> np.ndar
 
 
 class MultiHeadAttention(Module):
+    # post-load quantized q/k/v row-stack — valid only when all three
+    # consume the same activation, so cross-attention instances set
+    # `_fuse_veto` (their key/value read encoder state, not x)
+    _FUSE_GROUPS = (("qkv_fused", ("query", "key", "value")),)
+
     def __init__(self, n_state: int, n_head: int):
         self.query = Linear(n_state, n_state)
         self.key = Linear(n_state, n_state, bias=False)
@@ -88,15 +93,20 @@ class MultiHeadAttention(Module):
 
     def __call__(self, x, xa=None, mask=None, cache: Optional[KVCache] = None,
                  cross_kv: Optional[Tuple] = None):
-        q = self._split(self.query(x))
         new_cache = None
-        if cross_kv is not None:
-            k, v = cross_kv
-        else:
-            k = self._split(self.key(xa if xa is not None else x))
-            v = self._split(self.value(xa if xa is not None else x))
+        if hasattr(self, "qkv_fused") and xa is None and cross_kv is None:
+            q, k, v = (self._split(p) for p in self.qkv_fused(x))
             if cache is not None:
                 k, v, new_cache = cache.update(k, v)
+        else:
+            q = self._split(self.query(x))
+            if cross_kv is not None:
+                k, v = cross_kv
+            else:
+                k = self._split(self.key(xa if xa is not None else x))
+                v = self._split(self.value(xa if xa is not None else x))
+                if cache is not None:
+                    k, v, new_cache = cache.update(k, v)
         out = scaled_dot_product_attention(q, k, v, mask=mask)
         B, H, T, Dh = out.shape
         return self.out(jnp.swapaxes(out, 1, 2).reshape(B, T, H * Dh)), new_cache
@@ -124,6 +134,7 @@ class ResidualAttentionBlock(Module):
         self.attn_ln = LayerNorm(n_state)
         if cross_attention:
             self.cross_attn = MultiHeadAttention(n_state, n_head)
+            self.cross_attn._fuse_veto = True  # key/value read encoder state
             self.cross_attn_ln = LayerNorm(n_state)
         self.mlp1 = Linear(n_state, 4 * n_state)
         self.mlp2 = Linear(4 * n_state, n_state)

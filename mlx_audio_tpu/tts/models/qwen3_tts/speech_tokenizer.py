@@ -98,6 +98,10 @@ class LayerScale(Module):
 
 
 class DecoderAttention(Module):
+    # post-load quantized row-stack: the 512×512 projections individually
+    # sit below the Pallas GEMV size floor; their 1536×512 stack routes
+    _FUSE_GROUPS = (("qkv_fused", ("q_proj", "k_proj", "v_proj")),)
+
     def __init__(self, cfg: Qwen3TTSTokenizerDecoderConfig):
         self.q_proj = Linear(cfg.hidden_size, cfg.num_attention_heads * cfg.head_dim,
                              bias=cfg.attention_bias)
@@ -115,9 +119,13 @@ class DecoderAttention(Module):
 
     def __call__(self, x, mask=None):
         B, T, _ = x.shape
-        q = jnp.swapaxes(self.q_proj(x).reshape(B, T, self.nh, self.hd), 1, 2)
-        k = jnp.swapaxes(self.k_proj(x).reshape(B, T, self.nkv, self.hd), 1, 2)
-        v = jnp.swapaxes(self.v_proj(x).reshape(B, T, self.nkv, self.hd), 1, 2)
+        if hasattr(self, "qkv_fused"):
+            q, k, v = self.qkv_fused(x)
+        else:
+            q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
+        q = jnp.swapaxes(q.reshape(B, T, self.nh, self.hd), 1, 2)
+        k = jnp.swapaxes(k.reshape(B, T, self.nkv, self.hd), 1, 2)
+        v = jnp.swapaxes(v.reshape(B, T, self.nkv, self.hd), 1, 2)
         cos, sin = rope_cos_sin(jnp.arange(T), self.hd, base=self.rope_theta)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -126,13 +134,19 @@ class DecoderAttention(Module):
 
 
 class DecoderMLP(Module):
+    _FUSE_GROUPS = (("gate_up_fused", ("gate_proj", "up_proj")),)
+
     def __init__(self, cfg):
         self.gate_proj = Linear(cfg.hidden_size, cfg.intermediate_size, bias=False)
         self.up_proj = Linear(cfg.hidden_size, cfg.intermediate_size, bias=False)
         self.down_proj = Linear(cfg.intermediate_size, cfg.hidden_size, bias=False)
 
     def __call__(self, x):
-        return self.down_proj(jax.nn.silu(self.gate_proj(x)) * self.up_proj(x))
+        if hasattr(self, "gate_up_fused"):
+            g, u = self.gate_up_fused(x)
+        else:
+            g, u = self.gate_proj(x), self.up_proj(x)
+        return self.down_proj(jax.nn.silu(g) * u)
 
 
 class DecoderTransformerLayer(Module):

@@ -68,6 +68,10 @@ class TalkerRotaryEmbedding(Module):
 
 
 class TalkerAttention(Module):
+    # post-load quantized row-stack (nn.quantized.fuse_quantized_projections):
+    # one fused GEMV replaces q/k/v in the latency-bound decode loop
+    _FUSE_GROUPS = (("qkv_fused", ("q_proj", "k_proj", "v_proj")),)
+
     def __init__(self, cfg, qk_norm: bool = True):
         d = cfg.hidden_size
         self.q_proj = Linear(d, cfg.num_attention_heads * cfg.head_dim,
@@ -87,9 +91,13 @@ class TalkerAttention(Module):
 
     def __call__(self, x, cos, sin, mask=None, cache: Optional[KVCache] = None):
         B, T, _ = x.shape
-        q = self.q_proj(x).reshape(B, T, self.nh, self.hd)
-        k = self.k_proj(x).reshape(B, T, self.nkv, self.hd)
-        v = self.v_proj(x).reshape(B, T, self.nkv, self.hd)
+        if hasattr(self, "qkv_fused"):
+            q, k, v = self.qkv_fused(x)
+        else:
+            q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
+        q = q.reshape(B, T, self.nh, self.hd)
+        k = k.reshape(B, T, self.nkv, self.hd)
+        v = v.reshape(B, T, self.nkv, self.hd)
         if hasattr(self, "q_norm"):
             q = self.q_norm(q)
             k = self.k_norm(k)
@@ -106,13 +114,19 @@ class TalkerAttention(Module):
 
 
 class TalkerMLP(Module):
+    _FUSE_GROUPS = (("gate_up_fused", ("gate_proj", "up_proj")),)
+
     def __init__(self, cfg):
         self.gate_proj = Linear(cfg.hidden_size, cfg.intermediate_size, bias=False)
         self.up_proj = Linear(cfg.hidden_size, cfg.intermediate_size, bias=False)
         self.down_proj = Linear(cfg.intermediate_size, cfg.hidden_size, bias=False)
 
     def __call__(self, x):
-        return self.down_proj(jax.nn.silu(self.gate_proj(x)) * self.up_proj(x))
+        if hasattr(self, "gate_up_fused"):
+            g, u = self.gate_up_fused(x)
+        else:
+            g, u = self.gate_proj(x), self.up_proj(x)
+        return self.down_proj(jax.nn.silu(g) * u)
 
 
 class ResizeMLP(Module):

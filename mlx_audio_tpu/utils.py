@@ -421,7 +421,14 @@ def base_load_model(
 
     if hasattr(type(model), "post_load_hook"):
         model = type(model).post_load_hook(model, model_path)
-    return maybe_shard_for_serving(model)
+    model = maybe_shard_for_serving(model)
+    # Post-load: row-stack quantized q/k/v and gate/up siblings into fused
+    # GEMVs (TP shards are skipped via their tp_sharded flag; no-op on
+    # float models). Must run after weights land — the checkpoint's
+    # dotted-key layout keeps per-projection modules (reference
+    # utils.py:207-251 contract); the fused layout is runtime-only.
+    tnn.fuse_quantized_projections(model)
+    return model
 
 
 def maybe_shard_for_serving(model):

@@ -231,6 +231,12 @@ if __name__ == "__main__":
         except Exception as e:
             print(json.dumps({"path": name, "error": f"{type(e).__name__}: {e}"}),
                   flush=True)
-    Path(__file__).parent.parent.joinpath("ROOFLINE.json").write_text(
+    out = Path(__file__).parent.parent.joinpath("ROOFLINE.json")
+    if only and out.exists():
+        # selective re-run: refresh matching rows, keep the rest
+        old = json.loads(out.read_text()).get("rows", [])
+        fresh = {r["path"] for r in rows}
+        rows = [r for r in old if r["path"] not in fresh] + rows
+    out.write_text(
         json.dumps({"device": str(jax.devices()[0]), "rows": rows},
                    indent=1))

@@ -300,3 +300,118 @@ def test_build_on_host_matches_default_build():
     np.testing.assert_allclose(
         np.asarray(hosted.weight, np.float32),
         np.asarray(direct.weight.astype(jnp.bfloat16), np.float32))
+
+
+def test_quantized_fused_linear_matches_siblings():
+    """Row-stacking sibling QuantizedLinears (q/k/v sharing one activation)
+    is exactly a concatenation of their outputs: every split must equal the
+    standalone sibling's output at GEMV (M=1) and prefill (M>1) shapes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mlx_audio_tpu.nn.layers import Linear
+    from mlx_audio_tpu.nn.quantized import (QuantizedFusedLinear,
+                                            QuantizedLinear)
+
+    rng = np.random.default_rng(3)
+    dims = [128, 64, 64]  # q, k, v output dims
+    lins = []
+    for d in dims:
+        lin = Linear(96, d)
+        lins.append(QuantizedLinear.from_linear(lin, group_size=32, bits=4))
+    assert QuantizedFusedLinear.fusable(lins)
+    fused = QuantizedFusedLinear.from_siblings(lins)
+    assert fused.split_sizes == (128, 64, 64)
+    for m in (1, 5):
+        x = jnp.asarray(rng.normal(size=(m, 96)).astype(np.float32))
+        outs = fused(x)
+        assert len(outs) == 3
+        for o, l in zip(outs, lins):
+            np.testing.assert_allclose(
+                np.asarray(o), np.asarray(l(x)), atol=1e-5, rtol=1e-5)
+
+
+def test_quantized_fused_linear_fusable_guards():
+    """Mixed bits or a TP shard vetoes fusion; mixed bias-ness fuses with a
+    zero-filled bias segment (whisper's bias-less key between biased
+    query/value)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mlx_audio_tpu.nn.layers import Linear
+    from mlx_audio_tpu.nn.quantized import (QuantizedFusedLinear,
+                                            QuantizedLinear)
+
+    a = QuantizedLinear.from_linear(Linear(64, 32), group_size=32, bits=4)
+    b = QuantizedLinear.from_linear(Linear(64, 32), group_size=32, bits=8)
+    assert not QuantizedFusedLinear.fusable([a, b])
+    d = QuantizedLinear.from_linear(Linear(64, 32), group_size=32, bits=4)
+    d.tp_sharded = True
+    assert not QuantizedFusedLinear.fusable([a, d])
+    c = QuantizedLinear.from_linear(Linear(64, 32, bias=False),
+                                    group_size=32, bits=4)
+    assert QuantizedFusedLinear.fusable([a, c])
+    fused = QuantizedFusedLinear.from_siblings([a, c])
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(3, 64)),
+                    jnp.float32)
+    ya, yc = fused(x)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(a(x)),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(yc), np.asarray(c(x)),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fuse_quantized_projections_lm_logits_equal():
+    """Post-load fusion on a quantized CausalLM: q/k/v and gate/up collapse
+    into fused GEMVs, the original modules are consumed, and logits match
+    the unfused model (prefill and cached decode)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mlx_audio_tpu.lm.transformer import CausalLM, LMConfig
+    from mlx_audio_tpu.nn import quantize_module
+    from mlx_audio_tpu.nn.quantized import (QuantizedFusedLinear,
+                                            fuse_quantized_projections)
+
+    cfg = LMConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        intermediate_size=128,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        vocab_size=96,
+    )
+    nn_seed = np.random.default_rng(11)
+    ids = jnp.asarray(nn_seed.integers(0, 96, (2, 6)))
+    qmodel = quantize_module(CausalLM(cfg), group_size=32, bits=4)
+    ref, _ = jax.jit(lambda m, i: m(i))(qmodel, ids)
+
+    n = fuse_quantized_projections(qmodel)
+    assert n == 4  # 2 layers x (qkv + gate_up)
+    attn = qmodel.model.layers[0].self_attn
+    assert isinstance(attn.qkv_fused, QuantizedFusedLinear)
+    assert not hasattr(attn, "q_proj")
+    mlp = qmodel.model.layers[0].mlp
+    assert isinstance(mlp.gate_up_fused, QuantizedFusedLinear)
+    assert not hasattr(mlp, "gate_proj")
+
+    out, _ = jax.jit(lambda m, i: m(i))(qmodel, ids)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=1e-2)
+
+    # idempotent + float models untouched
+    assert fuse_quantized_projections(qmodel) == 0
+    assert fuse_quantized_projections(CausalLM(cfg)) == 0
+
+
+def test_fuse_quantized_projections_env_kill_switch(monkeypatch):
+    from mlx_audio_tpu.lm.transformer import CausalLM, LMConfig
+    from mlx_audio_tpu.nn import quantize_module
+    from mlx_audio_tpu.nn.quantized import fuse_quantized_projections
+
+    monkeypatch.setenv("MLX_AUDIO_TPU_FUSE_PROJ", "0")
+    cfg = LMConfig(hidden_size=64, num_hidden_layers=1,
+                   intermediate_size=128, num_attention_heads=8,
+                   num_key_value_heads=8, vocab_size=96)
+    qmodel = quantize_module(CausalLM(cfg), group_size=32, bits=4)
+    assert fuse_quantized_projections(qmodel) == 0
+    assert hasattr(qmodel.model.layers[0].self_attn, "q_proj")

@@ -502,3 +502,40 @@ def test_generate_chunked_conditioned_sequential_fallback(tiny):
     seq = model.generate_chunked(audio, max_sweeps=0, **kw)
     assert [s["tokens"] for s in fix.segments] == \
         [s["tokens"] for s in seq.segments]
+
+
+def test_quantized_fused_qkv_matches_unfused():
+    """Post-load q/k/v fusion on a quantized whisper: decoder/encoder
+    self-attention collapses to one GEMV (mixed bias-ness: key is
+    bias-less), cross-attention keeps separate projections (its key/value
+    read encoder state), and logits match the unfused quantized model."""
+    import jax
+    import jax.numpy as jnp
+    from mlx_audio_tpu.nn import quantize_module
+    from mlx_audio_tpu.nn.quantized import (QuantizedFusedLinear,
+                                            fuse_quantized_projections)
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=1, n_vocab=2000, n_text_ctx=448, n_text_state=64,
+        n_text_head=2, n_text_layer=1,
+    )
+    del jax  # silence unused (Model methods jit internally)
+    qmodel = quantize_module(Model(dims), group_size=32, bits=4)
+    mel = jnp.asarray(np.random.default_rng(0).normal(size=(1, 96, 80)),
+                      jnp.float32)
+    toks = jnp.asarray([[1, 2, 3]])
+    feats = qmodel.embed_audio(mel)
+    ref = qmodel.logits(toks, feats)
+
+    n = fuse_quantized_projections(qmodel)
+    assert n == 2  # encoder self-attn + decoder self-attn; cross vetoed
+    blk = qmodel.decoder.blocks[0]
+    assert isinstance(blk.attn.qkv_fused, QuantizedFusedLinear)
+    assert not hasattr(blk.attn, "query")
+    assert hasattr(blk.cross_attn, "query")  # veto kept cross projections
+
+    out = qmodel.logits(toks, qmodel.embed_audio(mel))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=1e-2)
