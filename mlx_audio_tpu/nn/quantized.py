@@ -28,6 +28,7 @@ __all__ = [
     "dequantize_arrays",
     "quantize_module",
     "fuse_quantized_projections",
+    "fused_mlp_call",
 ]
 
 
@@ -282,6 +283,67 @@ class QuantizedFusedLinear(QuantizedLinear):
             out.append(jax.lax.slice_in_dim(y, off, off + n, axis=-1))
             off += n
         return tuple(out)
+
+
+def fused_mlp_call(gate_up, down, x):
+    """Single-dispatch SwiGLU MLP ``silu(g)·u @ Wd.T`` when both halves are
+    Pallas-routable quantized layers; returns None to signal the caller to
+    take the multi-call fallback.
+
+    This is the in-kernel epilogue step beyond ``QuantizedFusedLinear``
+    (KERNEL_BENCH round-5 int4@1B isolation): the row-stack cut the decode
+    layer from 7 quantized custom calls to 4, and the residual cost is the
+    calls that consume *different* activations — ``down_proj`` reads
+    silu(g)·u, so XLA computes that elementwise between two Pallas
+    boundaries. `ops.pallas.quant_matmul.quantized_mlp` moves the whole
+    gate_up → SwiGLU → down chain into ONE dispatch with the hidden vector
+    held in VMEM scratch, removing a boundary per decode layer and the
+    intermediate's HBM round trip.
+    """
+    import os
+
+    if os.environ.get("MLX_AUDIO_TPU_FUSED_MLP", "1") == "0":
+        return None
+    if type(gate_up) is not QuantizedFusedLinear or \
+            type(down) is not QuantizedLinear:
+        return None
+    split = getattr(gate_up, "split_sizes", ())
+    if len(split) != 2 or split[0] != split[1]:
+        return None
+    if hasattr(gate_up, "bias") or hasattr(down, "bias"):
+        return None
+    if gate_up.bits != down.bits or gate_up.bits not in (4, 8) or \
+            gate_up.group_size != down.group_size:
+        return None
+    if getattr(gate_up, "tp_sharded", False) or \
+            getattr(down, "tp_sharded", False):
+        return None
+    from ..ops.pallas import pallas_enabled
+
+    if not pallas_enabled():
+        return None
+    per = 32 // gate_up.bits
+    K = x.shape[-1]
+    I = split[0]
+    N = down.weight.shape[0]
+    M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    # phase-A blocks are fixed at per·128 rows so the scratch scatter
+    # stays lane-aligned; the down block needs the same N alignment as
+    # the plain kernel. Decode/small-batch only: at prefill M the
+    # intermediate no longer fits the (per, M, I/per) VMEM scratch and
+    # weight bandwidth stops dominating anyway.
+    if K % per or I % (per * 128) or gate_up.group_size % per:
+        return None
+    if not (N >= 512 or (N >= 128 and N % 128 == 0)):
+        return None
+    if M > 16:
+        return None
+    from ..ops.pallas.quant_matmul import quantized_mlp
+
+    return quantized_mlp(
+        x, gate_up.weight, gate_up.scales, gate_up.biases,
+        down.weight, down.scales, down.biases,
+        bits=gate_up.bits, group_size=gate_up.group_size)
 
 
 def fuse_quantized_projections(model: Module) -> int:

@@ -143,6 +143,11 @@ class DecoderMLP(Module):
 
     def __call__(self, x):
         if hasattr(self, "gate_up_fused"):
+            from ....nn.quantized import fused_mlp_call
+
+            y = fused_mlp_call(self.gate_up_fused, self.down_proj, x)
+            if y is not None:
+                return y
             g, u = self.gate_up_fused(x)
         else:
             g, u = self.gate_proj(x), self.up_proj(x)

@@ -174,3 +174,94 @@ def test_quantized_matmul_int6_ragged_n():
     ref = x @ dequantize_arrays(jnp.asarray(packed), jnp.asarray(scales),
                                 jnp.asarray(biases), 64, 6).T
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("bits,M", [(4, 1), (4, 4), (8, 2)])
+def test_quantized_mlp_matches_dequant(bits, M):
+    """Fused SwiGLU MLP kernel (gate_up → silu·mul → down in ONE dispatch,
+    two-phase grid with the hidden vector in VMEM scratch) must equal the
+    three-op dequant reference. Covers the round-5 in-kernel-epilogue
+    routing (nn.quantized.fused_mlp_call)."""
+    from mlx_audio_tpu.nn.quantized import dequantize_arrays, quantize_arrays
+    from mlx_audio_tpu.ops.pallas.quant_matmul import quantized_mlp
+
+    rng = np.random.default_rng(11 + bits + M)
+    per = 32 // bits
+    K, I, N = 128, per * 128, 256  # I = one phase-A block
+    wg = rng.standard_normal((I, K)).astype(np.float32) * 0.05
+    wu = rng.standard_normal((I, K)).astype(np.float32) * 0.05
+    wd = rng.standard_normal((N, I)).astype(np.float32) * 0.05
+    pg, sg, bg = quantize_arrays(np.concatenate([wg, wu], 0), 64, bits)
+    pd, sd, bd = quantize_arrays(wd, 64, bits)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = quantized_mlp(x, jnp.asarray(pg), jnp.asarray(sg),
+                            jnp.asarray(bg), jnp.asarray(pd),
+                            jnp.asarray(sd), jnp.asarray(bd),
+                            bits=bits, group_size=64)
+    W = dequantize_arrays(jnp.asarray(pg), jnp.asarray(sg),
+                          jnp.asarray(bg), 64, bits)
+    h = jax.nn.silu(x @ W[:I].T) * (x @ W[I:].T)
+    ref = h @ dequantize_arrays(jnp.asarray(pd), jnp.asarray(sd),
+                                jnp.asarray(bd), 64, bits).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_quantized_mlp_multiblock_phases():
+    """nA > 1 gate/up blocks and a ragged down N exercise the scratch
+    scatter across phase-A steps and the masked edge block in phase B."""
+    from mlx_audio_tpu.nn.quantized import dequantize_arrays, quantize_arrays
+    from mlx_audio_tpu.ops.pallas.quant_matmul import quantized_mlp
+
+    rng = np.random.default_rng(17)
+    K, I, N, M = 128, 2048, 640, 2  # nA=2 (int4), N % 512 != 0
+    wg = rng.standard_normal((I, K)).astype(np.float32) * 0.05
+    wu = rng.standard_normal((I, K)).astype(np.float32) * 0.05
+    wd = rng.standard_normal((N, I)).astype(np.float32) * 0.05
+    pg, sg, bg = quantize_arrays(np.concatenate([wg, wu], 0), 64, 4)
+    pd, sd, bd = quantize_arrays(wd, 64, 4)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = quantized_mlp(x, jnp.asarray(pg), jnp.asarray(sg),
+                            jnp.asarray(bg), jnp.asarray(pd),
+                            jnp.asarray(sd), jnp.asarray(bd),
+                            bits=4, group_size=64)
+    W = dequantize_arrays(jnp.asarray(pg), jnp.asarray(sg),
+                          jnp.asarray(bg), 64, 4)
+    h = jax.nn.silu(x @ W[:I].T) * (x @ W[I:].T)
+    ref = h @ dequantize_arrays(jnp.asarray(pd), jnp.asarray(sd),
+                                jnp.asarray(bd), 64, 4).T
+    assert out.shape == (M, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_fused_mlp_module_routing(monkeypatch):
+    """The lm MLP's single-dispatch path (fused_mlp_call) must match the
+    module's multi-call fallback. pallas_enabled is CPU-false, so force it
+    and run the kernel under the interpreter."""
+    from mlx_audio_tpu import nn as tnn
+    from mlx_audio_tpu.lm import LMConfig
+    from mlx_audio_tpu.lm.transformer import MLP
+    from mlx_audio_tpu.nn.quantized import fuse_quantized_projections
+
+    cfg = LMConfig(hidden_size=128, num_hidden_layers=1,
+                   intermediate_size=1024, num_attention_heads=2,
+                   num_key_value_heads=2, vocab_size=64)
+    mlp = tnn.quantize_module(MLP(cfg), group_size=64, bits=4)
+    assert fuse_quantized_projections(mlp) == 1
+    x = jnp.asarray(np.random.default_rng(23).standard_normal((1, 128)),
+                    jnp.float32)
+    ref = mlp(x)  # CPU: pallas_enabled() False → multi-call dequant path
+
+    import mlx_audio_tpu.ops.pallas as pallas_pkg
+
+    monkeypatch.setattr(pallas_pkg, "pallas_enabled", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        out = mlp(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+    monkeypatch.setenv("MLX_AUDIO_TPU_FUSED_MLP", "0")
+    with pltpu.force_tpu_interpret_mode():
+        gated = mlp(x)  # env gate: back to the multi-call path exactly
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(ref))
